@@ -1,0 +1,229 @@
+"""Configuration system for tapclip_tpu.
+
+The reference hardcodes every knob as local variables inside its drivers
+(``/root/reference/train.py:29-39``, ``/root/reference/test_cross_domain.py:20-30``,
+``/root/reference/test_cross_domain2.py:48-58``).  Here every knob is a frozen
+dataclass so configs are hashable (usable as jit static args) and serializable.
+
+Presets mirror the five BASELINE.json configs plus the reference's hardcoded
+training config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# CLIP preprocessing constants (OpenAI CLIP / open_clip defaults).
+IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    """Architecture of a CLIP two-tower model.
+
+    Mirrors the model the reference wraps (open_clip ``ViT-B-32``,
+    ``/root/reference/models/clip_wrapper.py:10-15``) but is a from-scratch
+    TPU-native implementation.
+    """
+
+    name: str = "ViT-B-32"
+    # Vision tower
+    image_size: int = 224
+    patch_size: int = 32
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    # Text tower
+    vocab_size: int = 49408
+    context_length: int = 77
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    # Joint embedding
+    embed_dim: int = 512
+    # MLP expansion ratio (CLIP uses 4x)
+    mlp_ratio: int = 4
+    # Activation: "gelu" (laion weights) or "quick_gelu" (OpenAI weights)
+    act: str = "gelu"
+    ln_eps: float = 1e-5
+    # Compute dtype for the towers ("bfloat16" on TPU, "float32" for tests).
+    dtype: str = "float32"
+    # Attention implementation: "auto" | "xla" | "pallas"
+    attn_impl: str = "auto"
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def vision_seq_len(self) -> int:
+        return self.num_patches + 1  # + class token
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def replace(self, **kw) -> "CLIPConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Model presets
+# ---------------------------------------------------------------------------
+
+VIT_B_32 = CLIPConfig(name="ViT-B-32")
+VIT_B_16 = CLIPConfig(name="ViT-B-16", patch_size=16)
+VIT_L_14 = CLIPConfig(
+    name="ViT-L-14",
+    patch_size=14,
+    vision_width=1024,
+    vision_layers=24,
+    vision_heads=16,
+    text_width=768,
+    text_layers=12,
+    text_heads=12,
+    embed_dim=768,
+)
+
+# A tiny config for unit tests / multichip dry runs (fast init + compile).
+TINY_TEST = CLIPConfig(
+    name="tiny-test",
+    image_size=32,
+    patch_size=16,
+    vision_width=64,
+    vision_layers=2,
+    vision_heads=4,
+    # >= the byte-level fallback tokenizer's 514-entry vocab.
+    vocab_size=520,
+    context_length=16,
+    text_width=64,
+    text_layers=2,
+    text_heads=4,
+    embed_dim=32,
+)
+
+MODEL_PRESETS = {
+    "ViT-B-32": VIT_B_32,
+    "ViT-B-16": VIT_B_16,
+    "ViT-L-14": VIT_L_14,
+    "tiny-test": TINY_TEST,
+}
+
+
+@dataclass(frozen=True)
+class PromptConfig:
+    """Prompt-tuning configuration.
+
+    Matches the reference defaults: ``prompt_len=5`` (``train.py:31``),
+    ``class_specific=True`` (``train.py:62``), ``use_init_prompt=True``
+    (``prompt_learner.py:7``), scale adjustor (``train.py:61``).
+    """
+
+    prompt_len: int = 5
+    class_specific: bool = True
+    use_init_prompt: bool = True
+    adjustor_method: str = "scale"  # 'scale' | 'gate' | 'residual'
+    adjustor_hidden: int = 64  # prompt_adjustor.py:14,22
+    template: str = "a photo of a {}"  # prompt_learner.py:31
+    # Padded capacity of the class axis; classes can be added dynamically
+    # (test_cross_domain.py:65-67) without retracing as long as
+    # n_cls <= max_classes.  Grown in chunks when exceeded.
+    max_classes: int = 8
+    normalize_attribution: bool = True  # attribution_monitor.py:31-34
+    # "ref_compat": bare text transformer on [ctx || 77-token emb] with no
+    #   positional embedding, no causal mask, no ln_final, pool position -1
+    #   (model_wrapper.py:58,72-74).
+    # "idiomatic": CoOp-style — [sot, ctx, class tokens, eot] with positional
+    #   embedding, causal mask, ln_final, EOT pooling.
+    text_mode: str = "ref_compat"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference: train.py:29-39)."""
+
+    lr: float = 2e-3
+    weight_decay: float = 0.01
+    epochs: int = 100
+    patience: int = 10
+    batch_size: int = 32
+    num_shots: int = 5
+    seed: int = 0
+    attr_lambda: float = 1.0  # accepted-and-unused in reference (model_wrapper.py:24)
+    stab_lambda: float = 0.1  # accepted-and-unused in reference (model_wrapper.py:25)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. axes: data-parallel x tensor/model-parallel."""
+
+    dp: int = -1  # -1: all remaining devices
+    tp: int = 1
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    model: CLIPConfig = VIT_B_32
+    prompt: PromptConfig = PromptConfig()
+    train: TrainConfig = TrainConfig()
+    mesh: MeshConfig = MeshConfig()
+    class_names: Tuple[str, ...] = (
+        "Backpack",
+        "Alarm_Clock",
+        "Laptop",
+        "Pen",
+        "Mug",
+    )  # train.py:38
+    data_root: str = "data/OfficeHomeDataset_10072016/Real World"  # train.py:76
+    pretrained_path: Optional[str] = None
+    version: str = "main"
+    output_root: str = "results"
+
+
+# The 5 BASELINE.json benchmark configs as presets.
+def preset(name: str) -> ExperimentConfig:
+    base = ExperimentConfig()
+    presets = {
+        # 1. Zero-shot CLIP ViT-B/32 eval on OfficeHome Real->Clipart.
+        "zeroshot_b32": dataclasses.replace(
+            base,
+            model=VIT_B_32,
+            train=dataclasses.replace(base.train, num_shots=0),
+            data_root="data/OfficeHomeDataset_10072016/Clipart",
+        ),
+        # 2. 16-shot prompt tuning ViT-B/16 on OfficeHome Real.
+        "fewshot16_b16": dataclasses.replace(
+            base,
+            model=VIT_B_16,
+            train=dataclasses.replace(base.train, num_shots=16),
+        ),
+        # 3. Full OfficeHome 4-domain transfer matrix.
+        "officehome_matrix": base,
+        # 4. DomainNet 345-class few-shot + zero-shot transfer.
+        "domainnet": dataclasses.replace(
+            base,
+            prompt=dataclasses.replace(base.prompt, max_classes=352),
+            data_root="data/domainnet",
+        ),
+        # 5. ViT-L/14 seen->unseen class transfer, batch 1k+.
+        "vitl_unseen": dataclasses.replace(
+            base,
+            model=VIT_L_14,
+            train=dataclasses.replace(base.train, batch_size=1024),
+        ),
+        # Reference train.py config.
+        "reference_train": base,
+        "tiny": dataclasses.replace(base, model=TINY_TEST),
+    }
+    if name not in presets:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(presets)}")
+    return presets[name]

@@ -1,0 +1,235 @@
+"""From-scratch functional CLIP (vision ViT + causal text transformer).
+
+TPU-native rebuild of the model the reference wraps via open_clip
+(``/root/reference/models/clip_wrapper.py:10-27``).  Differences by design:
+
+* Pure functions over an explicit param pytree — no modules, no hooks.  The
+  attention-capture hook (``clip_wrapper.py:29-40``) becomes the
+  ``attn_to_idx`` aux output threaded through ``transformer_forward``.
+* Patch embedding is a reshape + matmul (MXU-friendly) instead of a strided
+  conv — numerically identical to ``Conv2d(stride=patch)``.
+* ``text_forward_embeds`` reproduces the reference's *raw transformer* call
+  path (``model_wrapper.py:58,72``): embeddings straight into the blocks with
+  no positional embedding, no causal mask, no ln_final, pooled at a chosen
+  position.  ``encode_text`` is the proper CLIP text encoder (pos emb +
+  causal mask + ln_final + EOT-argmax pooling) used for idiomatic mode and
+  standard zero-shot eval.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tapclip_tpu.config import CLIPConfig
+from tapclip_tpu.models import layers
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_clip_params(key: jax.Array, cfg: CLIPConfig) -> Params:
+    kv, kt, ke, kp, kc, kpe, ktp, kvp = jax.random.split(key, 8)
+    vw, tw = cfg.vision_width, cfg.text_width
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    visual = {
+        "patch_embed": {
+            "w": jax.random.normal(kp, (patch_dim, vw), jnp.float32) * (vw ** -0.5)
+        },
+        "class_embedding": jax.random.normal(kc, (vw,), jnp.float32) * (vw ** -0.5),
+        "positional_embedding": (
+            jax.random.normal(kpe, (cfg.vision_seq_len, vw), jnp.float32) * (vw ** -0.5)
+        ),
+        "ln_pre": layers.init_layer_norm(vw),
+        "blocks": layers.init_blocks(kv, cfg.vision_layers, vw, cfg.mlp_ratio),
+        "ln_post": layers.init_layer_norm(vw),
+        "proj": jax.random.normal(kvp, (vw, cfg.embed_dim), jnp.float32) * (vw ** -0.5),
+    }
+    text = {
+        "token_embedding": jax.random.normal(ke, (cfg.vocab_size, tw), jnp.float32) * 0.02,
+        "positional_embedding": (
+            jax.random.normal(kpe, (cfg.context_length, tw), jnp.float32) * 0.01
+        ),
+        "blocks": layers.init_blocks(kt, cfg.text_layers, tw, cfg.mlp_ratio),
+        "ln_final": layers.init_layer_norm(tw),
+        "text_projection": jax.random.normal(ktp, (tw, cfg.embed_dim), jnp.float32)
+        * (tw ** -0.5),
+    }
+    return {
+        "visual": visual,
+        "text": text,
+        # CLIP's own logit scale, init ln(1/0.07) (the FullModel keeps a
+        # separate learnable copy per model_wrapper.py:26).
+        "logit_scale": jnp.asarray(jnp.log(1.0 / 0.07), jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Vision tower
+# ---------------------------------------------------------------------------
+
+
+def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """NHWC images -> [B, num_patches, patch*patch*C] (row-major patches).
+
+    Flatten order is (ph, pw, c) — the weight converter permutes torch's
+    ``[O, C, kh, kw]`` conv kernel to match.
+    """
+    B, H, W, C = images.shape
+    gh, gw = H // patch, W // patch
+    x = images.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B gh gw ph pw C
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """Images ``[B, H, W, 3]`` (preprocessed) -> features ``[B, embed_dim]``.
+
+    Matches open_clip ``VisionTransformer.forward`` + projection; the caller
+    L2-normalizes (as ``model_wrapper.py:41`` does).
+    """
+    p = params["visual"]
+    dtype = cfg.compute_dtype
+    x = patchify(images.astype(dtype), cfg.patch_size)
+    x = jnp.dot(x, p["patch_embed"]["w"].astype(dtype), preferred_element_type=jnp.float32)
+    x = x.astype(dtype)
+    cls = jnp.broadcast_to(
+        p["class_embedding"].astype(dtype), (x.shape[0], 1, x.shape[-1])
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["positional_embedding"].astype(dtype)[None]
+    x = layers.layer_norm(x, p["ln_pre"], cfg.ln_eps)
+    x, _ = layers.transformer_forward(
+        x,
+        p["blocks"],
+        cfg.vision_heads,
+        act=cfg.act,
+        ln_eps=cfg.ln_eps,
+        impl=cfg.attn_impl,
+    )
+    x = layers.layer_norm(x, p["ln_post"], cfg.ln_eps)
+    pooled = x[:, 0]
+    return jnp.dot(
+        pooled, p["proj"].astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Text tower
+# ---------------------------------------------------------------------------
+
+
+def embed_tokens(params: Params, cfg: CLIPConfig, token_ids: jnp.ndarray) -> jnp.ndarray:
+    """Token ids ``[B, T]`` -> embeddings ``[B, T, W]`` (frozen lookup).
+
+    Equivalent of ``clip_model.model.token_embedding`` used by the prompt
+    learner (``prompt_learner.py:13,33``).
+    """
+    return params["text"]["token_embedding"][token_ids]
+
+
+def encode_text(params: Params, cfg: CLIPConfig, token_ids: jnp.ndarray) -> jnp.ndarray:
+    """Proper CLIP text encoding: pos emb + causal mask + ln_final + EOT pool."""
+    p = params["text"]
+    dtype = cfg.compute_dtype
+    x = embed_tokens(params, cfg, token_ids).astype(dtype)
+    x = x + p["positional_embedding"].astype(dtype)[None]
+    x, _ = layers.transformer_forward(
+        x,
+        p["blocks"],
+        cfg.text_heads,
+        act=cfg.act,
+        ln_eps=cfg.ln_eps,
+        causal=True,
+        impl=cfg.attn_impl,
+    )
+    x = layers.layer_norm(x, p["ln_final"], cfg.ln_eps)
+    eot = jnp.argmax(token_ids, axis=-1)  # EOT has the largest token id
+    pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    return jnp.dot(
+        pooled, p["text_projection"].astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+
+def text_forward_embeds(
+    params: Params,
+    cfg: CLIPConfig,
+    embeds: jnp.ndarray,
+    *,
+    mode: str = "ref_compat",
+    pool_idx=None,
+    attn_to_idx=None,
+    kv_valid_len=None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Text transformer over raw embeddings ``[B, T, W]``.
+
+    mode="ref_compat" reproduces the reference's bare-transformer call
+    (``model_wrapper.py:58,72``): NO positional embedding, NO causal mask,
+    NO ln_final; pool at position ``pool_idx`` (default T-1, matching
+    ``text_feat[arange(B), -1]`` at ``model_wrapper.py:73``).
+
+    mode="idiomatic" applies pos emb + causal mask + ln_final (for CoOp-style
+    prompt tuning with well-formed sequences).
+
+    Returns ``(features [B, embed_dim], attribution_aux [B, T] | None)`` where
+    the aux is the last layer's head-averaged attention of every query to key
+    position ``attn_to_idx``.
+    """
+    p = params["text"]
+    dtype = cfg.compute_dtype
+    x = embeds.astype(dtype)
+    T = x.shape[1]
+    if mode == "idiomatic":
+        pos = p["positional_embedding"]
+        if T > pos.shape[0]:
+            raise ValueError(
+                f"idiomatic mode requires T<= {pos.shape[0]}, got {T}"
+            )
+        x = x + pos[:T].astype(dtype)[None]
+        causal = True
+    elif mode == "ref_compat":
+        causal = False
+    else:
+        raise ValueError(f"unknown text mode {mode!r}")
+
+    x, aux = layers.transformer_forward(
+        x,
+        p["blocks"],
+        cfg.text_heads,
+        act=cfg.act,
+        ln_eps=cfg.ln_eps,
+        causal=causal,
+        kv_valid_len=kv_valid_len,
+        attn_to_idx=attn_to_idx,
+        impl=cfg.attn_impl,
+    )
+    if mode == "idiomatic":
+        x = layers.layer_norm(x, p["ln_final"], cfg.ln_eps)
+
+    if pool_idx is None:
+        pooled = x[:, -1]
+    elif isinstance(pool_idx, int):
+        pooled = x[:, pool_idx]
+    else:
+        pooled = jnp.take_along_axis(x, pool_idx[:, None, None].astype(jnp.int32), axis=1)[
+            :, 0
+        ]
+    feats = jnp.dot(
+        pooled, p["text_projection"].astype(dtype), preferred_element_type=jnp.float32
+    ).astype(dtype)
+    return feats, aux
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
+
+
+def param_count(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))

@@ -1,0 +1,205 @@
+"""Functional transformer building blocks.
+
+Pure functions over explicit param pytrees (nested dicts of jnp arrays) — the
+TPU-native replacement for the torch ``nn.Module`` graph the reference wraps.
+Params are stored in float32; compute runs in a configurable dtype (bf16 on
+TPU) with layernorm/softmax accumulation in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from tapclip_tpu.ops.attention import multi_head_attention
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initializers (CLIP-style)
+# ---------------------------------------------------------------------------
+
+
+def init_layer_norm(width: int) -> Params:
+    return {"scale": jnp.ones((width,), jnp.float32), "bias": jnp.zeros((width,), jnp.float32)}
+
+
+def init_attn(key, width: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    std = width ** -0.5
+    return {
+        "w_qkv": jax.random.normal(k1, (width, 3 * width), jnp.float32) * std,
+        "b_qkv": jnp.zeros((3 * width,), jnp.float32),
+        "w_out": jax.random.normal(k2, (width, width), jnp.float32) * std,
+        "b_out": jnp.zeros((width,), jnp.float32),
+    }
+
+
+def init_mlp(key, width: int, hidden: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "w_fc": jax.random.normal(k1, (width, hidden), jnp.float32) * (width ** -0.5),
+        "b_fc": jnp.zeros((hidden,), jnp.float32),
+        "w_proj": jax.random.normal(k2, (hidden, width), jnp.float32) * (hidden ** -0.5),
+        "b_proj": jnp.zeros((width,), jnp.float32),
+    }
+
+
+def init_block(key, width: int, mlp_ratio: int = 4) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "ln_1": init_layer_norm(width),
+        "attn": init_attn(k1, width),
+        "ln_2": init_layer_norm(width),
+        "mlp": init_mlp(k2, width, mlp_ratio * width),
+    }
+
+
+def init_blocks(key, n_layers: int, width: int, mlp_ratio: int = 4) -> Params:
+    """Stacked block params: every leaf gets a leading [n_layers] axis.
+
+    Stacking enables ``lax.scan`` over layers (one trace instead of L) and a
+    single sharding annotation per leaf.
+    """
+    keys = jax.random.split(key, n_layers)
+    per_layer = [init_block(k, width, mlp_ratio) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+
+
+# ---------------------------------------------------------------------------
+# Forward ops
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+_ACTS = {"gelu": functools.partial(jax.nn.gelu, approximate=False), "quick_gelu": quick_gelu}
+
+
+def mlp_forward(x: jnp.ndarray, p: Params, act: str) -> jnp.ndarray:
+    dtype = x.dtype
+    h = jnp.dot(x, p["w_fc"].astype(dtype), preferred_element_type=jnp.float32)
+    h = (h + p["b_fc"].astype(jnp.float32)).astype(dtype)
+    h = _ACTS[act](h)
+    y = jnp.dot(h, p["w_proj"].astype(dtype), preferred_element_type=jnp.float32)
+    return (y + p["b_proj"].astype(jnp.float32)).astype(dtype)
+
+
+def attn_forward(
+    x: jnp.ndarray,
+    p: Params,
+    n_heads: int,
+    *,
+    causal: bool = False,
+    kv_valid_len=None,
+    attn_to_idx=None,
+    impl: str = "auto",
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Fused-QKV multi-head self attention over ``x [B, T, W]``."""
+    B, T, W = x.shape
+    dtype = x.dtype
+    qkv = jnp.dot(x, p["w_qkv"].astype(dtype), preferred_element_type=jnp.float32)
+    qkv = (qkv + p["b_qkv"].astype(jnp.float32)).astype(dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):  # [B, T, W] -> [B, H, T, Dh]
+        return t.reshape(B, T, n_heads, W // n_heads).transpose(0, 2, 1, 3)
+
+    out, aux = multi_head_attention(
+        heads(q),
+        heads(k),
+        heads(v),
+        causal=causal,
+        kv_valid_len=kv_valid_len,
+        attn_to_idx=attn_to_idx,
+        impl=impl,
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, W)
+    y = jnp.dot(out, p["w_out"].astype(dtype), preferred_element_type=jnp.float32)
+    return (y + p["b_out"].astype(jnp.float32)).astype(dtype), aux
+
+
+def block_forward(
+    x: jnp.ndarray,
+    p: Params,
+    n_heads: int,
+    *,
+    act: str,
+    ln_eps: float = 1e-5,
+    causal: bool = False,
+    kv_valid_len=None,
+    attn_to_idx=None,
+    impl: str = "auto",
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Pre-LN residual attention block (open_clip ResidualAttentionBlock)."""
+    h, aux = attn_forward(
+        layer_norm(x, p["ln_1"], ln_eps),
+        p["attn"],
+        n_heads,
+        causal=causal,
+        kv_valid_len=kv_valid_len,
+        attn_to_idx=attn_to_idx,
+        impl=impl,
+    )
+    x = x + h
+    x = x + mlp_forward(layer_norm(x, p["ln_2"], ln_eps), p["mlp"], act)
+    return x, aux
+
+
+def transformer_forward(
+    x: jnp.ndarray,
+    blocks: Params,
+    n_heads: int,
+    *,
+    act: str,
+    ln_eps: float = 1e-5,
+    causal: bool = False,
+    kv_valid_len=None,
+    attn_to_idx=None,
+    impl: str = "auto",
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Run stacked transformer blocks via ``lax.scan``.
+
+    The attribution aux output (attention-to-EOT column) is taken from the
+    *last* block only — the reference hooks ``resblocks[-1].attn``
+    (``clip_wrapper.py:39``).  The last layer therefore runs outside the scan.
+    """
+    n_layers = jax.tree.leaves(blocks)[0].shape[0]
+    body = functools.partial(
+        block_forward,
+        n_heads=n_heads,
+        act=act,
+        ln_eps=ln_eps,
+        causal=causal,
+        kv_valid_len=kv_valid_len,
+        impl=impl,
+    )
+
+    if n_layers > 1:
+        head_blocks = jax.tree.map(lambda a: a[:-1], blocks)
+
+        def scan_step(carry, layer_params):
+            y, _ = body(carry, layer_params)
+            return y, None
+
+        x, _ = jax.lax.scan(scan_step, x, head_blocks)
+
+    last = jax.tree.map(lambda a: a[-1], blocks)
+    x, aux = body(x, last, attn_to_idx=attn_to_idx)
+    return x, aux

@@ -1,0 +1,289 @@
+"""FullModel: frozen CLIP + prompt learner + attribution + adjustor.
+
+TPU-native rebuild of ``/root/reference/models/model_wrapper.py``.  The
+reference's forward runs a Python loop over classes with an inner loop over
+samples — ``n_cls * B`` single-sample text-transformer calls per batch
+(``model_wrapper.py:47-65``, SURVEY.md §3.2).  The fused design here exploits
+an exact algebraic identity: the attribution pass's input
+(``full_prompt = [ctx_i || cls_i]`` expanded over the batch,
+``model_wrapper.py:49-51``) does not depend on the image at all, so every
+sample's attribution row is identical.  Attribution is therefore computed
+**once per class** — one batched ``[n_cls, T, D]`` text pass — and the whole
+forward is:
+
+    1 image-tower pass  +  2 class-batched text passes  (vs 1 + n_cls*(B+1))
+
+with bitwise-identical semantics to the reference loop.
+
+Gradient fidelity: attribution is computed under ``stop_gradient`` — the
+reference's hook detaches the attention map (``clip_wrapper.py:36``), so
+gradients reach the context vectors only through the adjustor's
+``prompt_embed`` operand and the second text pass (SURVEY.md §3.2).
+
+Loss: cross-entropy only; ``attr_lambda`` / ``stab_lambda`` are accepted and
+unused, exactly like the reference (``model_wrapper.py:24-25,91-93``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tapclip_tpu.config import CLIPConfig, PromptConfig
+from tapclip_tpu.models import clip as clip_model
+from tapclip_tpu.models.attribution_monitor import attribution_scores
+from tapclip_tpu.models.prompt_adjustor import adjust_prompt, init_adjustor_params
+from tapclip_tpu.models.prompt_learner import PromptBank, PromptLearner, build_prompts
+
+NEG_INF = -1e9
+
+
+def init_trainable(
+    key: jax.Array, prompt_learner: PromptLearner, prompt_cfg: PromptConfig
+) -> Dict[str, Any]:
+    """Trainable pytree: context bank + adjustor MLP (if any) + logit scale.
+
+    Matches the reference's optimized set: ``AdamW`` over
+    ``model.prompt_learner.parameters()`` only (``train.py:65-67``) plus the
+    ``logit_scale`` parameter (``model_wrapper.py:26``; frozen in practice
+    since the optimizer only sees prompt params — we expose it so training
+    configs can choose).
+    """
+    return {
+        "ctx": prompt_learner.bank.ctx,
+        "adjustor": init_adjustor_params(
+            key,
+            prompt_cfg.adjustor_method,
+            prompt_learner.clip_cfg.text_width,
+            prompt_cfg.adjustor_hidden,
+        ),
+        "logit_scale": jnp.asarray(jnp.log(1.0 / 0.07), jnp.float32),
+    }
+
+
+def text_features_with_attribution(
+    clip_params,
+    ctx: jnp.ndarray,  # [C, P, D]
+    bank: PromptBank,
+    clip_cfg: CLIPConfig,
+    prompt_cfg: PromptConfig,
+    adjustor_params: Dict[str, Any],
+):
+    """Class-batched attribution -> adjust -> encode. Returns (feats, attribution).
+
+    feats: [C, embed_dim] L2-normalized; attribution: [C, P] f32.
+    """
+    P = prompt_cfg.prompt_len
+    mode = prompt_cfg.text_mode
+
+    if mode == "ref_compat":
+        # [ctx || full-77-token-embedding] -> 82-token sequence
+        # (prompt_learner.py:62-65); attribution column and pooling position
+        # are both T-1 (attribution_monitor.py:26-29, model_wrapper.py:73).
+        token_embs = bank.token_embs
+        seq = build_prompts(jax.lax.stop_gradient(ctx), token_embs)
+        T = seq.shape[1]
+        _, aux = clip_model.text_forward_embeds(
+            clip_params, clip_cfg, seq, mode="ref_compat", attn_to_idx=T - 1
+        )
+        attribution = jax.lax.stop_gradient(
+            attribution_scores(aux, P, prompt_cfg.normalize_attribution)
+        )
+        adjusted_ctx = adjust_prompt(adjustor_params, prompt_cfg.adjustor_method, ctx, attribution)
+        seq2 = build_prompts(adjusted_ctx, token_embs)
+        feats, _ = clip_model.text_forward_embeds(
+            clip_params, clip_cfg, seq2, mode="ref_compat", pool_idx=T - 1
+        )
+    elif mode == "idiomatic":
+        # CoOp-style: [sot, ctx(P), template tokens 1..77-P-1]; positional
+        # embedding + causal mask + ln_final; EOT pooling & attribution column
+        # at the (shifted) per-class EOT position.
+        token_embs = bank.token_embs
+        Tctx = clip_cfg.context_length
+        seq = jnp.concatenate(
+            [
+                token_embs[:, :1].astype(ctx.dtype),
+                ctx,
+                token_embs[:, 1 : Tctx - P].astype(ctx.dtype),
+            ],
+            axis=1,
+        )  # [C, 77, D]
+        eot = jnp.minimum(bank.eot_pos + P, Tctx - 1)
+        _, aux = clip_model.text_forward_embeds(
+            clip_params,
+            clip_cfg,
+            jax.lax.stop_gradient(seq),
+            mode="idiomatic",
+            attn_to_idx=eot,
+        )
+        # ctx occupies query positions 1..P+1.
+        attribution = jax.lax.stop_gradient(
+            attribution_scores(aux[:, 1 : P + 1], P, prompt_cfg.normalize_attribution)
+        )
+        adjusted_ctx = adjust_prompt(adjustor_params, prompt_cfg.adjustor_method, ctx, attribution)
+        seq2 = jnp.concatenate(
+            [
+                token_embs[:, :1].astype(ctx.dtype),
+                adjusted_ctx,
+                token_embs[:, 1 : Tctx - P].astype(ctx.dtype),
+            ],
+            axis=1,
+        )
+        feats, _ = clip_model.text_forward_embeds(
+            clip_params, clip_cfg, seq2, mode="idiomatic", pool_idx=eot
+        )
+    else:
+        raise ValueError(f"unknown text mode {mode!r}")
+
+    feats = clip_model.l2_normalize(feats)
+    return feats, attribution
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("clip_cfg", "prompt_cfg", "with_loss"),
+)
+def full_model_forward(
+    clip_params,
+    trainable: Dict[str, Any],
+    bank: PromptBank,
+    images: Optional[jnp.ndarray],
+    labels: Optional[jnp.ndarray],
+    *,
+    clip_cfg: CLIPConfig,
+    prompt_cfg: PromptConfig,
+    with_loss: bool = False,
+    image_feats: Optional[jnp.ndarray] = None,
+    batch_mask: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """The fused forward (reference FullModel.forward, model_wrapper.py:28-100).
+
+    Either ``images [B,H,W,3]`` or precomputed ``image_feats [B,E]``
+    (unnormalized) must be given; the image tower is frozen, so callers may
+    cache features across epochs — numerically identical, massively cheaper.
+    """
+    if image_feats is None:
+        image_feats = clip_model.encode_image(clip_params, clip_cfg, images)
+    img = clip_model.l2_normalize(image_feats)  # model_wrapper.py:41
+
+    text_feats, attribution = text_features_with_attribution(
+        clip_params,
+        trainable["ctx"],
+        bank,
+        clip_cfg,
+        prompt_cfg,
+        trainable["adjustor"],
+    )
+
+    scale = jnp.exp(trainable["logit_scale"]).astype(jnp.float32)
+    logits = scale * jnp.einsum(
+        "be,ce->bc",
+        img.astype(jnp.float32),
+        text_feats.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # model_wrapper.py:79-83
+    logits = jnp.where(bank.class_mask[None, :], logits, NEG_INF)
+
+    out = {"logits": logits, "attribution": attribution}
+    if with_loss:
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        ll = jnp.take_along_axis(logits, labels[:, None], axis=1)[:, 0]
+        ce = lse - ll
+        if batch_mask is not None:
+            m = batch_mask.astype(jnp.float32)
+            loss = (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
+        else:
+            loss = ce.mean()
+        out["loss"] = loss  # model_wrapper.py:91-93: CE only
+        out["loss_cls"] = loss
+    return out
+
+
+class FullModel:
+    """User-facing wrapper with the reference's object API.
+
+    ``FullModel(images, labels) -> {"logits", "loss", "loss_cls"}``
+    (model_wrapper.py:28-100), backed by the jitted functional core.
+    """
+
+    def __init__(
+        self,
+        class_names: Sequence[str],
+        clip_params,
+        clip_cfg: CLIPConfig,
+        *,
+        prompt_cfg: Optional[PromptConfig] = None,
+        tokenizer=None,
+        attr_lambda: float = 1.0,
+        stab_lambda: float = 0.1,
+        rng: Optional[jax.Array] = None,
+    ):
+        from tapclip_tpu.data.tokenizer import get_tokenizer
+
+        self.clip_params = clip_params
+        self.clip_cfg = clip_cfg
+        self.prompt_cfg = prompt_cfg or PromptConfig()
+        self.tokenizer = tokenizer or get_tokenizer()
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        r1, r2 = jax.random.split(rng)
+        self.prompt_learner = PromptLearner(
+            class_names,
+            clip_params,
+            clip_cfg,
+            self.prompt_cfg,
+            self.tokenizer,
+            rng=r1,
+        )
+        self.trainable = init_trainable(r2, self.prompt_learner, self.prompt_cfg)
+        # Accepted-and-unused, mirroring model_wrapper.py:24-25.
+        self.attr_lambda = attr_lambda
+        self.stab_lambda = stab_lambda
+
+    @property
+    def class_names(self):
+        return self.prompt_learner.class_names
+
+    @property
+    def n_cls(self) -> int:
+        return self.prompt_learner.n_cls
+
+    def add_class_prompt(self, name: str) -> None:
+        """Seen->unseen expansion (test_cross_domain.py:65-67).
+
+        The new class's context row takes the fresh template init; previously
+        trained rows are untouched.
+        """
+        if name in self.class_names:
+            return
+        idx = self.n_cls
+        self.prompt_learner.add_class_prompt(name)
+        bank_ctx = self.prompt_learner.bank.ctx
+        ctx = self.trainable["ctx"]
+        if ctx.shape[0] < bank_ctx.shape[0]:
+            pad = bank_ctx.shape[0] - ctx.shape[0]
+            ctx = jnp.pad(ctx, [(0, pad), (0, 0), (0, 0)])
+        ctx = ctx.at[idx].set(bank_ctx[idx])
+        self.trainable = dict(self.trainable, ctx=ctx)
+
+    def __call__(self, images, labels=None):
+        bank = self._bank_with_trained_ctx()
+        out = full_model_forward(
+            self.clip_params,
+            self.trainable,
+            bank,
+            jnp.asarray(images),
+            None if labels is None else jnp.asarray(labels),
+            clip_cfg=self.clip_cfg,
+            prompt_cfg=self.prompt_cfg,
+            with_loss=labels is not None,
+        )
+        out = dict(out)
+        out["logits"] = out["logits"][:, : self.n_cls]
+        out["attribution"] = out["attribution"][: self.n_cls]
+        return out
+
+    def _bank_with_trained_ctx(self) -> PromptBank:
+        return self.prompt_learner.bank

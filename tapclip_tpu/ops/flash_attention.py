@@ -1,0 +1,267 @@
+"""Fused TPU attention kernel (Pallas) with attribution aux output.
+
+This is the TPU-native replacement for the reference's forward-hook machinery
+(``/root/reference/models/clip_wrapper.py:29-40``): instead of materializing
+the full ``[B, H, T, T]`` attention map on the host, the kernel optionally
+emits the single probability *column* ``P[b, h, :, eot_idx[b]]`` that the
+attribution monitor consumes (``/root/reference/models/attribution_monitor.py:26-29``),
+head-averaged by the wrapper — a ``[B, T]`` array instead of ``[B, H, T, T]``.
+
+Design notes (TPU-first):
+  * CLIP sequences are short (50/82/197/257 tokens), so one program handles a
+    full ``[T, T]`` score tile per (batch, head) — numerically-stable softmax
+    without the online-softmax bookkeeping flash attention needs for long
+    sequences.  The scores tile lives entirely in VMEM (T<=1024 -> <=4MB f32).
+  * Q/K/V matmuls hit the MXU via ``jax.lax.dot_general`` with f32
+    accumulation; inputs may be bf16.
+  * Per-batch scalars (valid key length, attribution column index) ride in as
+    scalar-prefetch operands in SMEM so one compiled kernel serves every
+    class-prompt length.
+  * Backward: ``jax.custom_vjp`` whose bwd recomputes gradients through the
+    XLA reference implementation (identical math).  Sequences are short, so a
+    dedicated backward kernel is not on the critical path; forward-only eval
+    and the (stop-gradient) attribution pass dominate.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover - exercised only on TPU-capable installs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+from tapclip_tpu.ops.attention import attention_reference
+
+_LANE = 128
+_MAX_SINGLE_BLOCK_T = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _attn_kernel(
+    valid_ref,  # SMEM [B] int32 — number of valid keys per batch row
+    eot_ref,  # SMEM [B] int32 — attribution column index per batch row
+    q_ref,  # VMEM [1, 1, Tp, Dh]
+    k_ref,
+    v_ref,
+    o_ref,  # VMEM [1, 1, Tp, Dh]
+    aux_ref,  # VMEM [1, 1, Tp] f32 or None (when with_aux=False)
+    *,
+    scale: float,
+    causal: bool,
+    with_aux: bool,
+):
+    b = pl.program_id(0)
+    valid = valid_ref[b]
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [Tp, Dh]
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    Tp = q.shape[0]
+
+    # [Tp, Tp] scores on the MXU, f32 accumulate.
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+
+    ki = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    mask = ki < valid
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
+        mask = jnp.logical_and(mask, ki <= qi)
+    neg = jnp.float32(-1e30)
+    s = jnp.where(mask, s, neg)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p_norm = p / l
+
+    o_ref[0, 0] = jax.lax.dot_general(
+        p_norm.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+    if with_aux:
+        # Extract column eot_idx of the normalized probabilities: the
+        # attention each query position pays to the EOT/last position.
+        eot = eot_ref[b]
+        onehot = (ki == eot).astype(jnp.float32)  # [Tp, Tp] column mask
+        aux_ref[0, 0] = jnp.sum(p_norm * onehot, axis=-1)
+
+
+def _pallas_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    valid: jnp.ndarray,  # [B] int32
+    eot: jnp.ndarray,  # [B] int32
+    *,
+    causal: bool,
+    with_aux: bool,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    B, H, T, Dh = q.shape
+    Tp = _round_up(max(T, 8), _LANE)
+    if Tp > _MAX_SINGLE_BLOCK_T:
+        raise NotImplementedError(
+            f"single-block fused attention supports T<={_MAX_SINGLE_BLOCK_T}, got {T}"
+        )
+    pad = [(0, 0), (0, 0), (0, Tp - T), (0, 0)]
+    qp = jnp.pad(q, pad)
+    kp = jnp.pad(k, pad)
+    vp = jnp.pad(v, pad)
+
+    kernel = functools.partial(
+        _attn_kernel, scale=Dh ** -0.5, causal=causal, with_aux=with_aux
+    )
+
+    out_shapes = [jax.ShapeDtypeStruct((B, H, Tp, Dh), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, 1, Tp, Dh), lambda b, h, *_: (b, h, 0, 0)),
+    ]
+    if with_aux:
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, Tp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, Tp), lambda b, h, *_: (b, h, 0)))
+    else:
+        kernel = functools.partial(_no_aux_adapter, kernel)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, Tp, Dh), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda b, h, *_: (b, h, 0, 0)),
+        ],
+        out_specs=tuple(out_specs),
+    )
+
+    flops = 2 * 2 * B * H * Tp * Tp * Dh
+    results = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shapes),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(3 * B * H * Tp * Dh + B * H * Tp * Dh) * q.dtype.itemsize,
+            transcendentals=B * H * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), eot.astype(jnp.int32), qp, kp, vp)
+
+    out = results[0][:, :, :T, :]
+    aux = None
+    if with_aux:
+        # Head-average (clip_wrapper.py:36 "mean over heads"), drop padding.
+        aux = results[1][:, :, :T].mean(axis=1)
+    return out, aux
+
+
+def _no_aux_adapter(kernel, valid_ref, eot_ref, q_ref, k_ref, v_ref, o_ref):
+    kernel(valid_ref, eot_ref, q_ref, k_ref, v_ref, o_ref, None)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable public entry point
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7)
+)
+def _fused_attention_core(q, k, v, valid, eot, causal, with_aux, interpret):
+    out, aux = _pallas_attention(
+        q, k, v, valid, eot, causal=causal, with_aux=with_aux, interpret=interpret
+    )
+    if aux is None:
+        aux = jnp.zeros((q.shape[0], q.shape[2]), jnp.float32)
+    return out, aux
+
+
+def _core_fwd(q, k, v, valid, eot, causal, with_aux, interpret):
+    res = _fused_attention_core(q, k, v, valid, eot, causal, with_aux, interpret)
+    return res, (q, k, v, valid, eot)
+
+
+def _core_bwd(causal, with_aux, interpret, residuals, cts):
+    q, k, v, valid, eot = residuals
+    d_out, d_aux = cts
+    del d_aux, eot
+    # The aux output is consumed under stop_gradient in the model (the
+    # reference detaches it, clip_wrapper.py:36), so its cotangent is zero;
+    # differentiate only through the attention output.
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_reference(
+            q_, k_, v_, causal=causal, kv_valid_len=valid
+        )[0],
+        q,
+        k,
+        v,
+    )
+    dq, dk, dv = vjp(d_out)
+    return dq, dk, dv, None, None
+
+
+_fused_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    kv_valid_len: Optional[Union[int, jnp.ndarray]] = None,
+    attn_to_idx: Optional[Union[int, jnp.ndarray]] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Fused attention; same contract as ``attention_reference``.
+
+    ``kv_valid_len`` / ``attn_to_idx`` accept either python ints (broadcast to
+    the batch) or per-batch ``[B]`` int arrays.
+    """
+    if not _HAS_PLTPU:
+        return attention_reference(
+            q, k, v, causal=causal, kv_valid_len=kv_valid_len, attn_to_idx=attn_to_idx
+        )
+    B, H, T, Dh = q.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    valid = _as_array(kv_valid_len, B)
+    if valid is None:
+        valid = jnp.full((B,), T, jnp.int32)
+    with_aux = attn_to_idx is not None
+    eot = _as_array(attn_to_idx, B)
+    if eot is None:
+        eot = jnp.zeros((B,), jnp.int32)
+    out, aux = _fused_attention_core(
+        q, k, v, valid, eot, causal, with_aux, interpret
+    )
+    return out, (aux if with_aux else None)
+
+
+def _as_array(x, batch: int):
+    if x is None:
+        return None
+    if isinstance(x, int):
+        return jnp.full((batch,), x, jnp.int32)
+    return x.astype(jnp.int32)

@@ -1,0 +1,84 @@
+"""Sharding rules: logical param layout -> PartitionSpecs.
+
+Tensor-parallel layout for the CLIP towers (Megatron-style, expressed purely
+as GSPMD annotations — XLA inserts the all-reduces over ICI):
+
+* ``attn.w_qkv  [L, W, 3W]`` — shard the *output* (head) dim on ``model``;
+  each shard holds a head subset, attention is fully local.
+* ``attn.w_out  [L, W, W]``  — shard the *input* dim on ``model``; the row
+  sum is the all-reduce XLA inserts after the block.
+* ``mlp.w_fc    [L, W, 4W]`` — shard hidden dim (column parallel).
+* ``mlp.w_proj  [L, 4W, W]`` — shard input dim (row parallel).
+* embeddings / layernorms / projections — replicated (small).
+
+Prompt-tuning state (ctx bank, adjustor MLP) is tiny and replicated; the
+batch shards on ``data``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tapclip_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _spec_for_path(path: str, tp: bool) -> P:
+    if not tp:
+        return P()
+    if path.endswith("attn/w_qkv"):
+        return P(None, None, MODEL_AXIS)
+    if path.endswith("attn/b_qkv"):
+        return P(None, MODEL_AXIS)
+    if path.endswith("attn/w_out"):
+        return P(None, MODEL_AXIS, None)
+    if path.endswith("mlp/w_fc"):
+        return P(None, None, MODEL_AXIS)
+    if path.endswith("mlp/b_fc"):
+        return P(None, MODEL_AXIS)
+    if path.endswith("mlp/w_proj"):
+        return P(None, MODEL_AXIS, None)
+    return P()
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def clip_param_specs(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """PartitionSpec pytree for the CLIP param tree."""
+    tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for_path(_path_str(path), tp), params
+    )
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place CLIP params on the mesh with TP sharding annotations."""
+    specs = clip_param_specs(params, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )
+
+
+def shard_batch(tree: Any, mesh: Mesh) -> Any:
+    """Shard leading (batch) axis over the data axis."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS))), tree
+    )

@@ -1,0 +1,199 @@
+"""Jitted train / eval steps for prompt tuning.
+
+Replaces the reference's eager epoch loop (``/root/reference/train.py:90-106``)
+with a single jitted step: forward (fused class-level attribution), backward
+into the context bank only, AdamW update.  The reference optimizes
+``model.prompt_learner.parameters()`` exclusively (``train.py:65-67``) — i.e.
+the per-class context vectors; the adjustor MLP and ``logit_scale`` stay
+frozen (the adjustor isn't in ``prompt_learner`` and the drivers use the
+parameter-free 'scale' method anyway).  ``trainable_keys`` widens that set
+when wanted.
+
+Data parallelism: the step is sharding-agnostic — feed batches placed with
+``P("data")`` under a mesh context and XLA turns the loss mean into a
+cross-chip reduction (psum over ICI); no pmap/no manual collectives.
+
+The image tower is frozen, so both steps accept precomputed image features
+(``feats``) instead of pixels — callers cache features once per dataset and
+epochs become text-tower-only (numerically identical to recomputing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tapclip_tpu.config import CLIPConfig, PromptConfig, TrainConfig
+from tapclip_tpu.models import clip as clip_model
+from tapclip_tpu.models.model_wrapper import full_model_forward
+from tapclip_tpu.models.prompt_learner import PromptBank
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Dict[str, Any]  # full trainable dict (ctx, adjustor, logit_scale)
+    opt_state: Any
+
+    def tree_flatten(self):
+        return (self.step, self.params, self.opt_state), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW, reference hyperparameters (train.py:65-67: lr=2e-3, wd=0.01)."""
+    return optax.adamw(
+        learning_rate=train_cfg.lr,
+        weight_decay=train_cfg.weight_decay,
+        b1=0.9,
+        b2=0.999,
+        eps=1e-8,
+    )
+
+
+def init_train_state(
+    trainable: Dict[str, Any],
+    optimizer: optax.GradientTransformation,
+    trainable_keys: Tuple[str, ...] = ("ctx",),
+) -> TrainState:
+    diff = {k: trainable[k] for k in trainable_keys}
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=dict(trainable),
+        opt_state=optimizer.init(diff),
+    )
+
+
+def make_train_step(
+    clip_cfg: CLIPConfig,
+    prompt_cfg: PromptConfig,
+    optimizer: optax.GradientTransformation,
+    trainable_keys: Tuple[str, ...] = ("ctx",),
+    use_image_feats: bool = True,
+) -> Callable:
+    """Returns jitted ``step(clip_params, state, bank, images_or_feats, labels, mask)``."""
+
+    def loss_fn(diff_params, rest_params, clip_params, bank, x, labels, mask):
+        trainable = {**rest_params, **diff_params}
+        out = full_model_forward(
+            clip_params,
+            trainable,
+            bank,
+            None if use_image_feats else x,
+            labels,
+            clip_cfg=clip_cfg,
+            prompt_cfg=prompt_cfg,
+            with_loss=True,
+            image_feats=x if use_image_feats else None,
+            batch_mask=mask,
+        )
+        return out["loss"], out
+
+    # NOTE: no buffer donation — trainable state is KB-sized and callers
+    # commonly alias state.params["ctx"] with the PromptLearner bank's ctx
+    # buffer; donating would invalidate the learner's copy.
+    @jax.jit
+    def step(clip_params, state: TrainState, bank: PromptBank, x, labels, mask):
+        diff = {k: state.params[k] for k in trainable_keys}
+        rest = {k: v for k, v in state.params.items() if k not in trainable_keys}
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            diff, rest, clip_params, bank, x, labels, mask
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, diff)
+        new_diff = optax.apply_updates(diff, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params={**state.params, **new_diff},
+            opt_state=new_opt,
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(
+    clip_cfg: CLIPConfig,
+    prompt_cfg: PromptConfig,
+    use_image_feats: bool = True,
+) -> Callable:
+    """Returns jitted ``eval_step(clip_params, trainable, bank, x, labels, mask)``
+    -> dict with per-batch correct/total and per-class counts (padded C_max)."""
+
+    @jax.jit
+    def step(clip_params, trainable, bank: PromptBank, x, labels, mask):
+        out = full_model_forward(
+            clip_params,
+            trainable,
+            bank,
+            None if use_image_feats else x,
+            None,
+            clip_cfg=clip_cfg,
+            prompt_cfg=prompt_cfg,
+            with_loss=False,
+            image_feats=x if use_image_feats else None,
+        )
+        logits = out["logits"]
+        preds = jnp.argmax(logits, axis=-1)
+        valid = mask.astype(jnp.int32)
+        correct = ((preds == labels).astype(jnp.int32) * valid)
+        C = logits.shape[-1]
+        onehot = jax.nn.one_hot(labels, C, dtype=jnp.int32) * valid[:, None]
+        per_class_total = onehot.sum(axis=0)
+        per_class_correct = (onehot * correct[:, None]).sum(axis=0)
+        return {
+            "correct": correct.sum(),
+            "total": valid.sum(),
+            "per_class_correct": per_class_correct,
+            "per_class_total": per_class_total,
+            "preds": preds,
+        }
+
+    return step
+
+
+def make_image_encoder(clip_cfg: CLIPConfig) -> Callable:
+    """Jitted frozen image-tower encoder (for feature caching)."""
+
+    @jax.jit
+    def encode(clip_params, images):
+        return clip_model.encode_image(clip_params, clip_cfg, images)
+
+    return encode
+
+
+def encode_dataset_features(
+    clip_params,
+    clip_cfg: CLIPConfig,
+    loader,
+    *,
+    encoder: Optional[Callable] = None,
+):
+    """Run the frozen image tower over a loader once; returns (feats, labels).
+
+    The image tower never changes during prompt tuning, so caching features
+    turns every later epoch into text-tower-only work — numerically identical
+    to the reference recomputing the ViT each step (SURVEY.md §3.2 cost note).
+    """
+    import numpy as np
+
+    encoder = encoder or make_image_encoder(clip_cfg)
+    feats, labels = [], []
+    for images, lbls, mask in loader:
+        f = np.asarray(encoder(clip_params, jnp.asarray(images)))
+        keep = np.asarray(mask)
+        feats.append(f[keep])
+        labels.append(np.asarray(lbls)[keep])
+    return np.concatenate(feats), np.concatenate(labels)

@@ -1,0 +1,92 @@
+"""Plot + CSV artifacts, output-fidelity compatible with the reference.
+
+Reproduces (SURVEY.md §5 "output-fidelity requirement"):
+* the per-epoch accuracy-curve PNG (``/root/reference/train.py:136-148``),
+* the ``Domain,Shots,Accuracy`` CSV schema (``test_cross_domain.py:85-90``),
+* the grouped cross-domain accuracy bar chart (``test_cross_domain.py:96-116``,
+  ``test_cross_domain2.py:108-128``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def save_accuracy_curve(
+    acc_list: Sequence[float],
+    per_class: Dict[str, Sequence[float]],
+    out_path: str,
+    title: str = "Validation Accuracy per Epoch",
+) -> str:
+    """train.py:136-148."""
+    plt = _plt()
+    plt.figure(figsize=(10, 6))
+    plt.plot(list(acc_list), label="Total Accuracy", linewidth=2)
+    for cls, vals in per_class.items():
+        plt.plot(list(vals), label=cls)
+    plt.xlabel("Epoch")
+    plt.ylabel("Accuracy (%)")
+    plt.title(title)
+    plt.grid(True)
+    plt.legend()
+    plt.tight_layout()
+    plt.savefig(out_path)
+    plt.close()
+    return out_path
+
+
+def save_results_csv(results: List[Dict], csv_path: str) -> str:
+    """``Domain,Shots,Accuracy`` rows (test_cross_domain.py:85-90)."""
+    import pandas as pd
+
+    os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
+    pd.DataFrame(results, columns=["Domain", "Shots", "Accuracy"]).to_csv(
+        csv_path, index=False
+    )
+    return csv_path
+
+
+def save_cross_domain_bar(
+    results: List[Dict],
+    out_path: str,
+    *,
+    title: str = "Cross-Domain Accuracy (Bar Chart)",
+    ylim=(0, 100),
+    bar_width: float = 0.25,
+) -> str:
+    """Grouped bar chart (test_cross_domain2.py:108-128)."""
+    import pandas as pd
+
+    plt = _plt()
+    df = pd.DataFrame(results)
+    domains = df["Domain"].unique()
+    shots = df["Shots"].unique()
+    x = np.arange(len(domains))
+
+    plt.figure(figsize=(10, 5))
+    for i, shot_type in enumerate(shots):
+        subset = df[df["Shots"] == shot_type]
+        accs = subset.set_index("Domain").loc[domains]["Accuracy"].values
+        plt.bar(x + i * bar_width, accs, width=bar_width, label=shot_type)
+    plt.xticks(x + bar_width * (len(shots) - 1) / 2, domains)
+    plt.title(title)
+    plt.ylabel("Accuracy (%)")
+    plt.ylim(*ylim)
+    plt.grid(axis="y", linestyle="--", alpha=0.5)
+    plt.legend()
+    plt.tight_layout()
+    plt.savefig(out_path)
+    plt.close()
+    return out_path

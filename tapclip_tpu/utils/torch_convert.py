@@ -1,0 +1,183 @@
+"""Weight conversion: open_clip / torch checkpoints -> tapclip_tpu pytrees.
+
+The reference loads a local open_clip ``.bin`` state dict with
+``strict=True`` (``/root/reference/models/clip_wrapper.py:13-15``), and its
+eval drivers load prompt checkpoints including a **legacy-layout migration**
+(old ``prompt_learner.context_emb [n_cls, P, D]`` split into per-class
+``context_bank.{name}`` entries, ``test_cross_domain.py:44-61``).  This module
+provides the TPU-side equivalents (SURVEY.md §7 hard part 4):
+
+* ``convert_openclip_state_dict``  — open_clip torch layout -> our param tree
+  (fused ``in_proj_weight`` split preserved; Linear weights transposed to the
+  ``x @ w`` convention; conv patch kernel permuted to (ph, pw, c) order).
+* ``load_torch_file``              — ``torch.load`` a ``.pt``/``.bin`` into
+  numpy (CPU, no grad machinery).
+* ``convert_prompt_state_dict``    — both prompt-checkpoint layouts (legacy
+  stacked + per-class bank) -> ``{class_name: ctx}`` + extras.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tapclip_tpu.config import CLIPConfig
+
+
+def load_torch_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint to a flat {key: np.ndarray} dict."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    out = {}
+    for k, v in state.items():
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def _f32(x) -> np.ndarray:
+    return np.asarray(x, np.float32)
+
+
+def _convert_block(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    """One open_clip ResidualAttentionBlock -> our block dict."""
+    return {
+        "ln_1": {
+            "scale": _f32(sd[f"{prefix}.ln_1.weight"]),
+            "bias": _f32(sd[f"{prefix}.ln_1.bias"]),
+        },
+        "attn": {
+            # torch packs [q;k;v] along the OUT dim of in_proj_weight
+            # [3W, W]; transposed -> columns [q|k|v], matching our
+            # jnp.split(qkv, 3, axis=-1).
+            "w_qkv": _f32(sd[f"{prefix}.attn.in_proj_weight"]).T,
+            "b_qkv": _f32(sd[f"{prefix}.attn.in_proj_bias"]),
+            "w_out": _f32(sd[f"{prefix}.attn.out_proj.weight"]).T,
+            "b_out": _f32(sd[f"{prefix}.attn.out_proj.bias"]),
+        },
+        "ln_2": {
+            "scale": _f32(sd[f"{prefix}.ln_2.weight"]),
+            "bias": _f32(sd[f"{prefix}.ln_2.bias"]),
+        },
+        "mlp": {
+            "w_fc": _f32(sd[f"{prefix}.mlp.c_fc.weight"]).T,
+            "b_fc": _f32(sd[f"{prefix}.mlp.c_fc.bias"]),
+            "w_proj": _f32(sd[f"{prefix}.mlp.c_proj.weight"]).T,
+            "b_proj": _f32(sd[f"{prefix}.mlp.c_proj.bias"]),
+        },
+    }
+
+
+def _stack_blocks(blocks) -> Dict[str, Any]:
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *blocks)
+
+
+def convert_openclip_state_dict(
+    sd: Dict[str, np.ndarray], cfg: CLIPConfig
+) -> Dict[str, Any]:
+    """open_clip CLIP state dict -> tapclip_tpu param pytree (numpy leaves)."""
+    conv_w = _f32(sd["visual.conv1.weight"])  # [O, C, kh, kw]
+    O, C, kh, kw = conv_w.shape
+    if kh != cfg.patch_size:
+        raise ValueError(
+            f"checkpoint patch size {kh} != config patch size {cfg.patch_size}"
+        )
+    patch_w = conv_w.transpose(2, 3, 1, 0).reshape(kh * kw * C, O)
+
+    v_blocks = [
+        _convert_block(sd, f"visual.transformer.resblocks.{i}")
+        for i in range(cfg.vision_layers)
+    ]
+    t_blocks = [
+        _convert_block(sd, f"transformer.resblocks.{i}")
+        for i in range(cfg.text_layers)
+    ]
+
+    params = {
+        "visual": {
+            "patch_embed": {"w": patch_w},
+            "class_embedding": _f32(sd["visual.class_embedding"]),
+            "positional_embedding": _f32(sd["visual.positional_embedding"]),
+            "ln_pre": {
+                "scale": _f32(sd["visual.ln_pre.weight"]),
+                "bias": _f32(sd["visual.ln_pre.bias"]),
+            },
+            "blocks": _stack_blocks(v_blocks),
+            "ln_post": {
+                "scale": _f32(sd["visual.ln_post.weight"]),
+                "bias": _f32(sd["visual.ln_post.bias"]),
+            },
+            "proj": _f32(sd["visual.proj"]),
+        },
+        "text": {
+            "token_embedding": _f32(sd["token_embedding.weight"]),
+            "positional_embedding": _f32(sd["positional_embedding"]),
+            "blocks": _stack_blocks(t_blocks),
+            "ln_final": {
+                "scale": _f32(sd["ln_final.weight"]),
+                "bias": _f32(sd["ln_final.bias"]),
+            },
+            "text_projection": _f32(sd["text_projection"]),
+        },
+        "logit_scale": _f32(sd["logit_scale"]).reshape(()),
+    }
+    return params
+
+
+def load_openclip_checkpoint(path: str, cfg: CLIPConfig) -> Dict[str, Any]:
+    """``torch.load`` + convert, the rebuild of ``clip_wrapper.py:13-15``."""
+    sd = load_torch_file(path)
+    # open_clip sometimes nests under 'state_dict' and prefixes 'module.'.
+    if "state_dict" in sd and not any(k.startswith("visual.") for k in sd):
+        sd = sd["state_dict"]
+    sd = {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
+    return convert_openclip_state_dict(sd, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Prompt checkpoints (reference FullModel state dicts)
+# ---------------------------------------------------------------------------
+
+
+def convert_prompt_state_dict(
+    sd: Dict[str, np.ndarray],
+    seen_class_names: Sequence[str],
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Reference FullModel state dict -> (ctx_by_name, extras).
+
+    Handles BOTH layouts the reference handles (test_cross_domain.py:44-61):
+      * legacy: ``prompt_learner.context_emb`` stacked ``[n_cls, P, D]``,
+        split across ``seen_class_names`` in order;
+      * current: per-class ``prompt_learner.context_bank.{name}`` entries.
+
+    extras currently carries ``logit_scale`` when present.
+    """
+    ctx_by_name: Dict[str, np.ndarray] = {}
+    if "prompt_learner.context_emb" in sd:
+        old_ctx = _f32(sd["prompt_learner.context_emb"])
+        if old_ctx.ndim == 2:
+            old_ctx = old_ctx[None]
+        for i, name in enumerate(seen_class_names):
+            if i < old_ctx.shape[0]:
+                ctx_by_name[name] = old_ctx[i]
+    prefix = "prompt_learner.context_bank."
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            ctx_by_name[k[len(prefix) :]] = _f32(v)
+
+    extras: Dict[str, np.ndarray] = {}
+    if "logit_scale" in sd:
+        extras["logit_scale"] = _f32(sd["logit_scale"]).reshape(())
+    return ctx_by_name, extras
+
+
+def load_reference_prompt_checkpoint(
+    path: str, seen_class_names: Sequence[str]
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    return convert_prompt_state_dict(load_torch_file(path), seen_class_names)
