@@ -1,0 +1,123 @@
+"""Benchmark: ViT-B/16 prompt-tune throughput (fwd+attribution+bwd+update).
+
+The BASELINE.json north-star metric: CLIP ViT-B/16 prompt tuning at
+>= 2000 images/sec/chip (forward + attribution) on TPU.  This benchmark runs
+the FULL fused training step — image tower on pixels, class-batched
+attribution pass, adjusted text pass, backward into the context bank, AdamW —
+and reports steady-state images/sec on the available chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+(vs_baseline = value / 2000, the north-star target.)
+
+Env overrides: BENCH_MODEL (ViT-B-16), BENCH_BATCH (256), BENCH_STEPS (20),
+BENCH_DTYPE (bfloat16), BENCH_MODE (train|eval).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tapclip_tpu.config import MODEL_PRESETS, PromptConfig, TrainConfig
+    from tapclip_tpu.data.tokenizer import get_tokenizer
+    from tapclip_tpu.models import clip as clip_model
+    from tapclip_tpu.models.model_wrapper import init_trainable
+    from tapclip_tpu.models.prompt_learner import PromptLearner
+    from tapclip_tpu.parallel.train_step import (
+        init_train_state,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model_name = os.environ.get("BENCH_MODEL", "ViT-B-16")
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    mode = os.environ.get("BENCH_MODE", "train")
+
+    backend = jax.default_backend()
+    if backend != "tpu":
+        print(f"[bench] WARNING: running on {backend}, not tpu", file=sys.stderr)
+        if os.environ.get("BENCH_BATCH") is None:
+            batch = 16
+        if os.environ.get("BENCH_STEPS") is None:
+            steps = 5
+
+    cfg = MODEL_PRESETS[model_name].replace(dtype=dtype)
+    pcfg = PromptConfig()
+    print(f"[bench] {model_name} {dtype} batch={batch} steps={steps} mode={mode} "
+          f"backend={backend}", file=sys.stderr)
+
+    params = clip_model.init_clip_params(jax.random.PRNGKey(0), cfg)
+    learner = PromptLearner(
+        ["Backpack", "Alarm_Clock", "Laptop", "Pen", "Mug"],
+        params,
+        cfg,
+        pcfg,
+        get_tokenizer(context_length=cfg.context_length),
+    )
+    trainable = init_trainable(jax.random.PRNGKey(1), learner, pcfg)
+    bank = learner.bank
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.standard_normal((batch, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32,
+    )
+    labels = jnp.asarray(rng.integers(0, 5, batch), jnp.int32)
+    mask = jnp.ones((batch,), bool)
+
+    optimizer = make_optimizer(TrainConfig())
+    if mode == "train":
+        step = make_train_step(cfg, pcfg, optimizer, use_image_feats=False)
+        state = init_train_state(trainable, optimizer)
+
+        def run():
+            nonlocal state
+            state, metrics = step(params, state, bank, images, labels, mask)
+            return metrics["loss"]
+
+    else:
+        estep = make_eval_step(cfg, pcfg, use_image_feats=False)
+
+        def run():
+            return estep(params, trainable, bank, images, labels, mask)["correct"]
+
+    # Warmup / compile.
+    t0 = time.perf_counter()
+    jax.block_until_ready(run())
+    print(f"[bench] compile+first step: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    jax.block_until_ready(run())
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = run()
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * steps / dt
+    print(f"[bench] {dt/steps*1e3:.2f} ms/step", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": f"CLIP {model_name} prompt-tune images/sec/chip (fwd+attribution+bwd)",
+                "value": round(imgs_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / 2000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

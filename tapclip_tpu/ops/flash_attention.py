@@ -57,7 +57,8 @@ def _attn_kernel(
     k_ref,
     v_ref,
     o_ref,  # VMEM [1, 1, Tp, Dh]
-    aux_ref,  # VMEM [1, 1, Tp] f32 or None (when with_aux=False)
+    aux_ref,  # VMEM [1, H, Tp] f32 or None (when with_aux=False); the block
+    # is revisited across the head grid dim — program h writes row h.
     *,
     scale: float,
     causal: bool,
@@ -105,7 +106,8 @@ def _attn_kernel(
         # attention each query position pays to the EOT/last position.
         eot = eot_ref[b]
         onehot = (ki == eot).astype(jnp.float32)  # [Tp, Tp] column mask
-        aux_ref[0, 0] = jnp.sum(p_norm * onehot, axis=-1)
+        h = pl.program_id(1)
+        aux_ref[0, h, :] = jnp.sum(p_norm * onehot, axis=-1)
 
 
 def _pallas_attention(
@@ -139,8 +141,10 @@ def _pallas_attention(
         pl.BlockSpec((1, 1, Tp, Dh), lambda b, h, *_: (b, h, 0, 0)),
     ]
     if with_aux:
+        # Full-H block revisited across the h grid dim (TPU tiling requires
+        # the 2nd-to-last block dim be 8-divisible or equal the array dim).
         out_shapes.append(jax.ShapeDtypeStruct((B, H, Tp), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, Tp), lambda b, h, *_: (b, h, 0)))
+        out_specs.append(pl.BlockSpec((1, H, Tp), lambda b, h, *_: (b, 0, 0)))
     else:
         kernel = functools.partial(_no_aux_adapter, kernel)
 

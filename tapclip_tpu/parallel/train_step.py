@@ -49,6 +49,7 @@ class TrainState:
         return cls(*children)
 
 
+@functools.lru_cache(maxsize=32)
 def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW, reference hyperparameters (train.py:65-67: lr=2e-3, wd=0.01)."""
     return optax.adamw(
@@ -73,6 +74,7 @@ def init_train_state(
     )
 
 
+@functools.lru_cache(maxsize=32)
 def make_train_step(
     clip_cfg: CLIPConfig,
     prompt_cfg: PromptConfig,
@@ -124,6 +126,7 @@ def make_train_step(
     return step
 
 
+@functools.lru_cache(maxsize=32)
 def make_eval_step(
     clip_cfg: CLIPConfig,
     prompt_cfg: PromptConfig,
@@ -164,6 +167,7 @@ def make_eval_step(
     return step
 
 
+@functools.lru_cache(maxsize=8)
 def make_image_encoder(clip_cfg: CLIPConfig) -> Callable:
     """Jitted frozen image-tower encoder (for feature caching)."""
 

@@ -1,0 +1,154 @@
+"""Cross-domain zero/few-shot transfer eval — rebuild of
+``/root/reference/test_cross_domain.py``.
+
+Loads a trained prompt checkpoint (Orbax, or a reference ``.pt`` including the
+legacy ``context_emb`` layout, ``test_cross_domain.py:44-61``), **extends the
+class set with unseen classes at eval time** (``:65-67``), then evaluates the
+``num_shots x domains`` grid.  As in the reference (``:72-85``) there is NO
+fine-tuning here — ``num_shots`` only changes the val split (few-shot samples
+are excluded from val).  Emits the ``Domain,Shots,Accuracy`` CSV and the
+grouped bar chart (``:88-116``).
+
+The TPU twist: the val features of each domain are computed once through the
+frozen image tower, so the whole transfer matrix is one text-tower pass per
+cell over cached features — the "one batched, sharded inference pass"
+of the BASELINE.json north star.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional
+
+from tapclip_tpu.train import build_argparser, apply_overrides, build_model, setup_platform
+from tapclip_tpu.config import preset
+
+DEFAULT_DOMAINS = ["Real World", "Art", "Clipart", "Product"]
+DEFAULT_SHOTS = [0, 5, 15]
+
+
+def add_cross_domain_args(p):
+    p.add_argument("--checkpoint", default=None, help="prompt checkpoint (Orbax dir or .pt)")
+    p.add_argument("--domains", nargs="+", default=None)
+    p.add_argument("--domain-root", default=None,
+                   help="base dir containing one subdir per domain")
+    p.add_argument("--shots", nargs="+", type=int, default=None)
+    p.add_argument("--seen-classes", nargs="+", default=None)
+    p.add_argument("--unseen-classes", nargs="+", default=["Clipboards"])
+    return p
+
+
+def evaluate_grid(
+    model,
+    preprocess,
+    domain_root: str,
+    domains: List[str],
+    shots_list: List[int],
+    class_names: List[str],
+    *,
+    batch_size: int = 32,
+    seed: int = 0,
+    fine_tune_fn=None,
+    restore_fn=None,
+):
+    """shots x domains accuracy grid over cached per-domain features."""
+    from tapclip_tpu.data.imagefolder import get_dataloaders
+    from tapclip_tpu.trainer import cache_features, evaluate_cached
+
+    log = logging.getLogger("tapclip_tpu")
+    results = []
+    for num_shots in shots_list:
+        shot_type = f"{num_shots}-shot" if num_shots > 0 else "Zero-Shot"
+        for domain in domains:
+            log.info("[%s] evaluating on %s domain...", shot_type, domain)
+            if restore_fn is not None:
+                restore_fn(model)  # fresh state per cell (test_cross_domain2.py:71-81)
+            train_loader, val_loader = get_dataloaders(
+                os.path.join(domain_root, domain),
+                class_names,
+                batch_size=batch_size,
+                num_shots=num_shots,
+                preprocess=preprocess,
+                seed=seed,
+                image_size=model.clip_cfg.image_size,
+                verbose=False,
+            )
+            if fine_tune_fn is not None and num_shots > 0 and train_loader is not None:
+                fine_tune_fn(model, train_loader)
+            acc, _ = evaluate_cached(model, cache_features(model, val_loader))
+            log.info("[%s/%s] accuracy: %.2f%%", shot_type, domain, acc)
+            results.append({"Domain": domain, "Shots": shot_type, "Accuracy": acc})
+    return results
+
+
+def load_prompt_checkpoint_into(model, path: str, seen_classes: List[str]):
+    """Reference checkpoint loading incl. legacy migration
+    (test_cross_domain.py:43-61)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tapclip_tpu.utils.checkpoint import load_any_prompt_checkpoint
+
+    loaded = load_any_prompt_checkpoint(path, seen_classes)
+    model.prompt_learner.load_ctx(loaded["ctx_by_name"])
+    # sync trainable ctx with restored bank
+    model.trainable = dict(model.trainable, ctx=model.prompt_learner.bank.ctx)
+    if loaded.get("logit_scale") is not None and np.size(loaded["logit_scale"]):
+        model.trainable = dict(
+            model.trainable, logit_scale=jnp.asarray(loaded["logit_scale"])
+        )
+    return loaded
+
+
+def main(argv: Optional[List[str]] = None) -> dict:
+    p = add_cross_domain_args(build_argparser(__doc__))
+    args = p.parse_args(argv)
+    setup_platform(args.platform)
+    cfg = apply_overrides(preset(args.preset), args)
+
+    from tapclip_tpu.utils.logging_utils import generate_output_paths, setup_logging
+    from tapclip_tpu.utils.plotting import save_cross_domain_bar, save_results_csv
+
+    paths = generate_output_paths(cfg.version + "_xdomain", cfg.output_root)
+    log = setup_logging(os.path.join(paths["log_dir"], "cross_domain.log"))
+
+    seen = list(args.seen_classes or cfg.class_names)
+    unseen = list(args.unseen_classes or [])
+    all_classes = seen + [c for c in unseen if c not in seen]
+
+    import dataclasses
+
+    model, preprocess = build_model(
+        dataclasses.replace(cfg, class_names=tuple(seen)), bpe_path=args.bpe_path
+    )
+    if args.checkpoint:
+        load_prompt_checkpoint_into(model, args.checkpoint, seen)
+        log.info("loaded checkpoint %s", args.checkpoint)
+    for cls in all_classes:  # test_cross_domain.py:65-67
+        model.add_class_prompt(cls)
+
+    domains = args.domains or DEFAULT_DOMAINS
+    shots_list = args.shots if args.shots is not None else DEFAULT_SHOTS
+    domain_root = args.domain_root or os.path.dirname(cfg.data_root) or "."
+
+    results = evaluate_grid(
+        model, preprocess, domain_root, domains, shots_list, all_classes,
+        batch_size=cfg.train.batch_size, seed=cfg.train.seed,
+    )
+
+    csv_path = save_results_csv(
+        results, os.path.join(paths["csv_dir"], "cross_domain_results.csv")
+    )
+    log.info("results saved to %s", csv_path)
+    plot_path = save_cross_domain_bar(
+        results,
+        os.path.join(paths["plot_dir"], "cross_domain_accuracy_bar.png"),
+        ylim=(0, 100),
+    )
+    log.info("plot saved to %s", plot_path)
+    return {"results": results, "csv": csv_path, "plot": plot_path}
+
+
+if __name__ == "__main__":
+    main()

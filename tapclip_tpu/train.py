@@ -1,0 +1,233 @@
+"""Training driver — rebuild of ``/root/reference/train.py``.
+
+Same workflow (few-shot prompt tuning on one OfficeHome domain, per-epoch val
+accuracy, greedy best-state early stopping, accuracy-curve PNG, checkpoint of
+the best state) but with a real CLI instead of hardcoded constants
+(``train.py:29-39``), seeded splits, jitted fused steps, and feature caching.
+
+Usage:
+    python -m tapclip_tpu.train --data-root data/OfficeHome/Real_World \\
+        --pretrained open_clip_pytorch_model.bin --num-shots 5
+    python -m tapclip_tpu.train --preset tiny --synthetic-data  # smoke run
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import tempfile
+from typing import List, Optional
+
+import numpy as np
+
+from tapclip_tpu.config import (
+    MODEL_PRESETS,
+    ExperimentConfig,
+    PromptConfig,
+    TrainConfig,
+    preset,
+)
+
+
+def build_argparser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--preset", default="reference_train", help="experiment preset")
+    p.add_argument("--model", default=None, choices=list(MODEL_PRESETS), help="CLIP variant")
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--classes", nargs="+", default=None)
+    p.add_argument("--pretrained", default=None, help="open_clip .bin/.pt checkpoint")
+    p.add_argument("--bpe-path", default=None, help="CLIP BPE merges file")
+    p.add_argument("--prompt-len", type=int, default=None)
+    p.add_argument("--adjustor", default=None, choices=["scale", "gate", "residual"])
+    p.add_argument("--text-mode", default=None, choices=["ref_compat", "idiomatic"])
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--patience", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--weight-decay", type=float, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--num-shots", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--version", default=None)
+    p.add_argument("--output-root", default=None)
+    p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force platform (default: whatever JAX picks)")
+    p.add_argument("--synthetic-data", action="store_true",
+                   help="generate a synthetic ImageFolder (smoke/benchmarks)")
+    p.add_argument("--profile-dir", default=None, help="jax.profiler trace dir")
+    return p
+
+
+def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
+    model = MODEL_PRESETS[args.model] if args.model else cfg.model
+    if args.dtype:
+        model = model.replace(dtype=args.dtype)
+    prompt = cfg.prompt
+    for field, arg in [("prompt_len", args.prompt_len), ("adjustor_method", args.adjustor),
+                       ("text_mode", args.text_mode)]:
+        if arg is not None:
+            prompt = dataclasses.replace(prompt, **{field: arg})
+    train = cfg.train
+    for field, arg in [("epochs", args.epochs), ("patience", args.patience),
+                       ("lr", args.lr), ("weight_decay", args.weight_decay),
+                       ("batch_size", args.batch_size), ("num_shots", args.num_shots),
+                       ("seed", args.seed)]:
+        if arg is not None:
+            train = dataclasses.replace(train, **{field: arg})
+    return dataclasses.replace(
+        cfg,
+        model=model,
+        prompt=prompt,
+        train=train,
+        class_names=tuple(args.classes) if args.classes else cfg.class_names,
+        data_root=args.data_root or cfg.data_root,
+        pretrained_path=args.pretrained or cfg.pretrained_path,
+        version=args.version or cfg.version,
+        output_root=args.output_root or cfg.output_root,
+    )
+
+
+def setup_platform(platform: Optional[str]):
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def build_model(cfg: ExperimentConfig, *, bpe_path: Optional[str] = None, rng_seed: int = 0):
+    """Create (FullModel, preprocess_fn) — the rebuild of CLIPWrapper+FullModel
+    construction (train.py:54-63)."""
+    import jax
+
+    from tapclip_tpu.data.preprocess import make_preprocess
+    from tapclip_tpu.data.tokenizer import get_tokenizer
+    from tapclip_tpu.models import clip as clip_model
+    from tapclip_tpu.models.model_wrapper import FullModel
+
+    log = logging.getLogger("tapclip_tpu")
+    if cfg.pretrained_path:
+        from tapclip_tpu.utils.torch_convert import load_openclip_checkpoint
+
+        params = load_openclip_checkpoint(cfg.pretrained_path, cfg.model)
+        import jax.numpy as jnp
+
+        params = jax.tree.map(jnp.asarray, params)
+        log.info("loaded pretrained CLIP weights from %s", cfg.pretrained_path)
+    else:
+        params = clip_model.init_clip_params(jax.random.PRNGKey(rng_seed), cfg.model)
+        log.warning("no --pretrained given: using RANDOM CLIP weights")
+
+    tokenizer = get_tokenizer(bpe_path, cfg.model.context_length)
+    if tokenizer.is_fallback:
+        log.warning(
+            "BPE merge table not found (set --bpe-path or TAPCLIP_BPE_PATH); "
+            "using byte-level fallback tokenizer"
+        )
+    model = FullModel(
+        list(cfg.class_names),
+        params,
+        cfg.model,
+        prompt_cfg=cfg.prompt,
+        tokenizer=tokenizer,
+        attr_lambda=cfg.train.attr_lambda,
+        stab_lambda=cfg.train.stab_lambda,
+        rng=jax.random.PRNGKey(cfg.train.seed),
+    )
+    return model, make_preprocess(cfg.model.image_size)
+
+
+def maybe_synthetic_root(cfg: ExperimentConfig, synthetic: bool) -> str:
+    if not synthetic:
+        return cfg.data_root
+    from tapclip_tpu.data.synthetic import build_imagefolder
+
+    root = tempfile.mkdtemp(prefix="tapclip_synth_")
+    build_imagefolder(root, list(cfg.class_names), per_class=24,
+                      image_size=cfg.model.image_size, seed=cfg.train.seed)
+    return root
+
+
+def main(argv: Optional[List[str]] = None) -> dict:
+    args = build_argparser(__doc__).parse_args(argv)
+    setup_platform(args.platform)
+    cfg = apply_overrides(preset(args.preset), args)
+
+    from tapclip_tpu.data.imagefolder import get_dataloaders
+    from tapclip_tpu.trainer import cache_features, evaluate_cached, fit_prompt_model
+    from tapclip_tpu.utils.checkpoint import save_prompt_checkpoint
+    from tapclip_tpu.utils.logging_utils import (
+        generate_output_paths,
+        maybe_profile,
+        setup_logging,
+    )
+    from tapclip_tpu.utils.plotting import save_accuracy_curve
+
+    paths = generate_output_paths(cfg.version, cfg.output_root)
+    log = setup_logging(os.path.join(paths["log_dir"], f"{cfg.version}_train.log"))
+    log.info("config: %s", cfg)
+
+    model, preprocess = build_model(cfg, bpe_path=args.bpe_path)
+    # Log trainable parameters (train.py:69-72).
+    import jax
+
+    n_train = sum(x.size for x in jax.tree.leaves(
+        {k: v for k, v in model.trainable.items() if k == "ctx"}))
+    log.info("Trainable parameters: ctx bank %s (%d values)",
+             tuple(model.trainable["ctx"].shape), n_train)
+
+    data_root = maybe_synthetic_root(cfg, args.synthetic_data)
+    train_loader, val_loader = get_dataloaders(
+        data_root,
+        list(cfg.class_names),
+        batch_size=cfg.train.batch_size,
+        num_shots=cfg.train.num_shots,
+        preprocess=preprocess,
+        seed=cfg.train.seed,
+        image_size=cfg.model.image_size,
+    )
+    if train_loader is None:
+        # zero-shot: single eval pass
+        val_cache = cache_features(model, val_loader)
+        acc, per_class = evaluate_cached(model, val_cache)
+        log.info("zero-shot accuracy: %.2f%%", acc)
+        return {"best_acc": acc, "paths": paths}
+
+    with maybe_profile(args.profile_dir):
+        result = fit_prompt_model(model, train_loader, val_loader, cfg.train)
+
+    log.info("best val accuracy: %.2f%% (after %d epochs)",
+             result.best_acc, result.epochs_run)
+
+    model.trainable = result.best_trainable
+    ckpt_path = os.path.join(
+        paths["model_dir"], f"best_model_{cfg.version}_acc{result.best_acc:.2f}"
+    )
+    save_prompt_checkpoint(
+        ckpt_path,
+        trainable=result.best_trainable,
+        bank=model.prompt_learner.bank,
+        class_names=model.class_names,
+        step=result.epochs_run,
+        extra_meta={"best_acc": result.best_acc, "preset": args.preset},
+    )
+    log.info("model saved: %s", ckpt_path)
+
+    plot_path = os.path.join(
+        paths["plot_dir"], f"{cfg.version}_acc_curve_acc{result.best_acc:.2f}.png"
+    )
+    save_accuracy_curve(result.acc_history, result.per_class_history, plot_path)
+    log.info("accuracy plot saved to %s", plot_path)
+
+    with open(os.path.join(paths["csv_dir"], "history.json"), "w") as f:
+        json.dump(
+            {"acc": result.acc_history, "loss": result.loss_history}, f, indent=2
+        )
+    return {"best_acc": result.best_acc, "paths": paths, "ckpt": ckpt_path,
+            "result": result}
+
+
+if __name__ == "__main__":
+    main()

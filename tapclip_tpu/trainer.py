@@ -1,0 +1,197 @@
+"""Training engine: epoch loop with early stopping + feature caching.
+
+Rebuild of the reference's eager epoch loop (``/root/reference/train.py:90-128``)
+and the few-shot fine-tune helper (``test_cross_domain2.py:17-29``):
+
+* the frozen image tower runs **once** per dataset (features cached — the
+  per-epoch cost is text-tower-only, numerically identical to recomputing);
+* one jitted train step per batch, AdamW over the context bank only
+  (``train.py:65-67``, ``test_cross_domain2.py:13-15``);
+* greedy best-state tracking with patience (``train.py:121-128``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tapclip_tpu.config import CLIPConfig, PromptConfig, TrainConfig
+from tapclip_tpu.models.model_wrapper import FullModel, full_model_forward
+from tapclip_tpu.parallel.train_step import (
+    encode_dataset_features,
+    init_train_state,
+    make_eval_step,
+    make_image_encoder,
+    make_optimizer,
+    make_train_step,
+)
+from tapclip_tpu.utils.logging_utils import StepTimer
+
+log = logging.getLogger("tapclip_tpu")
+
+
+@dataclasses.dataclass
+class CachedSet:
+    feats: np.ndarray  # [N, E] unnormalized image-tower features
+    labels: np.ndarray  # [N]
+
+
+def cache_features(model: FullModel, loader, encoder=None) -> CachedSet:
+    feats, labels = encode_dataset_features(
+        model.clip_params, model.clip_cfg, loader, encoder=encoder
+    )
+    return CachedSet(feats=feats, labels=labels)
+
+
+def _batches(cached: CachedSet, batch_size: int, *, shuffle: bool, seed: int):
+    n = len(cached.labels)
+    order = (
+        np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
+    )
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        feats = cached.feats[idx]
+        labels = cached.labels[idx]
+        mask = np.ones(len(idx), bool)
+        if len(idx) < batch_size:
+            pad = batch_size - len(idx)
+            feats = np.concatenate([feats, np.zeros((pad,) + feats.shape[1:], feats.dtype)])
+            labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
+            mask = np.concatenate([mask, np.zeros((pad,), bool)])
+        yield jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(mask)
+
+
+def evaluate_cached(
+    model: FullModel, cached: CachedSet, batch_size: int = 256
+) -> Tuple[float, Dict[int, float]]:
+    """(overall %, per-class %) on cached features."""
+    eval_step = make_eval_step(model.clip_cfg, model.prompt_cfg)
+    correct = total = 0
+    C = model.prompt_learner.bank.capacity
+    pcc = np.zeros(C, np.int64)
+    pct = np.zeros(C, np.int64)
+    for feats, labels, mask in _batches(cached, batch_size, shuffle=False, seed=0):
+        out = eval_step(
+            model.clip_params, model.trainable, model.prompt_learner.bank, feats, labels, mask
+        )
+        correct += int(out["correct"])
+        total += int(out["total"])
+        pcc += np.asarray(out["per_class_correct"], np.int64)
+        pct += np.asarray(out["per_class_total"], np.int64)
+    acc = 100.0 * correct / total if total else 0.0
+    per_class = {
+        c: (100.0 * pcc[c] / pct[c] if pct[c] else 0.0) for c in range(C) if pct[c]
+    }
+    return acc, per_class
+
+
+@dataclasses.dataclass
+class FitResult:
+    best_acc: float
+    best_trainable: Dict[str, Any]
+    acc_history: List[float]
+    loss_history: List[float]
+    per_class_history: Dict[str, List[float]]
+    epochs_run: int
+    steps_per_sec: float = float("nan")
+
+
+def fit_prompt_model(
+    model: FullModel,
+    train_loader,
+    val_loader,
+    train_cfg: TrainConfig,
+    *,
+    epochs: Optional[int] = None,
+    eval_every: int = 1,
+    track_best: bool = True,
+    verbose: bool = True,
+) -> FitResult:
+    """Reference train loop (train.py:90-128) over cached features."""
+    epochs = epochs if epochs is not None else train_cfg.epochs
+    encoder = make_image_encoder(model.clip_cfg)
+    train_cache = cache_features(model, train_loader, encoder)
+    val_cache = cache_features(model, val_loader, encoder) if val_loader else None
+
+    optimizer = make_optimizer(train_cfg)
+    state = init_train_state(model.trainable, optimizer)
+    step_fn = make_train_step(model.clip_cfg, model.prompt_cfg, optimizer)
+    bank = model.prompt_learner.bank
+    clip_params = model.clip_params
+
+    best_acc = 0.0
+    best_trainable = dict(model.trainable)
+    patience_ctr = 0
+    acc_hist: List[float] = []
+    loss_hist: List[float] = []
+    per_class_hist: Dict[str, List[float]] = {n: [] for n in model.class_names}
+    timer = StepTimer(warmup=1)
+    n_steps = 0
+
+    for epoch in range(1, epochs + 1):
+        epoch_loss, n_batches = 0.0, 0
+        for feats, labels, mask in _batches(
+            train_cache, train_cfg.batch_size, shuffle=True, seed=train_cfg.seed + epoch
+        ):
+            timer.tic()
+            state, metrics = step_fn(clip_params, state, bank, feats, labels, mask)
+            epoch_loss += float(metrics["loss"])
+            timer.toc(int(mask.sum()))
+            n_batches += 1
+            n_steps += 1
+        avg_loss = epoch_loss / max(n_batches, 1)
+        loss_hist.append(avg_loss)
+        model.trainable = state.params
+
+        if val_cache is not None and epoch % eval_every == 0:
+            acc, per_class = evaluate_cached(model, val_cache)
+            acc_hist.append(acc)
+            for i, name in enumerate(model.class_names):
+                per_class_hist[name].append(per_class.get(i, 0.0))
+            if verbose:
+                log.info(
+                    "[Epoch %d] avg train loss: %.4f | val acc: %.2f%%",
+                    epoch,
+                    avg_loss,
+                    acc,
+                )
+            if track_best:
+                if acc > best_acc:
+                    best_acc = acc
+                    best_trainable = dict(model.trainable)
+                    patience_ctr = 0
+                else:
+                    patience_ctr += 1
+                    if patience_ctr == train_cfg.patience:
+                        break
+        elif verbose:
+            log.info("[Epoch %d] avg train loss: %.4f", epoch, avg_loss)
+
+    if not track_best or val_cache is None:
+        best_trainable = dict(model.trainable)
+        best_acc = acc_hist[-1] if acc_hist else 0.0
+    return FitResult(
+        best_acc=best_acc,
+        best_trainable=best_trainable,
+        acc_history=acc_hist,
+        loss_history=loss_hist,
+        per_class_history=per_class_hist,
+        epochs_run=len(loss_hist),
+        steps_per_sec=1.0 / timer.mean_step_s if n_steps > 2 else float("nan"),
+    )
+
+
+def fine_tune_on_few_shot(
+    model: FullModel, loader, *, steps: int = 10, lr: float = 5e-3
+) -> FitResult:
+    """test_cross_domain2.py:17-29: N full passes over the few-shot loader,
+    AdamW over context bank only; no early stopping, no best tracking."""
+    cfg = TrainConfig(lr=lr, epochs=steps, patience=steps + 1)
+    return fit_prompt_model(
+        model, loader, None, cfg, epochs=steps, track_best=False, verbose=False
+    )

@@ -25,6 +25,32 @@ import numpy as np
 _META_NAME = "tapclip_meta.json"
 
 
+def _bank_as_dict(bank) -> Dict[str, np.ndarray]:
+    """PromptBank (custom pytree node) -> plain dict Orbax can restore
+    without a target structure."""
+    if isinstance(bank, dict) or bank is None:
+        return bank
+    return {
+        "ctx": np.asarray(bank.ctx),
+        "token_embs": np.asarray(bank.token_embs),
+        "class_mask": np.asarray(bank.class_mask),
+        "eot_pos": np.asarray(bank.eot_pos),
+    }
+
+
+def bank_from_dict(d: Dict[str, np.ndarray]):
+    import jax.numpy as jnp
+
+    from tapclip_tpu.models.prompt_learner import PromptBank
+
+    return PromptBank(
+        ctx=jnp.asarray(d["ctx"]),
+        token_embs=jnp.asarray(d["token_embs"]),
+        class_mask=jnp.asarray(d["class_mask"]),
+        eot_pos=jnp.asarray(d["eot_pos"]),
+    )
+
+
 def _checkpointer():
     import orbax.checkpoint as ocp
 
@@ -45,7 +71,7 @@ def save_prompt_checkpoint(
     path = os.path.abspath(path)
     tree = {
         "trainable": jax.tree.map(np.asarray, trainable),
-        "bank": jax.tree.map(np.asarray, bank),
+        "bank": _bank_as_dict(bank),
     }
     if opt_state is not None:
         tree["opt_state"] = jax.tree.map(np.asarray, opt_state)

@@ -45,6 +45,9 @@ def setup_logging(log_file: Optional[str] = None, level=logging.INFO) -> logging
         handlers=handlers,
         force=True,
     )
+    # Orbax/absl emit verbose INFO noise on every checkpoint op.
+    for noisy in ("orbax", "absl", "jax._src"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
     return logging.getLogger("tapclip_tpu")
 
 

@@ -1,0 +1,139 @@
+"""Driver smoke tests: train CLI, cross-domain eval CLI, fine-tune CLI,
+output-artifact fidelity (CSV schema, plots, checkpoints)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tapclip_tpu import test_cross_domain, test_cross_domain2, train
+from tapclip_tpu.data.synthetic import build_imagefolder
+
+CLASSES = ["Backpack", "Alarm_Clock", "Laptop"]
+
+
+@pytest.fixture(scope="module")
+def domain_tree(tmp_path_factory):
+    """Two-domain synthetic OfficeHome-style tree with class-colored images."""
+    from PIL import Image
+
+    root = str(tmp_path_factory.mktemp("domains"))
+    rng = np.random.default_rng(0)
+    for dom in ["Real World", "Art"]:
+        for ci, name in enumerate(CLASSES + ["Clipboards"]):
+            d = os.path.join(root, dom, name)
+            os.makedirs(d)
+            base = np.zeros(3)
+            base[ci % 3] = 180
+            for i in range(8):
+                arr = np.clip(base + rng.normal(0, 25, (32, 32, 3)), 0, 255).astype(
+                    np.uint8
+                )
+                Image.fromarray(arr).save(os.path.join(d, f"{i}.jpg"))
+    return root
+
+
+def test_train_driver_end_to_end(tmp_path, domain_tree):
+    out = train.main(
+        [
+            "--preset", "tiny",
+            "--data-root", os.path.join(domain_tree, "Real World"),
+            "--classes", *CLASSES,
+            "--epochs", "2", "--num-shots", "3", "--batch-size", "8",
+            "--output-root", str(tmp_path),
+        ]
+    )
+    assert "best_acc" in out and out["best_acc"] >= 0
+    assert os.path.isdir(out["ckpt"])
+    plots = os.listdir(out["paths"]["plot_dir"])
+    assert any(p.endswith(".png") for p in plots)
+    logs = os.listdir(out["paths"]["log_dir"])
+    assert any(p.endswith(".log") for p in logs)
+
+
+def test_train_driver_zero_shot(tmp_path, domain_tree):
+    out = train.main(
+        [
+            "--preset", "tiny",
+            "--data-root", os.path.join(domain_tree, "Real World"),
+            "--classes", *CLASSES,
+            "--num-shots", "0",
+            "--output-root", str(tmp_path),
+        ]
+    )
+    assert out["best_acc"] >= 0
+
+
+def test_cross_domain_driver(tmp_path, domain_tree):
+    out = test_cross_domain.main(
+        [
+            "--preset", "tiny",
+            "--domain-root", domain_tree,
+            "--domains", "Real World", "Art",
+            "--shots", "0", "3",
+            "--seen-classes", *CLASSES,
+            "--unseen-classes", "Clipboards",
+            "--batch-size", "8",
+            "--output-root", str(tmp_path),
+        ]
+    )
+    df = pd.read_csv(out["csv"])
+    # Output-fidelity: exact reference CSV schema (test_cross_domain.py:85-90)
+    assert list(df.columns) == ["Domain", "Shots", "Accuracy"]
+    assert len(df) == 2 * 2
+    assert set(df["Shots"]) == {"Zero-Shot", "3-shot"}
+    assert os.path.exists(out["plot"])
+
+
+def test_cross_domain2_driver_with_checkpoint(tmp_path, domain_tree):
+    # 1. Train briefly, save checkpoint.
+    trained = train.main(
+        [
+            "--preset", "tiny",
+            "--data-root", os.path.join(domain_tree, "Real World"),
+            "--classes", *CLASSES,
+            "--epochs", "2", "--num-shots", "3", "--batch-size", "8",
+            "--output-root", str(tmp_path / "train"),
+        ]
+    )
+    # 2. Per-domain fine-tune eval from that checkpoint.
+    out = test_cross_domain2.main(
+        [
+            "--preset", "tiny",
+            "--checkpoint", trained["ckpt"],
+            "--domain-root", domain_tree,
+            "--domains", "Real World", "Art",
+            "--shots", "0", "3",
+            "--seen-classes", *CLASSES,
+            "--ft-steps", "2",
+            "--batch-size", "8",
+            "--output-root", str(tmp_path / "xd2"),
+        ]
+    )
+    df = pd.read_csv(out["csv"])
+    assert list(df.columns) == ["Domain", "Shots", "Accuracy"]
+    assert len(df) == 4
+    # Zero-shot rows evaluate the restored checkpoint state (no leakage from
+    # fine-tuned cells — restore_fn resets between cells).
+    zs = df[df["Shots"] == "Zero-Shot"]["Accuracy"]
+    assert (zs >= 0).all() and (zs <= 100).all()
+
+
+def test_clip_wrapper_compat_api(tiny_cfg, tiny_params, rng):
+    """Reference CLIPWrapper API surface (clip_wrapper.py:42-64)."""
+    from tapclip_tpu.models.clip_wrapper import CLIPWrapper
+
+    w = CLIPWrapper(cfg=tiny_cfg)
+    assert w.get_attention_map() is None
+    ids = w.get_tokenizer().tokenize(["a photo of a dog"], tiny_cfg.context_length)
+    feats = w.encode_text(ids)
+    assert feats.shape == (1, tiny_cfg.embed_dim)
+    amap = w.get_attention_map()
+    assert amap.shape == (1, tiny_cfg.context_length, tiny_cfg.context_length)
+    # rows are probability distributions
+    np.testing.assert_allclose(np.asarray(amap.sum(-1)), 1.0, rtol=1e-4)
+    w.reset()
+    assert w.get_attention_map() is None
+    imgs = rng.standard_normal((2, tiny_cfg.image_size, tiny_cfg.image_size, 3))
+    assert w.encode_image(np.asarray(imgs, np.float32)).shape == (2, tiny_cfg.embed_dim)
