@@ -1,0 +1,351 @@
+// tapclip_tpu native image pipeline.
+//
+// The reference delegates image IO to torchvision/PIL through Python
+// (/root/reference/dataset.py:31, preprocess from open_clip). Sustained
+// TPU prompt-tuning throughput (>=2k images/sec/chip, BASELINE.json) makes
+// the host decode path the bottleneck; this library provides a C++ pipeline:
+//   JPEG/PNG decode -> RGB -> PIL-compatible antialiased bicubic resize
+//   (shorter side) -> center crop -> optional CLIP normalize,
+// with an internal pthread pool for batch decoding. Exposed via a plain C ABI
+// consumed through ctypes (no pybind11 dependency in this environment).
+//
+// Resampling matches Pillow's ImagingResample semantics (bicubic a=-0.5,
+// filter support scaled by the downscale ratio) so outputs agree with the
+// PIL path within rounding.
+
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <csetjmp>
+#include <pthread.h>
+#include <vector>
+#include <string>
+#include <algorithm>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Decoding
+// ---------------------------------------------------------------------------
+
+struct Image {
+  int w = 0, h = 0;
+  std::vector<unsigned char> rgb;  // h*w*3
+};
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+bool decode_jpeg(const unsigned char* data, size_t len, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->rgb.resize(size_t(out->w) * out->h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    unsigned char* row = out->rgb.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+struct PngReadState {
+  const unsigned char* data;
+  size_t len, pos;
+};
+
+void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
+  PngReadState* s = static_cast<PngReadState*>(png_get_io_ptr(png));
+  if (s->pos + n > s->len) png_error(png, "eof");
+  memcpy(out, s->data + s->pos, n);
+  s->pos += n;
+}
+
+bool decode_png(const unsigned char* data, size_t len, Image* out) {
+  if (len < 8 || png_sig_cmp(data, 0, 8)) return false;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); return false; }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  PngReadState state{data, len, 0};
+  png_set_read_fn(png, &state, png_read_fn);
+  png_read_info(png, info);
+  png_set_expand(png);
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+  out->w = png_get_image_width(png, info);
+  out->h = png_get_image_height(png, info);
+  out->rgb.resize(size_t(out->w) * out->h * 3);
+  std::vector<png_bytep> rows(out->h);
+  for (int y = 0; y < out->h; ++y)
+    rows[y] = out->rgb.data() + size_t(y) * out->w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+bool decode_file(const char* path, Image* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long len = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (len <= 0) { fclose(f); return false; }
+  std::vector<unsigned char> buf(len);
+  size_t rd = fread(buf.data(), 1, len, f);
+  fclose(f);
+  if (rd != size_t(len)) return false;
+  if (len > 2 && buf[0] == 0xFF && buf[1] == 0xD8)
+    return decode_jpeg(buf.data(), len, out);
+  if (decode_png(buf.data(), len, out)) return true;
+  return decode_jpeg(buf.data(), len, out);  // fall back to jpeg
+}
+
+// ---------------------------------------------------------------------------
+// PIL-compatible bicubic resampling (Pillow ImagingResample, a = -0.5)
+// ---------------------------------------------------------------------------
+
+inline double bicubic_filter(double x) {
+  constexpr double a = -0.5;
+  x = std::fabs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+constexpr double kBicubicSupport = 2.0;
+
+// Precompute per-output-pixel contribution bounds + normalized weights.
+void precompute_coeffs(int in_size, int out_size, std::vector<int>* bounds,
+                       std::vector<double>* weights, int* ksize_out) {
+  double scale = double(in_size) / out_size;
+  double filterscale = std::max(scale, 1.0);
+  double support = kBicubicSupport * filterscale;
+  int ksize = int(std::ceil(support)) * 2 + 1;
+  bounds->resize(size_t(out_size) * 2);
+  weights->assign(size_t(out_size) * ksize, 0.0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    double center = (xx + 0.5) * scale;
+    int xmin = std::max(0, int(center - support + 0.5));
+    int xmax = std::min(in_size, int(center + support + 0.5));
+    double* w = weights->data() + size_t(xx) * ksize;
+    double wsum = 0.0;
+    for (int x = xmin; x < xmax; ++x) {
+      double ww = bicubic_filter((x - center + 0.5) / filterscale);
+      w[x - xmin] = ww;
+      wsum += ww;
+    }
+    if (wsum != 0.0)
+      for (int i = 0; i < xmax - xmin; ++i) w[i] /= wsum;
+    (*bounds)[xx * 2] = xmin;
+    (*bounds)[xx * 2 + 1] = xmax - xmin;
+  }
+  *ksize_out = ksize;
+}
+
+// Pillow's 8bpc fixed-point path (Resample.c): coefficients are scaled to
+// int32 with PRECISION_BITS and the intermediate image is quantized back to
+// uint8 after the horizontal pass — reproducing this exactly is what makes
+// the native pipeline bit-identical to the PIL reference path.
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
+inline unsigned char clip8(int in) {
+  if (in >= (255 << kPrecisionBits)) return 255;
+  if (in <= 0) return 0;
+  return (unsigned char)(in >> kPrecisionBits);
+}
+
+void quantize_coeffs(const std::vector<double>& w, std::vector<int>* kk) {
+  kk->resize(w.size());
+  for (size_t i = 0; i < w.size(); ++i) {
+    double v = w[i] * (1 << kPrecisionBits);
+    (*kk)[i] = int(v < 0 ? v - 0.5 : v + 0.5);
+  }
+}
+
+// Separable resize, exact Pillow semantics: horizontal -> uint8 -> vertical.
+void resize_bicubic(const Image& in, int out_w, int out_h,
+                    std::vector<unsigned char>* out /* out_h*out_w*3 */) {
+  std::vector<int> hb, vb;
+  std::vector<double> hw_d, vw_d;
+  int hks, vks;
+  precompute_coeffs(in.w, out_w, &hb, &hw_d, &hks);
+  precompute_coeffs(in.h, out_h, &vb, &vw_d, &vks);
+  std::vector<int> hw, vw;
+  quantize_coeffs(hw_d, &hw);
+  quantize_coeffs(vw_d, &vw);
+
+  const int half = 1 << (kPrecisionBits - 1);
+
+  // horizontal pass: in.h x out_w (uint8 intermediate, like Pillow)
+  std::vector<unsigned char> tmp(size_t(in.h) * out_w * 3);
+  for (int y = 0; y < in.h; ++y) {
+    const unsigned char* row = in.rgb.data() + size_t(y) * in.w * 3;
+    unsigned char* trow = tmp.data() + size_t(y) * out_w * 3;
+    for (int xx = 0; xx < out_w; ++xx) {
+      int xmin = hb[xx * 2], n = hb[xx * 2 + 1];
+      const int* k = hw.data() + size_t(xx) * hks;
+      int acc0 = half, acc1 = half, acc2 = half;
+      for (int i = 0; i < n; ++i) {
+        const unsigned char* px = row + size_t(xmin + i) * 3;
+        acc0 += k[i] * px[0];
+        acc1 += k[i] * px[1];
+        acc2 += k[i] * px[2];
+      }
+      trow[xx * 3 + 0] = clip8(acc0);
+      trow[xx * 3 + 1] = clip8(acc1);
+      trow[xx * 3 + 2] = clip8(acc2);
+    }
+  }
+  // vertical pass: out_h x out_w
+  out->resize(size_t(out_h) * out_w * 3);
+  for (int yy = 0; yy < out_h; ++yy) {
+    int ymin = vb[yy * 2], n = vb[yy * 2 + 1];
+    const int* k = vw.data() + size_t(yy) * vks;
+    unsigned char* orow = out->data() + size_t(yy) * out_w * 3;
+    for (int xx = 0; xx < out_w * 3; ++xx) {
+      int acc = half;
+      for (int i = 0; i < n; ++i)
+        acc += k[i] * tmp[size_t(ymin + i) * out_w * 3 + xx];
+      orow[xx] = clip8(acc);
+    }
+  }
+}
+
+// CLIP normalization constants (config.py IMAGE_MEAN/IMAGE_STD).
+constexpr float kMean[3] = {0.48145466f, 0.4578275f, 0.40821073f};
+constexpr float kStd[3] = {0.26862954f, 0.26130258f, 0.27577711f};
+
+inline float clamp255(float v) { return v < 0.f ? 0.f : (v > 255.f ? 255.f : v); }
+
+// Full per-image pipeline into out[out_size*out_size*3].
+bool process_one(const char* path, int out_size, int do_normalize, float* out) {
+  Image img;
+  if (!decode_file(path, &img) || img.w <= 0 || img.h <= 0) return false;
+  // shorter side -> out_size; long side TRUNCATED like torchvision's
+  // _compute_resized_output_size: int(size * long / short).
+  int rw, rh;
+  if (img.w <= img.h) {
+    rw = out_size;
+    rh = std::max(1, int(double(out_size) * img.h / img.w));
+  } else {
+    rh = out_size;
+    rw = std::max(1, int(double(out_size) * img.w / img.h));
+  }
+  std::vector<unsigned char> resized;
+  resize_bicubic(img, rw, rh, &resized);
+  // center crop. torchvision/PIL use Python round() = round-half-EVEN;
+  // nearbyint under the default FE_TONEAREST mode matches that, lround does
+  // not (half away from zero -> off-by-one crop shift).
+  int left = int(std::nearbyint((rw - out_size) / 2.0));
+  int top = int(std::nearbyint((rh - out_size) / 2.0));
+  for (int y = 0; y < out_size; ++y) {
+    const unsigned char* src = resized.data() + (size_t(top + y) * rw + left) * 3;
+    float* dst = out + size_t(y) * out_size * 3;
+    for (int x = 0; x < out_size; ++x) {
+      for (int c = 0; c < 3; ++c) {
+        float v = src[x * 3 + c] / 255.0f;
+        dst[x * 3 + c] = do_normalize ? (v - kMean[c]) / kStd[c] : v;
+      }
+    }
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Thread pool over a batch
+// ---------------------------------------------------------------------------
+
+struct BatchJob {
+  const char** paths;
+  int n, out_size, do_normalize;
+  float* out;
+  unsigned char* ok;
+  int next = 0;
+  pthread_mutex_t mu = PTHREAD_MUTEX_INITIALIZER;
+};
+
+void* batch_worker(void* arg) {
+  BatchJob* job = static_cast<BatchJob*>(arg);
+  const size_t stride = size_t(job->out_size) * job->out_size * 3;
+  for (;;) {
+    pthread_mutex_lock(&job->mu);
+    int i = job->next++;
+    pthread_mutex_unlock(&job->mu);
+    if (i >= job->n) break;
+    job->ok[i] = process_one(job->paths[i], job->out_size, job->do_normalize,
+                             job->out + stride * i)
+                     ? 1
+                     : 0;
+  }
+  return nullptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode+preprocess a batch of image files into out (n*size*size*3 float32,
+// NHWC). ok[i]=1 on success. Returns number of successes.
+int tapclip_decode_batch(const char** paths, int n, int out_size,
+                         int do_normalize, int num_threads, float* out,
+                         unsigned char* ok) {
+  BatchJob job;
+  job.paths = paths;
+  job.n = n;
+  job.out_size = out_size;
+  job.do_normalize = do_normalize;
+  job.out = out;
+  job.ok = ok;
+  int nt = std::max(1, std::min(num_threads, n));
+  std::vector<pthread_t> threads(nt > 1 ? nt - 1 : 0);
+  for (auto& t : threads) pthread_create(&t, nullptr, batch_worker, &job);
+  batch_worker(&job);
+  for (auto& t : threads) pthread_join(t, nullptr);
+  int good = 0;
+  for (int i = 0; i < n; ++i) good += ok[i];
+  return good;
+}
+
+// Single-image variant (testing / simple callers).
+int tapclip_decode_one(const char* path, int out_size, int do_normalize,
+                       float* out) {
+  return process_one(path, out_size, do_normalize, out) ? 1 : 0;
+}
+
+int tapclip_abi_version() { return 1; }
+
+}  // extern "C"

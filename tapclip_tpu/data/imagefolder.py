@@ -32,6 +32,15 @@ from tapclip_tpu.data.preprocess import make_preprocess
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff")
 
 
+def _native_available() -> bool:
+    try:
+        from tapclip_tpu.data import native
+
+        return native.available()
+    except Exception:
+        return False
+
+
 @dataclasses.dataclass
 class ImageFolderIndex:
     root: str
@@ -115,6 +124,7 @@ class Loader:
         num_workers: int = 4,
         preprocess: Optional[Callable] = None,
         drop_remainder: bool = False,
+        use_native: Optional[bool] = None,
     ):
         self.samples = list(samples)
         self.batch_size = batch_size
@@ -122,9 +132,14 @@ class Loader:
         self.seed = seed
         self.image_size = image_size
         self.num_workers = max(1, num_workers)
-        self.preprocess = preprocess or make_preprocess(image_size)
         self.drop_remainder = drop_remainder
         self._epoch = 0
+        # Native C++ decode path (bit-exact with the PIL pipeline) is used
+        # when no custom preprocess fn was supplied and the library builds.
+        if use_native is None:
+            use_native = preprocess is None and _native_available()
+        self.use_native = bool(use_native) and preprocess is None
+        self.preprocess = preprocess or make_preprocess(image_size)
 
     def __len__(self) -> int:
         n = len(self.samples)
@@ -143,6 +158,41 @@ class Loader:
         return np.arange(len(self.samples))
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        if self.use_native:
+            yield from self._iter_native()
+            return
+        yield from self._iter_python()
+
+    def _iter_native(self):
+        """Batch decode through the C++ pipeline (threaded inside)."""
+        from tapclip_tpu.data import native
+
+        order = self._order()
+        self._epoch += 1
+        B = self.batch_size
+        for b in range(len(self)):
+            idx = order[b * B : (b + 1) * B]
+            paths = [self.samples[i][0] for i in idx]
+            labels = np.asarray([self.samples[i][1] for i in idx], np.int32)
+            images, ok = native.decode_batch(
+                paths, self.image_size, num_threads=self.num_workers
+            )
+            if not ok.all():
+                # Formats the native decoder doesn't cover (webp/bmp/tiff)
+                # or corrupt-but-PIL-readable files: fall back per image.
+                for j in np.nonzero(~ok)[0]:
+                    images[j] = self.preprocess(paths[j])
+            mask = np.ones((len(idx),), bool)
+            if len(idx) < B:
+                pad = B - len(idx)
+                images = np.concatenate(
+                    [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+                )
+                labels = np.concatenate([labels, np.zeros((pad,), np.int32)])
+                mask = np.concatenate([mask, np.zeros((pad,), bool)])
+            yield images, labels, mask
+
+    def _iter_python(self):
         order = self._order()
         self._epoch += 1
         B = self.batch_size

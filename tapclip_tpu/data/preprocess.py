@@ -35,12 +35,17 @@ _STD = np.asarray(IMAGE_STD, np.float32)
 
 
 def resize_shorter_side(img: "Image.Image", size: int) -> "Image.Image":
-    """torchvision.Resize(int) semantics: shorter side -> size, keep aspect."""
+    """torchvision.Resize(int) semantics: shorter side -> size, keep aspect.
+
+    torchvision truncates the long side (``int(size * long / short)``,
+    _compute_resized_output_size) — matched exactly here and in the native
+    C++ pipeline.
+    """
     w, h = img.size
     if w <= h:
-        new_w, new_h = size, max(1, round(h * size / w))
+        new_w, new_h = size, max(1, int(size * h / w))
     else:
-        new_w, new_h = max(1, round(w * size / h)), size
+        new_w, new_h = max(1, int(size * w / h)), size
     return img.resize((new_w, new_h), Image.BICUBIC)
 
 

@@ -18,6 +18,7 @@ TPU-native rebuild of the model the reference wraps via open_clip
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -35,6 +36,16 @@ Params = Dict[str, Any]
 
 
 def init_clip_params(key: jax.Array, cfg: CLIPConfig) -> Params:
+    """Random-init the full param tree as ONE compiled program.
+
+    Unjitted, the ~200 individual RNG calls each dispatch separately — painful
+    on remote/tunneled devices; jit collapses them into a single executable.
+    """
+    return _init_clip_params_jit(key, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _init_clip_params_jit(key: jax.Array, cfg: CLIPConfig) -> Params:
     kv, kt, ke, kp, kc, kpe, ktp, kvp = jax.random.split(key, 8)
     vw, tw = cfg.vision_width, cfg.text_width
     patch_dim = cfg.patch_size * cfg.patch_size * 3

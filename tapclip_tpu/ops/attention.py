@@ -106,9 +106,17 @@ def multi_head_attention(
     attn_to_idx: Optional[int] = None,
     impl: str = "auto",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Dispatching attention entry point. Shapes as in attention_reference."""
+    """Dispatching attention entry point. Shapes as in attention_reference.
+
+    ``auto`` routing: the Pallas kernel's reason to exist is the attribution
+    aux output (materializing only the attention-to-EOT column); when no aux
+    is requested, XLA's batched fused attention is faster for CLIP's short
+    sequences than a sequential (B, H) kernel grid — so plain attention
+    stays on XLA and only aux-bearing calls lower to Pallas.
+    """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        use_pallas = jax.default_backend() == "tpu" and attn_to_idx is not None
+        impl = "pallas" if use_pallas else "xla"
     if impl == "xla":
         return attention_reference(
             q, k, v, causal=causal, kv_valid_len=kv_valid_len, attn_to_idx=attn_to_idx

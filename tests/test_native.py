@@ -1,0 +1,81 @@
+"""Native C++ image pipeline tests: bit-exact parity with the PIL path.
+
+The native library is built on demand (g++ + libjpeg/libpng); tests skip if
+the toolchain is unavailable rather than fail.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tapclip_tpu.data import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason=f"native pipeline unavailable: {native.build_error()}"
+)
+
+
+@pytest.fixture(scope="module")
+def images(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("native"))
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, (h, w) in enumerate([(224, 224), (457, 300), (100, 640), (64, 64), (301, 299)]):
+        arr = rng.integers(0, 255, (h, w, 3), np.uint8)
+        p = os.path.join(root, f"p{i}.png")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+        j = os.path.join(root, f"j{i}.jpg")
+        Image.fromarray(arr).save(j, quality=90)
+        paths.append(j)
+    return paths
+
+
+def test_bit_exact_vs_pil(images):
+    from tapclip_tpu.data.preprocess import preprocess_path
+
+    for p in images:
+        a = native.decode_one(p, 224)
+        b = preprocess_path(p, 224)
+        np.testing.assert_array_equal(a, b, err_msg=p)
+
+
+def test_batch_decode(images):
+    out, ok = native.decode_batch(images, 112, num_threads=2)
+    assert out.shape == (len(images), 112, 112, 3)
+    assert ok.all()
+
+
+def test_unnormalized_range(images):
+    out = native.decode_one(images[0], 64, do_normalize=False)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_corrupt_file(tmp_path):
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"not an image at all")
+    _, ok = native.decode_batch([bad], 32)
+    assert not ok[0]
+    with pytest.raises(IOError):
+        native.decode_one(bad, 32)
+
+
+def test_loader_uses_native(tmp_path):
+    from tapclip_tpu.data.imagefolder import Loader
+    from tapclip_tpu.data.synthetic import build_imagefolder
+
+    root = str(tmp_path / "tree")
+    build_imagefolder(root, ["A"], per_class=5, image_size=40)
+    samples = [(os.path.join(root, "A", f), 0) for f in sorted(os.listdir(root + "/A"))]
+    loader = Loader(samples, batch_size=3, image_size=32)
+    assert loader.use_native
+    batches = list(loader)
+    assert batches[0][0].shape == (3, 32, 32, 3)
+    # parity against the pure-python loader path
+    loader_py = Loader(samples, batch_size=3, image_size=32, use_native=False)
+    for (a, la, ma), (b, lb, mb) in zip(batches, loader_py):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(la, lb)
