@@ -69,12 +69,17 @@ def main():
     trainable = init_trainable(jax.random.PRNGKey(1), learner, pcfg)
     bank = learner.bank
 
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.standard_normal((batch, cfg.image_size, cfg.image_size, 3)),
-        jnp.float32,
-    )
-    labels = jnp.asarray(rng.integers(0, 5, batch), jnp.int32)
+    # Generate the batch on device (host->device transfer of a 224px batch
+    # over a tunneled link costs minutes; RNG on the chip is instant).
+    key = jax.random.PRNGKey(0)
+    images = jax.jit(
+        lambda k: jax.random.normal(
+            k, (batch, cfg.image_size, cfg.image_size, 3), jnp.float32
+        )
+    )(key)
+    labels = jax.jit(
+        lambda k: jax.random.randint(k, (batch,), 0, 5, jnp.int32)
+    )(key)
     mask = jnp.ones((batch,), bool)
 
     optimizer = make_optimizer(TrainConfig())

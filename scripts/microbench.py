@@ -63,12 +63,15 @@ def main():
     )
     trainable = init_trainable(jax.random.PRNGKey(1), learner, pcfg)
     bank = learner.bank
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.standard_normal((batch, cfg.image_size, cfg.image_size, 3)), jnp.float32
-    )
-    labels = jnp.asarray(rng.integers(0, 5, batch), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    images = jax.jit(
+        lambda k: jax.random.normal(
+            k, (batch, cfg.image_size, cfg.image_size, 3), jnp.float32
+        )
+    )(key)
+    labels = jax.jit(lambda k: jax.random.randint(k, (batch,), 0, 5, jnp.int32))(key)
     mask = jnp.ones((batch,), bool)
+    rng = np.random.default_rng(0)
 
     img_fwd = jax.jit(lambda p, x: clip_model.encode_image(p, cfg, x))
     t = timeit(img_fwd, params, images)

@@ -44,6 +44,8 @@ from tapclip_tpu.ops.attention import attention_reference
 
 _LANE = 128
 _MAX_SINGLE_BLOCK_T = 2048
+_Q_BLOCK = 512
+_KV_BLOCK = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -110,6 +112,96 @@ def _attn_kernel(
         aux_ref[0, h, :] = jnp.sum(p_norm * onehot, axis=-1)
 
 
+def _blocked_attn_kernel(
+    valid_ref,  # SMEM [B]
+    eot_ref,  # SMEM [B]
+    q_ref,  # VMEM [1, 1, Qb, Dh] — one query block
+    k_ref,  # VMEM [1, 1, Tp, Dh] — full keys for this (b, h)
+    v_ref,  # VMEM [1, 1, Tp, Dh]
+    o_ref,  # VMEM [1, 1, Qb, Dh]
+    aux_ref,  # VMEM [1, H, Tp] or None — revisited block; program (b,h,qb)
+    # writes row h, columns [qb*Qb, (qb+1)*Qb)
+    *,
+    scale: float,
+    causal: bool,
+    with_aux: bool,
+    q_block: int,
+    kv_block: int,
+):
+    """Online-softmax flash attention: KV processed in chunks.
+
+    Keys/values stay resident in VMEM (fine to ~16k tokens bf16); only the
+    [Qb, KVb] score tile is materialized per step, so memory is O(T·Dh +
+    Qb·KVb) instead of O(T²).
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi_blk = pl.program_id(2)
+    valid = valid_ref[b]
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [Qb, Dh]
+    Tp = k_ref.shape[2]
+    Qb = q.shape[0]
+    n_kv = Tp // kv_block
+    q_start = qi_blk * q_block
+
+    neg = jnp.float32(-1e30)
+    m0 = jnp.full((Qb, 1), neg, jnp.float32)
+    l0 = jnp.zeros((Qb, 1), jnp.float32)
+    acc0 = jnp.zeros((Qb, q_ref.shape[3]), jnp.float32)
+
+    q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (Qb, kv_block), 0)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k_chunk = k_ref[0, 0, pl.ds(i * kv_block, kv_block), :].astype(jnp.float32)
+        v_chunk = v_ref[0, 0, pl.ds(i * kv_block, kv_block), :]
+        s = jax.lax.dot_general(
+            q, k_chunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Qb, KVb]
+        k_ids = i * kv_block + jax.lax.broadcasted_iota(
+            jnp.int32, (Qb, kv_block), 1
+        )
+        mask = k_ids < valid
+        if causal:
+            mask = jnp.logical_and(mask, k_ids <= q_ids)
+        s = jnp.where(mask, s, neg)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v_chunk.dtype),
+            v_chunk,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+
+    if with_aux:
+        # attention of each query in this block to key position eot:
+        # exp(q . k_eot - m) / l  (k_eot row fetched once).
+        eot = eot_ref[b]
+        k_eot = k_ref[0, 0, pl.ds(eot, 1), :].astype(jnp.float32)  # [1, Dh]
+        s_eot = jax.lax.dot_general(
+            q, k_eot, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Qb, 1]
+        col = jnp.exp(s_eot - m) / l_safe  # [Qb, 1]
+        # The loop masked invalid/causal-excluded keys out of (m, l); the
+        # recomputed eot score must honor the same mask explicitly.
+        q_rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (Qb, 1), 0)
+        ok = jnp.full((Qb, 1), eot < valid)
+        if causal:
+            ok = jnp.logical_and(ok, eot <= q_rows)
+        col = jnp.where(ok, col, 0.0)
+        aux_ref[0, h, pl.ds(q_start, Qb)] = col[:, 0]
+
+
 def _pallas_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -120,12 +212,13 @@ def _pallas_attention(
     causal: bool,
     with_aux: bool,
     interpret: bool = False,
+    force_blocked: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     B, H, T, Dh = q.shape
     Tp = _round_up(max(T, 8), _LANE)
-    if Tp > _MAX_SINGLE_BLOCK_T:
-        raise NotImplementedError(
-            f"single-block fused attention supports T<={_MAX_SINGLE_BLOCK_T}, got {T}"
+    if Tp > _MAX_SINGLE_BLOCK_T or force_blocked:
+        return _pallas_attention_blocked(
+            q, k, v, valid, eot, causal=causal, with_aux=with_aux, interpret=interpret
         )
     pad = [(0, 0), (0, 0), (0, Tp - T), (0, 0)]
     qp = jnp.pad(q, pad)
@@ -182,6 +275,65 @@ def _pallas_attention(
 
 def _no_aux_adapter(kernel, valid_ref, eot_ref, q_ref, k_ref, v_ref, o_ref):
     kernel(valid_ref, eot_ref, q_ref, k_ref, v_ref, o_ref, None)
+
+
+def _pallas_attention_blocked(
+    q, k, v, valid, eot, *, causal, with_aux, interpret=False
+):
+    """Blockwise (online-softmax) path for sequences past the single-block cap."""
+    B, H, T, Dh = q.shape
+    kv_block = _KV_BLOCK
+    q_block = min(_Q_BLOCK, _round_up(max(T, 8), _LANE))
+    Tp = _round_up(max(T, 8), max(q_block, kv_block))
+    pad = [(0, 0), (0, 0), (0, Tp - T), (0, 0)]
+    qp = jnp.pad(q, pad)
+    kp = jnp.pad(k, pad)
+    vp = jnp.pad(v, pad)
+    n_q = Tp // q_block
+
+    kernel = functools.partial(
+        _blocked_attn_kernel,
+        scale=Dh ** -0.5,
+        causal=causal,
+        with_aux=with_aux,
+        q_block=q_block,
+        kv_block=kv_block,
+    )
+    out_shapes = [jax.ShapeDtypeStruct((B, H, Tp, Dh), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, 1, q_block, Dh), lambda b, h, qb, *_: (b, h, qb, 0)),
+    ]
+    if with_aux:
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, Tp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, H, Tp), lambda b, h, qb, *_: (b, 0, 0)))
+    else:
+        kernel = functools.partial(_no_aux_adapter, kernel)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, H, n_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, q_block, Dh), lambda b, h, qb, *_: (b, h, qb, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda b, h, qb, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda b, h, qb, *_: (b, h, 0, 0)),
+        ],
+        out_specs=tuple(out_specs),
+    )
+    results = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shapes),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * Tp * Tp * Dh,
+            bytes_accessed=4 * B * H * Tp * Dh * q.dtype.itemsize,
+            transcendentals=B * H * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), eot.astype(jnp.int32), qp, kp, vp)
+
+    out = results[0][:, :, :T, :]
+    aux = results[1][:, :, :T].mean(axis=1) if with_aux else None
+    return out, aux
 
 
 # ---------------------------------------------------------------------------

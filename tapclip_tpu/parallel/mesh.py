@@ -50,6 +50,30 @@ def single_device_mesh() -> Mesh:
     return make_mesh(dp=1, tp=1)
 
 
+def make_multihost_mesh(dp_per_host: int = -1, tp: int = 1) -> Mesh:
+    """Multi-host ("dcn", "ici")-aware mesh.
+
+    DP spans hosts (gradient reduction rides DCN between hosts, ICI within),
+    TP stays within a host's ICI domain.  Uses
+    ``mesh_utils.create_hybrid_device_mesh`` when multiple processes are
+    present; degenerates to :func:`make_mesh` on a single host.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return make_mesh(dp=dp_per_host, tp=tp)
+    from jax.experimental import mesh_utils
+
+    n_local = jax.local_device_count()
+    if dp_per_host == -1:
+        dp_per_host = n_local // tp
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(dp_per_host, tp),
+        dcn_mesh_shape=(jax.process_count(), 1),
+    )
+    return Mesh(devices.reshape(-1, tp), (DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 

@@ -58,6 +58,9 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--synthetic-data", action="store_true",
                    help="generate a synthetic ImageFolder (smoke/benchmarks)")
     p.add_argument("--profile-dir", default=None, help="jax.profiler trace dir")
+    p.add_argument("--resume", default=None,
+                   help="Orbax checkpoint dir to resume training from "
+                        "(restores prompt params + optimizer state + step)")
     return p
 
 
@@ -195,8 +198,22 @@ def main(argv: Optional[List[str]] = None) -> dict:
         log.info("zero-shot accuracy: %.2f%%", acc)
         return {"best_acc": acc, "paths": paths}
 
+    resume_state = None
+    if args.resume:
+        from tapclip_tpu.utils.checkpoint import restore_prompt_checkpoint
+
+        tree = restore_prompt_checkpoint(args.resume)
+        resume_state = {
+            "trainable": tree["trainable"],
+            "opt_state": tree.get("opt_state"),
+            "step": tree["meta"].get("step", 0),
+        }
+        log.info("resuming from %s (step %s)", args.resume, resume_state["step"])
+
     with maybe_profile(args.profile_dir):
-        result = fit_prompt_model(model, train_loader, val_loader, cfg.train)
+        result = fit_prompt_model(
+            model, train_loader, val_loader, cfg.train, resume_state=resume_state
+        )
 
     log.info("best val accuracy: %.2f%% (after %d epochs)",
              result.best_acc, result.epochs_run)
@@ -210,7 +227,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
         trainable=result.best_trainable,
         bank=model.prompt_learner.bank,
         class_names=model.class_names,
-        step=result.epochs_run,
+        opt_state=(result.final_state.opt_state if result.final_state else None),
+        step=(int(result.final_state.step) if result.final_state else result.epochs_run),
         extra_meta={"best_acc": result.best_acc, "preset": args.preset},
     )
     log.info("model saved: %s", ckpt_path)

@@ -35,6 +35,27 @@ from tapclip_tpu.utils.logging_utils import StepTimer
 log = logging.getLogger("tapclip_tpu")
 
 
+def _restore_opt_state(template, restored):
+    """Rehydrate a checkpointed optimizer state into the optax structure.
+
+    Orbax restores without a target lose NamedTuple types; leaf order is
+    stable, so unflatten the restored leaves into the template's treedef.
+    """
+    if restored is None:
+        return template
+    leaves = jax.tree.leaves(restored)
+    treedef = jax.tree.structure(template)
+    tmpl_leaves = jax.tree.leaves(template)
+    if len(leaves) != len(tmpl_leaves):
+        raise ValueError(
+            f"optimizer state mismatch: {len(leaves)} leaves vs {len(tmpl_leaves)}"
+        )
+    return jax.tree.unflatten(
+        treedef,
+        [jnp.asarray(l).astype(t.dtype) for l, t in zip(leaves, tmpl_leaves)],
+    )
+
+
 @dataclasses.dataclass
 class CachedSet:
     feats: np.ndarray  # [N, E] unnormalized image-tower features
@@ -67,15 +88,24 @@ def _batches(cached: CachedSet, batch_size: int, *, shuffle: bool, seed: int):
 
 
 def evaluate_cached(
-    model: FullModel, cached: CachedSet, batch_size: int = 256
+    model: FullModel, cached: CachedSet, batch_size: int = 256, mesh=None
 ) -> Tuple[float, Dict[int, float]]:
-    """(overall %, per-class %) on cached features."""
+    """(overall %, per-class %) on cached features.
+
+    With ``mesh``, each batch is sharded over the ``data`` axis before the
+    jitted step — the "one batched, sharded inference pass" of the
+    BASELINE.json north star.
+    """
     eval_step = make_eval_step(model.clip_cfg, model.prompt_cfg)
     correct = total = 0
     C = model.prompt_learner.bank.capacity
     pcc = np.zeros(C, np.int64)
     pct = np.zeros(C, np.int64)
     for feats, labels, mask in _batches(cached, batch_size, shuffle=False, seed=0):
+        if mesh is not None:
+            from tapclip_tpu.parallel.sharding import shard_batch
+
+            feats, labels, mask = shard_batch((feats, labels, mask), mesh)
         out = eval_step(
             model.clip_params, model.trainable, model.prompt_learner.bank, feats, labels, mask
         )
@@ -99,6 +129,8 @@ class FitResult:
     per_class_history: Dict[str, List[float]]
     epochs_run: int
     steps_per_sec: float = float("nan")
+    final_state: Any = None  # TrainState (params + optimizer state) for resume
+    attr_entropy: List[float] = dataclasses.field(default_factory=list)
 
 
 def fit_prompt_model(
@@ -111,15 +143,32 @@ def fit_prompt_model(
     eval_every: int = 1,
     track_best: bool = True,
     verbose: bool = True,
+    resume_state=None,
 ) -> FitResult:
-    """Reference train loop (train.py:90-128) over cached features."""
+    """Reference train loop (train.py:90-128) over cached features.
+
+    ``resume_state``: a restored ``{"trainable": ..., "opt_state": ...,
+    "step": int}`` dict for exact mid-training resume (the reference never
+    saves optimizer state, SURVEY.md §5 — we do).
+    """
     epochs = epochs if epochs is not None else train_cfg.epochs
     encoder = make_image_encoder(model.clip_cfg)
     train_cache = cache_features(model, train_loader, encoder)
     val_cache = cache_features(model, val_loader, encoder) if val_loader else None
 
     optimizer = make_optimizer(train_cfg)
-    state = init_train_state(model.trainable, optimizer)
+    if resume_state is not None:
+        from tapclip_tpu.parallel.train_step import TrainState
+
+        base = init_train_state(model.trainable, optimizer)
+        state = TrainState(
+            step=jnp.asarray(resume_state.get("step", 0), jnp.int32),
+            params=jax.tree.map(jnp.asarray, dict(resume_state["trainable"])),
+            opt_state=_restore_opt_state(base.opt_state, resume_state.get("opt_state")),
+        )
+        model.trainable = state.params
+    else:
+        state = init_train_state(model.trainable, optimizer)
     step_fn = make_train_step(model.clip_cfg, model.prompt_cfg, optimizer)
     bank = model.prompt_learner.bank
     clip_params = model.clip_params
@@ -129,9 +178,25 @@ def fit_prompt_model(
     patience_ctr = 0
     acc_hist: List[float] = []
     loss_hist: List[float] = []
+    ent_hist: List[float] = []
     per_class_hist: Dict[str, List[float]] = {n: [] for n in model.class_names}
     timer = StepTimer(warmup=1)
     n_steps = 0
+
+    # Per-epoch attribution entropy (the reference defines this metric but
+    # never calls it, eval_metrics.py:76-81; we surface it).  Attribution is
+    # class-level, so this is one tiny jitted text pass.
+    from tapclip_tpu.models.attribution_monitor import attribution_entropy
+    from tapclip_tpu.models.model_wrapper import text_features_with_attribution
+
+    n_cls = model.n_cls
+
+    @jax.jit
+    def _attr_entropy(ctx, adjustor):
+        _, attribution = text_features_with_attribution(
+            clip_params, ctx, bank, model.clip_cfg, model.prompt_cfg, adjustor
+        )
+        return attribution_entropy(attribution[:n_cls])
 
     for epoch in range(1, epochs + 1):
         epoch_loss, n_batches = 0.0, 0
@@ -147,6 +212,9 @@ def fit_prompt_model(
         avg_loss = epoch_loss / max(n_batches, 1)
         loss_hist.append(avg_loss)
         model.trainable = state.params
+        ent_hist.append(
+            float(_attr_entropy(state.params["ctx"], state.params["adjustor"]))
+        )
 
         if val_cache is not None and epoch % eval_every == 0:
             acc, per_class = evaluate_cached(model, val_cache)
@@ -155,10 +223,11 @@ def fit_prompt_model(
                 per_class_hist[name].append(per_class.get(i, 0.0))
             if verbose:
                 log.info(
-                    "[Epoch %d] avg train loss: %.4f | val acc: %.2f%%",
+                    "[Epoch %d] avg train loss: %.4f | val acc: %.2f%% | attr entropy: %.4f",
                     epoch,
                     avg_loss,
                     acc,
+                    ent_hist[-1],
                 )
             if track_best:
                 if acc > best_acc:
@@ -183,6 +252,8 @@ def fit_prompt_model(
         per_class_history=per_class_hist,
         epochs_run=len(loss_hist),
         steps_per_sec=1.0 / timer.mean_step_s if n_steps > 2 else float("nan"),
+        final_state=state,
+        attr_entropy=ent_hist,
     )
 
 
