@@ -83,30 +83,52 @@ def main():
     mask = jnp.ones((batch,), bool)
 
     optimizer = make_optimizer(TrainConfig())
+    # Measurement protocol notes (tunneled-TPU hazards, measured here):
+    #  * Per-step host read-backs cost a full RTT (~125 ms) — never in the
+    #    timed loop.
+    #  * Per-step EAGER ops (even tiny scalar math) add ~100 ms/step of
+    #    dispatch overhead — the timed loop must dispatch exactly one jitted
+    #    call per step.
+    #  * Identical (executable, args) executions can be cached by the relay —
+    #    train mode is naturally safe (the optimizer state differs every
+    #    step); eval mode cycles pre-generated distinct batches.
     if mode == "train":
         step = make_train_step(cfg, pcfg, optimizer, use_image_feats=False)
         state = init_train_state(trainable, optimizer)
 
-        def run():
+        def run(i):
             nonlocal state
             state, metrics = step(params, state, bank, images, labels, mask)
             return metrics["loss"]
 
     else:
         estep = make_eval_step(cfg, pcfg, use_image_feats=False)
+        n_variants = 8
+        variants = [
+            jax.jit(
+                lambda k: jax.random.normal(
+                    k, (batch, cfg.image_size, cfg.image_size, 3), jnp.float32
+                )
+            )(jax.random.PRNGKey(100 + i))
+            for i in range(n_variants)
+        ]
+        jax.block_until_ready(variants)
 
-        def run():
-            return estep(params, trainable, bank, images, labels, mask)["correct"]
+        def run(i):
+            return estep(
+                params, trainable, bank, variants[i % n_variants], labels, mask
+            )["correct"]
 
     # Warmup / compile.
     t0 = time.perf_counter()
-    jax.block_until_ready(run())
+    out = run(0)
+    jax.block_until_ready(out)
     print(f"[bench] compile+first step: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    jax.block_until_ready(run())
+    jax.block_until_ready(run(1))
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = run()
+    for i in range(steps):
+        out = run(i)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
