@@ -52,11 +52,22 @@ def evaluate_grid(
     fine_tune_fn=None,
     restore_fn=None,
 ):
-    """shots x domains accuracy grid over cached per-domain features."""
-    from tapclip_tpu.data.imagefolder import get_dataloaders
-    from tapclip_tpu.trainer import cache_features, evaluate_cached
+    """shots x domains accuracy grid over path-cached per-domain features.
+
+    Features are keyed by image path (``trainer.PathFeatureCache``): the
+    frozen image tower runs exactly once per distinct image across ALL cells
+    of the grid — the "one batched, sharded inference pass" of the
+    BASELINE.json north star, vs the reference re-encoding every cell
+    (``test_cross_domain.py:72-85``).
+    """
+    from tapclip_tpu.data.imagefolder import ImageFolderIndex, few_shot_split
+    from tapclip_tpu.trainer import PathFeatureCache, evaluate_cached
 
     log = logging.getLogger("tapclip_tpu")
+    cache = PathFeatureCache(model, preprocess=preprocess)
+    indexes = {
+        d: ImageFolderIndex.scan(os.path.join(domain_root, d)) for d in domains
+    }
     results = []
     for num_shots in shots_list:
         shot_type = f"{num_shots}-shot" if num_shots > 0 else "Zero-Shot"
@@ -64,19 +75,10 @@ def evaluate_grid(
             log.info("[%s] evaluating on %s domain...", shot_type, domain)
             if restore_fn is not None:
                 restore_fn(model)  # fresh state per cell (test_cross_domain2.py:71-81)
-            train_loader, val_loader = get_dataloaders(
-                os.path.join(domain_root, domain),
-                class_names,
-                batch_size=batch_size,
-                num_shots=num_shots,
-                preprocess=preprocess,
-                seed=seed,
-                image_size=model.clip_cfg.image_size,
-                verbose=False,
-            )
-            if fine_tune_fn is not None and num_shots > 0 and train_loader is not None:
-                fine_tune_fn(model, train_loader)
-            acc, _ = evaluate_cached(model, cache_features(model, val_loader))
+            split = few_shot_split(indexes[domain], class_names, num_shots, seed=seed)
+            if fine_tune_fn is not None and num_shots > 0 and split.train:
+                fine_tune_fn(model, cache.gather(split.train))
+            acc, _ = evaluate_cached(model, cache.gather(split.val))
             log.info("[%s/%s] accuracy: %.2f%%", shot_type, domain, acc)
             results.append({"Domain": domain, "Shots": shot_type, "Accuracy": acc})
     return results

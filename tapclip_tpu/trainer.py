@@ -69,6 +69,64 @@ def cache_features(model: FullModel, loader, encoder=None) -> CachedSet:
     return CachedSet(feats=feats, labels=labels)
 
 
+class PathFeatureCache:
+    """Frozen-tower features keyed by image path.
+
+    The cross-domain transfer grid (``test_cross_domain*.py``) evaluates each
+    domain under several ``num_shots`` settings whose val splits overlap
+    almost entirely; the reference re-decodes and re-encodes every image for
+    every cell (SURVEY.md §3.5).  Keying features by path makes the whole
+    grid cost ONE image-tower pass per distinct image.
+    """
+
+    def __init__(
+        self,
+        model: FullModel,
+        *,
+        batch_size: int = 128,
+        preprocess=None,
+        num_workers: int = 4,
+    ):
+        from tapclip_tpu.parallel.train_step import make_image_encoder
+
+        self.model = model
+        self.batch_size = batch_size
+        self.preprocess = preprocess
+        self.num_workers = num_workers
+        self._encoder = make_image_encoder(model.clip_cfg)
+        self._feats: Dict[str, np.ndarray] = {}
+
+    def ensure(self, paths) -> None:
+        from tapclip_tpu.data.imagefolder import Loader
+
+        missing = [p for p in dict.fromkeys(paths) if p not in self._feats]
+        if not missing:
+            return
+        loader = Loader(
+            [(p, 0) for p in missing],
+            self.batch_size,
+            image_size=self.model.clip_cfg.image_size,
+            preprocess=self.preprocess,
+            num_workers=self.num_workers,
+        )
+        it = iter(missing)
+        for images, _, mask in loader:
+            f = np.asarray(self._encoder(self.model.clip_params, jnp.asarray(images)))
+            for row, ok in zip(f, np.asarray(mask)):
+                if ok:
+                    self._feats[next(it)] = row
+
+    def gather(self, samples) -> CachedSet:
+        """``samples``: [(path, label)] -> CachedSet (encoding on demand)."""
+        self.ensure([p for p, _ in samples])
+        feats = np.stack([self._feats[p] for p, _ in samples])
+        labels = np.asarray([lb for _, lb in samples], np.int32)
+        return CachedSet(feats=feats, labels=labels)
+
+    def __len__(self) -> int:
+        return len(self._feats)
+
+
 def _batches(cached: CachedSet, batch_size: int, *, shuffle: bool, seed: int):
     n = len(cached.labels)
     order = (
@@ -153,8 +211,17 @@ def fit_prompt_model(
     """
     epochs = epochs if epochs is not None else train_cfg.epochs
     encoder = make_image_encoder(model.clip_cfg)
-    train_cache = cache_features(model, train_loader, encoder)
-    val_cache = cache_features(model, val_loader, encoder) if val_loader else None
+    # Loaders and pre-cached feature sets are both accepted.
+    train_cache = (
+        train_loader
+        if isinstance(train_loader, CachedSet)
+        else cache_features(model, train_loader, encoder)
+    )
+    val_cache = (
+        val_loader
+        if isinstance(val_loader, CachedSet)
+        else (cache_features(model, val_loader, encoder) if val_loader else None)
+    )
 
     optimizer = make_optimizer(train_cfg)
     if resume_state is not None:
