@@ -92,13 +92,25 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 _ACTS = {"gelu": functools.partial(jax.nn.gelu, approximate=False), "quick_gelu": quick_gelu}
 
 
-def mlp_forward(x: jnp.ndarray, p: Params, act: str) -> jnp.ndarray:
+def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """``[..., In] @ [In, Out]`` with f32 accumulation.
+
+    Kept as a direct N-D contraction: measured on v5e (ViT-B/16 bs=256),
+    XLA's native lowering of the 3-D dot (a convolution-style emitter) beats
+    both an explicit ``[B*T, In]`` flatten (relayout copies when T is not a
+    sublane multiple: 1670 img/s) and flatten+sequence-padding-to-8 with
+    masked attention (1917 img/s) vs 2081 img/s for this form.
+    """
     dtype = x.dtype
-    h = jnp.dot(x, p["w_fc"].astype(dtype), preferred_element_type=jnp.float32)
-    h = (h + p["b_fc"].astype(jnp.float32)).astype(dtype)
-    h = _ACTS[act](h)
-    y = jnp.dot(h, p["w_proj"].astype(dtype), preferred_element_type=jnp.float32)
-    return (y + p["b_proj"].astype(jnp.float32)).astype(dtype)
+    y = jnp.dot(x, w.astype(dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def mlp_forward(x: jnp.ndarray, p: Params, act: str) -> jnp.ndarray:
+    h = _ACTS[act](dense(x, p["w_fc"], p["b_fc"]))
+    return dense(h, p["w_proj"], p["b_proj"])
 
 
 def attn_forward(
@@ -115,8 +127,7 @@ def attn_forward(
     B, T, W = x.shape
     dtype = x.dtype
     Dh = W // n_heads
-    qkv = jnp.dot(x, p["w_qkv"].astype(dtype), preferred_element_type=jnp.float32)
-    qkv = (qkv + p["b_qkv"].astype(jnp.float32)).astype(dtype)
+    qkv = dense(x, p["w_qkv"], p["b_qkv"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     resolved = impl
@@ -145,8 +156,7 @@ def attn_forward(
         impl=resolved,
     )
     out = out.transpose(0, 2, 1, 3).reshape(B, T, W)
-    y = jnp.dot(out, p["w_out"].astype(dtype), preferred_element_type=jnp.float32)
-    return (y + p["b_out"].astype(jnp.float32)).astype(dtype), aux
+    return dense(out, p["w_out"], p["b_out"]), aux
 
 
 def block_forward(

@@ -1,0 +1,89 @@
+"""Contrastive pretraining tests: local loss, global-batch collectives on the
+virtual 8-device mesh, and a train step that actually learns."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tapclip_tpu.models import clip as C
+from tapclip_tpu.parallel.mesh import make_mesh
+from tapclip_tpu.parallel.sharding import replicate, shard_batch, shard_params
+from tapclip_tpu.pretrain import (
+    contrastive_loss_global,
+    contrastive_loss_local,
+    make_pretrain_step,
+)
+
+
+def test_local_loss_perfect_alignment_is_low(rng):
+    feats = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    scale = jnp.asarray(np.log(100.0), jnp.float32)
+    aligned = contrastive_loss_local(feats, feats, scale)
+    shuffled = contrastive_loss_local(feats, feats[::-1], scale)
+    assert float(aligned) < float(shuffled)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_global_loss_matches_local(rng):
+    """All-gathered global-batch loss == single-device loss on the same data."""
+    img = jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)
+    scale = jnp.asarray(2.0, jnp.float32)
+    local = contrastive_loss_local(img, txt, scale)
+
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        img_s, txt_s = shard_batch((img, txt), mesh)
+        global_loss = jax.jit(
+            lambda a, b, s: contrastive_loss_global(a, b, s, mesh)
+        )(img_s, txt_s, scale)
+    np.testing.assert_allclose(float(global_loss), float(local), rtol=1e-5)
+
+
+def test_pretrain_step_learns(tiny_cfg, rng):
+    """A few steps on a fixed tiny batch should reduce the contrastive loss."""
+    cfg = tiny_cfg
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    step = make_pretrain_step(cfg, opt)
+    opt_state = opt.init(params)
+
+    images = jnp.asarray(
+        rng.standard_normal((4, cfg.image_size, cfg.image_size, 3)), jnp.float32
+    )
+    ids = jnp.asarray(
+        rng.integers(1, cfg.vocab_size - 2, (4, cfg.context_length)), jnp.int32
+    )
+    ids = ids.at[:, 0].set(cfg.vocab_size - 2).at[:, -1].set(cfg.vocab_size - 1)
+
+    losses = []
+    for _ in range(10):
+        params, opt_state, m = step(params, opt_state, images, ids)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert float(params["logit_scale"]) <= float(np.log(100.0)) + 1e-6
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pretrain_step_sharded(tiny_cfg, rng):
+    cfg = tiny_cfg
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    mesh = make_mesh(dp=8, tp=1)
+    step = make_pretrain_step(cfg, opt, mesh=mesh)
+
+    images = jnp.asarray(
+        rng.standard_normal((16, cfg.image_size, cfg.image_size, 3)), jnp.float32
+    )
+    ids = jnp.asarray(
+        rng.integers(1, cfg.vocab_size - 2, (16, cfg.context_length)), jnp.int32
+    )
+    with mesh:
+        params_d = shard_params(params, mesh)
+        opt_state = replicate(opt.init(params), mesh)
+        images_d, ids_d = shard_batch((images, ids), mesh)
+        params_d, opt_state, m = step(params_d, opt_state, images_d, ids_d)
+        params_d, opt_state, m2 = step(params_d, opt_state, images_d, ids_d)
+    assert np.isfinite(float(m2["loss"]))
