@@ -265,7 +265,17 @@ def fit_prompt_model(
         )
         return attribution_entropy(attribution[:n_cls])
 
-    for epoch in range(1, epochs + 1):
+    # tqdm epoch progress (reference: train.py:94,106); falls back silently.
+    epoch_iter = range(1, epochs + 1)
+    if verbose:
+        try:
+            from tqdm import tqdm
+
+            epoch_iter = tqdm(epoch_iter, desc="epochs", ncols=100, leave=False)
+        except ImportError:
+            pass
+
+    for epoch in epoch_iter:
         epoch_loss, n_batches = 0.0, 0
         for feats, labels, mask in _batches(
             train_cache, train_cfg.batch_size, shuffle=True, seed=train_cfg.seed + epoch
