@@ -128,17 +128,28 @@ def attn_forward(
     dtype = x.dtype
     Dh = W // n_heads
     qkv = dense(x, p["w_qkv"], p["b_qkv"])
-    q, k, v = jnp.split(qkv, 3, axis=-1)
 
     resolved = impl
     if resolved == "auto":
         import jax as _jax
 
-        resolved = (
-            "pallas"
-            if _jax.default_backend() == "tpu" and attn_to_idx is not None
-            else "xla"
-        )
+        if _jax.default_backend() == "tpu":
+            if attn_to_idx is not None:
+                resolved = "pallas"  # needs the attribution aux column
+            elif not causal and kv_valid_len is None:
+                resolved = "fused"  # packed-QKV fast path (vision tower)
+            else:
+                resolved = "xla"
+        else:
+            resolved = "xla"
+
+    if resolved == "fused":
+        from tapclip_tpu.ops.fused_mha import fused_mha
+
+        out = fused_mha(qkv, n_heads)
+        return dense(out, p["w_out"], p["b_out"]), None
+
+    q, k, v = jnp.split(qkv, 3, axis=-1)
 
     # NOTE: a transpose-free [B,T,H,Dh] einsum variant ("bqhd,bkhd->bhqk")
     # was measured ~2x SLOWER end-to-end on v5e (230 vs 123 ms/step at

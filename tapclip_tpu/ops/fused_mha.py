@@ -1,0 +1,197 @@
+"""Fused multi-head attention over packed QKV (vision-tower hot path).
+
+Motivation (measured on v5e, ViT-B/16 bs=256): XLA's attention lowering
+materializes the ``[B, H, T, T]`` probability tensor in HBM and needs four
+layout copies per block for the head split/merge transposes — together a
+meaningful slice of the ~10 ms/layer vision cost.  This kernel:
+
+* consumes the packed ``[B, T, 3W]`` QKV projection directly (no head
+  transpose in XLA-land; heads are sliced inside VMEM),
+* keeps each ``[T, T]`` score tile in VMEM scratch (never in HBM),
+* writes the attention output back as ``[B, T, W]`` — exactly the layout the
+  out-projection GEMM wants.
+
+Grid: ``(B / bB,)`` batch blocks; heads iterated as a static Python loop in
+the kernel (each head's matmuls hit the MXU back to back).  Sequence length
+is padded to a sublane multiple by the caller; padded keys are masked.
+
+Scope: forward-only, no causal/aux support — this is the frozen-image-tower
+fast path. The general kernel (masks, EOT aux column, custom VJP) lives in
+``flash_attention.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _mha_kernel(
+    qkv_ref,  # VMEM [bB, Tp, 3W]
+    o_ref,  # VMEM [bB, Tp, W]
+    *,
+    n_heads: int,
+    width: int,
+    valid: int,
+    scale: float,
+):
+    bB, Tp, _ = qkv_ref.shape
+    Dh = width // n_heads
+    ki = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    key_mask = ki < valid
+    neg = jnp.float32(-1e30)
+
+    # fori_loop over (batch-in-block, head-group) — an unrolled Python loop
+    # blows up Mosaic compile time (>10 min remote compile for 48 static
+    # iterations).  Dynamic lane-dim slices must be 128-aligned, so heads are
+    # processed in groups of 128/Dh lanes and split statically in-register.
+    heads_per_group = max(1, 128 // Dh)
+    assert n_heads % heads_per_group == 0, (n_heads, Dh)
+    n_groups = n_heads // heads_per_group
+    group_w = heads_per_group * Dh  # 128 (or Dh when Dh >= 128)
+
+    def one_head(q, k, v):
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(key_mask, s * scale, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        return jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def body(idx, carry):
+        b = idx // n_groups
+        g = idx % n_groups
+        off = pl.multiple_of(g * group_w, group_w)
+        qg = qkv_ref[b, :, pl.ds(off, group_w)].astype(jnp.float32)
+        kg = qkv_ref[b, :, pl.ds(width + off, group_w)].astype(jnp.float32)
+        vg = qkv_ref[b, :, pl.ds(2 * width + off, group_w)]
+        outs = [
+            one_head(
+                qg[:, i * Dh : (i + 1) * Dh],
+                kg[:, i * Dh : (i + 1) * Dh],
+                vg[:, i * Dh : (i + 1) * Dh],
+            )
+            for i in range(heads_per_group)
+        ]
+        o_ref[b, :, pl.ds(off, group_w)] = jnp.concatenate(outs, axis=-1).astype(
+            o_ref.dtype
+        )
+        return carry
+
+    jax.lax.fori_loop(0, bB * n_groups, body, 0)
+
+
+def _xla_reference(qkv: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """Same math in plain XLA (used for the backward pass)."""
+    from tapclip_tpu.ops.attention import attention_reference
+
+    B, T, threeW = qkv.shape
+    W = threeW // 3
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, T, n_heads, W // n_heads).transpose(0, 2, 1, 3)
+
+    out, _ = attention_reference(heads(q), heads(k), heads(v))
+    return out.transpose(0, 2, 1, 3).reshape(B, T, W)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _fused_mha_vjp(qkv, n_heads, block_b, interpret):
+    return _fused_mha_fwd_impl(qkv, n_heads, block_b, interpret)
+
+
+def _fused_mha_fwd(qkv, n_heads, block_b, interpret):
+    return _fused_mha_vjp(qkv, n_heads, block_b, interpret), qkv
+
+
+def _fused_mha_bwd(n_heads, block_b, interpret, qkv, g):
+    _, vjp = jax.vjp(lambda x: _xla_reference(x, n_heads), qkv)
+    (dqkv,) = vjp(g)
+    return (dqkv,)
+
+
+_fused_mha_vjp.defvjp(_fused_mha_fwd, _fused_mha_bwd)
+
+
+def fused_mha(
+    qkv: jnp.ndarray,  # [B, T, 3W] packed (q | k | v), bias already added
+    n_heads: int,
+    *,
+    block_b: int = 4,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Packed-QKV multi-head self attention -> ``[B, T, W]``.
+
+    Differentiable: the backward recomputes through the XLA reference (the
+    forward-only kernel is the frozen-tower fast path; sequences are short).
+    Falls back to the XLA path when the head layout can't satisfy the
+    128-lane dynamic-slice alignment (tiny test configs).
+    """
+    W = qkv.shape[-1] // 3
+    Dh = W // n_heads
+    heads_per_group = max(1, 128 // Dh)
+    if n_heads % heads_per_group != 0:
+        return _xla_reference(qkv, n_heads)
+    return _fused_mha_vjp(qkv, n_heads, block_b, interpret)
+
+
+def _fused_mha_fwd_impl(
+    qkv: jnp.ndarray,
+    n_heads: int,
+    block_b: int = 4,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    B, T, threeW = qkv.shape
+    W = threeW // 3
+    Dh = W // n_heads
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    Tp = _round_up(T, 8)
+    if Tp != T:
+        qkv = jnp.pad(qkv, [(0, 0), (0, Tp - T), (0, 0)])
+    bB = min(block_b, B)
+    while B % bB:
+        bB -= 1
+
+    kernel = functools.partial(
+        _mha_kernel, n_heads=n_heads, width=W, valid=T, scale=Dh ** -0.5
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // bB,),
+        in_specs=[pl.BlockSpec((bB, Tp, 3 * W), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((bB, Tp, W), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, W), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * n_heads * Tp * Tp * Dh,
+            bytes_accessed=(3 + 1) * B * Tp * W * qkv.dtype.itemsize,
+            transcendentals=B * n_heads * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(qkv)
+    return out[:, :T, :]

@@ -1,0 +1,69 @@
+"""Packed-QKV fused MHA kernel tests (vision-tower fast path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tapclip_tpu.ops.attention import attention_reference
+from tapclip_tpu.ops.fused_mha import fused_mha
+
+
+def _ref(qkv, H):
+    B, T, threeW = qkv.shape
+    W = threeW // 3
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, T, H, W // H).transpose(0, 2, 1, 3)
+
+    out, _ = attention_reference(heads(q), heads(k), heads(v))
+    return out.transpose(0, 2, 1, 3).reshape(B, T, W)
+
+
+@pytest.mark.parametrize(
+    "B,T,H,Dh",
+    [
+        (3, 13, 4, 8),  # XLA fallback path (alignment)
+        (2, 50, 2, 64),  # kernel path, one head-pair group
+        (5, 197, 4, 64),  # kernel path, ViT-like Dh
+        (2, 30, 2, 128),  # kernel path, Dh == lane width
+    ],
+)
+def test_matches_reference(rng, B, T, H, Dh):
+    qkv = jnp.asarray(rng.standard_normal((B, T, 3 * H * Dh)), jnp.float32)
+    out = fused_mha(qkv, H, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(qkv, H)), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_bf16(rng):
+    qkv = jnp.asarray(rng.standard_normal((2, 10, 3 * 32)), jnp.bfloat16)
+    out = fused_mha(qkv, 4, interpret=True)
+    ref = _ref(qkv, 4)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_odd_batch_block(rng):
+    # B=5 with block_b=4 -> falls back to a divisor block
+    qkv = jnp.asarray(rng.standard_normal((5, 9, 3 * 16)), jnp.float32)
+    out = fused_mha(qkv, 2, block_b=4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(qkv, 2)), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_auto_routing_on_cpu_stays_xla(tiny_cfg, tiny_params, rng):
+    """On CPU the auto policy must not pick the fused kernel (interpret mode
+    is for tests only); encode_image must still work."""
+    from tapclip_tpu.models import clip as C
+
+    imgs = jnp.asarray(
+        rng.standard_normal((2, tiny_cfg.image_size, tiny_cfg.image_size, 3)),
+        jnp.float32,
+    )
+    feats = C.encode_image(tiny_params, tiny_cfg, imgs)
+    assert feats.shape == (2, tiny_cfg.embed_dim)
