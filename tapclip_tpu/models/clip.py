@@ -116,12 +116,23 @@ def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["positional_embedding"].astype(dtype)[None]
     x = layers.layer_norm(x, p["ln_pre"], cfg.ln_eps)
+    # Run the tower at a sublane-aligned (multiple-of-8) sequence length:
+    # XLA picks better schedules for the per-block dots, and the fused MHA
+    # kernel masks padded keys (valid=T) so real outputs are identical (the
+    # pooled class token is position 0; pad rows never feed real ones).
+    T = x.shape[1]
+    Tp = (T + 7) // 8 * 8
+    kv_valid = None
+    if Tp != T:
+        x = jnp.pad(x, [(0, 0), (0, Tp - T), (0, 0)])
+        kv_valid = T
     x, _ = layers.transformer_forward(
         x,
         p["blocks"],
         cfg.vision_heads,
         act=cfg.act,
         ln_eps=cfg.ln_eps,
+        kv_valid_len=kv_valid,
         impl=cfg.attn_impl,
     )
     x = layers.layer_norm(x, p["ln_post"], cfg.ln_eps)

@@ -136,7 +136,7 @@ def attn_forward(
         if _jax.default_backend() == "tpu":
             if attn_to_idx is not None:
                 resolved = "pallas"  # needs the attribution aux column
-            elif not causal and kv_valid_len is None:
+            elif not causal and (kv_valid_len is None or isinstance(kv_valid_len, int)):
                 resolved = "fused"  # packed-QKV fast path (vision tower)
             else:
                 resolved = "xla"
@@ -146,7 +146,7 @@ def attn_forward(
     if resolved == "fused":
         from tapclip_tpu.ops.fused_mha import fused_mha
 
-        out = fused_mha(qkv, n_heads)
+        out = fused_mha(qkv, n_heads, valid_len=kv_valid_len)
         return dense(out, p["w_out"], p["b_out"]), None
 
     q, k, v = jnp.split(qkv, 3, axis=-1)

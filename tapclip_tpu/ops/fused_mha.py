@@ -66,45 +66,47 @@ def _mha_kernel(
     n_groups = n_heads // heads_per_group
     group_w = heads_per_group * Dh  # 128 (or Dh when Dh >= 128)
 
-    def one_head(q, k, v):
+    def one_head_batched(q, k, v):
+        # q,k: [bB, Tp, Dh] f32; v: [bB, Tp, Dh] input dtype
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = jnp.where(key_mask, s * scale, neg)
+            q,
+            k,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bB, Tp, Tp]
+        s = jnp.where(key_mask[None], s * scale, neg)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         return jax.lax.dot_general(
             p.astype(v.dtype),
             v,
-            (((1,), (0,)), ((), ())),
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        )  # [bB, Tp, Dh]
 
-    def body(idx, carry):
-        b = idx // n_groups
-        g = idx % n_groups
+    def body(g, carry):
         off = pl.multiple_of(g * group_w, group_w)
-        qg = qkv_ref[b, :, pl.ds(off, group_w)].astype(jnp.float32)
-        kg = qkv_ref[b, :, pl.ds(width + off, group_w)].astype(jnp.float32)
-        vg = qkv_ref[b, :, pl.ds(2 * width + off, group_w)]
+        qg = qkv_ref[:, :, pl.ds(off, group_w)].astype(jnp.float32)
+        kg = qkv_ref[:, :, pl.ds(width + off, group_w)].astype(jnp.float32)
+        vg = qkv_ref[:, :, pl.ds(2 * width + off, group_w)]
         outs = [
-            one_head(
-                qg[:, i * Dh : (i + 1) * Dh],
-                kg[:, i * Dh : (i + 1) * Dh],
-                vg[:, i * Dh : (i + 1) * Dh],
+            one_head_batched(
+                qg[:, :, i * Dh : (i + 1) * Dh],
+                kg[:, :, i * Dh : (i + 1) * Dh],
+                vg[:, :, i * Dh : (i + 1) * Dh],
             )
             for i in range(heads_per_group)
         ]
-        o_ref[b, :, pl.ds(off, group_w)] = jnp.concatenate(outs, axis=-1).astype(
+        o_ref[:, :, pl.ds(off, group_w)] = jnp.concatenate(outs, axis=-1).astype(
             o_ref.dtype
         )
         return carry
 
-    jax.lax.fori_loop(0, bB * n_groups, body, 0)
+    jax.lax.fori_loop(0, n_groups, body, 0)
 
 
-def _xla_reference(qkv: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+def _xla_reference(qkv: jnp.ndarray, n_heads: int, valid: Optional[int] = None) -> jnp.ndarray:
     """Same math in plain XLA (used for the backward pass)."""
     from tapclip_tpu.ops.attention import attention_reference
 
@@ -115,21 +117,22 @@ def _xla_reference(qkv: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     def heads(t):
         return t.reshape(B, T, n_heads, W // n_heads).transpose(0, 2, 1, 3)
 
-    out, _ = attention_reference(heads(q), heads(k), heads(v))
+    kv_valid = None if (valid is None or valid == T) else valid
+    out, _ = attention_reference(heads(q), heads(k), heads(v), kv_valid_len=kv_valid)
     return out.transpose(0, 2, 1, 3).reshape(B, T, W)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _fused_mha_vjp(qkv, n_heads, block_b, interpret):
-    return _fused_mha_fwd_impl(qkv, n_heads, block_b, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _fused_mha_vjp(qkv, n_heads, valid, block_b, interpret):
+    return _fused_mha_fwd_impl(qkv, n_heads, valid, block_b, interpret)
 
 
-def _fused_mha_fwd(qkv, n_heads, block_b, interpret):
-    return _fused_mha_vjp(qkv, n_heads, block_b, interpret), qkv
+def _fused_mha_fwd(qkv, n_heads, valid, block_b, interpret):
+    return _fused_mha_vjp(qkv, n_heads, valid, block_b, interpret), qkv
 
 
-def _fused_mha_bwd(n_heads, block_b, interpret, qkv, g):
-    _, vjp = jax.vjp(lambda x: _xla_reference(x, n_heads), qkv)
+def _fused_mha_bwd(n_heads, valid, block_b, interpret, qkv, g):
+    _, vjp = jax.vjp(lambda x: _xla_reference(x, n_heads, valid), qkv)
     (dqkv,) = vjp(g)
     return (dqkv,)
 
@@ -141,6 +144,7 @@ def fused_mha(
     qkv: jnp.ndarray,  # [B, T, 3W] packed (q | k | v), bias already added
     n_heads: int,
     *,
+    valid_len: Optional[int] = None,
     block_b: int = 4,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -154,14 +158,16 @@ def fused_mha(
     W = qkv.shape[-1] // 3
     Dh = W // n_heads
     heads_per_group = max(1, 128 // Dh)
+    valid = valid_len if valid_len is not None else qkv.shape[1]
     if n_heads % heads_per_group != 0:
-        return _xla_reference(qkv, n_heads)
-    return _fused_mha_vjp(qkv, n_heads, block_b, interpret)
+        return _xla_reference(qkv, n_heads, valid)
+    return _fused_mha_vjp(qkv, n_heads, valid, block_b, interpret)
 
 
 def _fused_mha_fwd_impl(
     qkv: jnp.ndarray,
     n_heads: int,
+    valid: Optional[int] = None,
     block_b: int = 4,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -170,6 +176,8 @@ def _fused_mha_fwd_impl(
     Dh = W // n_heads
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if valid is None:
+        valid = T
 
     Tp = _round_up(T, 8)
     if Tp != T:
@@ -179,7 +187,7 @@ def _fused_mha_fwd_impl(
         bB -= 1
 
     kernel = functools.partial(
-        _mha_kernel, n_heads=n_heads, width=W, valid=T, scale=Dh ** -0.5
+        _mha_kernel, n_heads=n_heads, width=W, valid=valid, scale=Dh ** -0.5
     )
     out = pl.pallas_call(
         kernel,
