@@ -193,7 +193,18 @@ def block_forward(
         impl=impl,
     )
     x = x + h
-    x = x + mlp_forward(layer_norm(x, p["ln_2"], ln_eps), p["mlp"], act)
+
+    use_fused_mlp = False
+    if act == "gelu" and impl in ("auto", "fused"):
+        import jax as _jax
+
+        use_fused_mlp = _jax.default_backend() == "tpu"
+    if use_fused_mlp:
+        from tapclip_tpu.ops.fused_mlp import fused_mlp_block
+
+        x = fused_mlp_block(x, p["ln_2"], p["mlp"], eps=ln_eps)
+    else:
+        x = x + mlp_forward(layer_norm(x, p["ln_2"], ln_eps), p["mlp"], act)
     return x, aux
 
 
