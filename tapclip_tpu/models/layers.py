@@ -183,16 +183,35 @@ def block_forward(
     impl: str = "auto",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Pre-LN residual attention block (open_clip ResidualAttentionBlock)."""
-    h, aux = attn_forward(
-        layer_norm(x, p["ln_1"], ln_eps),
-        p["attn"],
-        n_heads,
-        causal=causal,
-        kv_valid_len=kv_valid_len,
-        attn_to_idx=attn_to_idx,
-        impl=impl,
-    )
-    x = x + h
+    use_fused_block = False
+    if (
+        impl in ("auto", "fused")
+        and attn_to_idx is None
+        and not causal
+        and (kv_valid_len is None or isinstance(kv_valid_len, int))
+    ):
+        import jax as _jax
+
+        use_fused_block = _jax.default_backend() == "tpu"
+
+    if use_fused_block:
+        from tapclip_tpu.ops.fused_mha import fused_attn_block
+
+        x = fused_attn_block(
+            x, p["ln_1"], p["attn"], n_heads, valid_len=kv_valid_len, eps=ln_eps
+        )
+        aux = None
+    else:
+        h, aux = attn_forward(
+            layer_norm(x, p["ln_1"], ln_eps),
+            p["attn"],
+            n_heads,
+            causal=causal,
+            kv_valid_len=kv_valid_len,
+            attn_to_idx=attn_to_idx,
+            impl=impl,
+        )
+        x = x + h
 
     use_fused_mlp = False
     if act == "gelu" and impl in ("auto", "fused"):

@@ -203,3 +203,211 @@ def _fused_mha_fwd_impl(
         interpret=interpret,
     )(qkv)
     return out[:, :T, :]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused attention half-block: LN -> QKV -> MHA -> out-proj -> +residual
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_kernel(
+    x_ref,  # VMEM [bB, Tp, W] residual input (pre-LN)
+    gamma_ref,  # VMEM [1, W] f32
+    beta_ref,  # VMEM [1, W] f32
+    wqkv_ref,  # VMEM [W, 3W]
+    bqkv_ref,  # VMEM [1, 3W] f32
+    wout_ref,  # VMEM [W, W]
+    bout_ref,  # VMEM [1, W] f32
+    o_ref,  # VMEM [bB, Tp, W]
+    qkv_s,  # VMEM scratch [bB, Tp, 3W]
+    attn_s,  # VMEM scratch [bB, Tp, W]
+    *,
+    n_heads: int,
+    valid: int,
+    eps: float,
+):
+    bB, Tp, W = x_ref.shape
+    Dh = W // n_heads
+    scale = Dh ** -0.5
+    ki = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    key_mask = ki < valid
+    neg = jnp.float32(-1e30)
+
+    x = x_ref[:]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * gamma_ref[0] + beta_ref[0]).astype(x.dtype)
+
+    qkv = jax.lax.dot_general(
+        y.reshape(bB * Tp, W),
+        wqkv_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv_s[:] = (qkv + bqkv_ref[0]).astype(x.dtype).reshape(bB, Tp, 3 * W)
+
+    heads_per_group = max(1, 128 // Dh)
+    n_groups = n_heads // heads_per_group
+    group_w = heads_per_group * Dh
+
+    def one_head_batched(q, k, v):
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(key_mask[None], s * scale, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        return jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    def body(g, carry):
+        off = pl.multiple_of(g * group_w, group_w)
+        qg = qkv_s[:, :, pl.ds(off, group_w)].astype(jnp.float32)
+        kg = qkv_s[:, :, pl.ds(W + off, group_w)].astype(jnp.float32)
+        vg = qkv_s[:, :, pl.ds(2 * W + off, group_w)]
+        outs = [
+            one_head_batched(
+                qg[:, :, i * Dh : (i + 1) * Dh],
+                kg[:, :, i * Dh : (i + 1) * Dh],
+                vg[:, :, i * Dh : (i + 1) * Dh],
+            )
+            for i in range(heads_per_group)
+        ]
+        attn_s[:, :, pl.ds(off, group_w)] = jnp.concatenate(outs, axis=-1).astype(
+            attn_s.dtype
+        )
+        return carry
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+    out = jax.lax.dot_general(
+        attn_s[:].reshape(bB * Tp, W),
+        wout_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (
+        (out + bout_ref[0]).reshape(bB, Tp, W) + x32
+    ).astype(o_ref.dtype)
+
+
+def _attn_block_xla(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps):
+    from tapclip_tpu.models import layers
+
+    p_ln = {"scale": gamma, "bias": beta}
+    p_attn = {"w_qkv": w_qkv, "b_qkv": b_qkv, "w_out": w_out, "b_out": b_out}
+    T = x.shape[1]
+    kv = None if valid == T else valid
+    h, _ = layers.attn_forward(
+        layers.layer_norm(x, p_ln, eps), p_attn, n_heads, kv_valid_len=kv, impl="xla"
+    )
+    return x + h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _attn_block_vjp(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret):
+    return _attn_block_fwd_impl(
+        x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret
+    )
+
+
+def _attn_block_fwd(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret):
+    out = _attn_block_vjp(
+        x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret
+    )
+    return out, (x, gamma, beta, w_qkv, b_qkv, w_out, b_out)
+
+
+def _attn_block_bwd(n_heads, valid, eps, block_b, interpret, res, g):
+    x, gamma, beta, w_qkv, b_qkv, w_out, b_out = res
+    _, vjp = jax.vjp(
+        lambda *a: _attn_block_xla(*a, n_heads, valid, eps),
+        x, gamma, beta, w_qkv, b_qkv, w_out, b_out,
+    )
+    return vjp(g)
+
+
+_attn_block_vjp.defvjp(_attn_block_fwd, _attn_block_bwd)
+
+
+def fused_attn_block(
+    x: jnp.ndarray,  # [B, T, W], T a multiple of 8
+    ln_params,
+    attn_params,
+    n_heads: int,
+    *,
+    valid_len: Optional[int] = None,
+    eps: float = 1e-5,
+    block_b: int = 4,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """``x + out_proj(mha(qkv_proj(layer_norm(x))))`` in one kernel."""
+    B, T, W = x.shape
+    Dh = W // n_heads
+    heads_per_group = max(1, 128 // Dh)
+    valid = valid_len if valid_len is not None else T
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if n_heads % heads_per_group or W % 128 or T % 8:
+        return _attn_block_xla(
+            x, ln_params["scale"], ln_params["bias"],
+            attn_params["w_qkv"], attn_params["b_qkv"],
+            attn_params["w_out"], attn_params["b_out"], n_heads, valid, eps,
+        )
+    return _attn_block_vjp(
+        x, ln_params["scale"], ln_params["bias"],
+        attn_params["w_qkv"], attn_params["b_qkv"],
+        attn_params["w_out"], attn_params["b_out"],
+        n_heads, valid, eps, block_b, interpret,
+    )
+
+
+def _attn_block_fwd_impl(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret):
+    from jax.experimental.pallas import tpu as pltpu_local
+
+    B, T, W = x.shape
+    dtype = x.dtype
+    bB = min(block_b, B)
+    while B % bB:
+        bB -= 1
+    kernel = functools.partial(
+        _attn_block_kernel, n_heads=n_heads, valid=valid, eps=eps
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bB,),
+        in_specs=[
+            pl.BlockSpec((bB, T, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+            pl.BlockSpec((W, 3 * W), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * W), lambda i: (0, 0)),
+            pl.BlockSpec((W, W), lambda i: (0, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bB, T, W), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T, W), dtype),
+        scratch_shapes=[
+            pltpu_local.VMEM((bB, T, 3 * W), dtype),
+            pltpu_local.VMEM((bB, T, W), dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * W * (3 * W + W) + 2 * 2 * B * n_heads * T * T * (W // n_heads),
+            bytes_accessed=2 * B * T * W * dtype.itemsize + 4 * W * W * 2,
+            transcendentals=B * n_heads * T * T,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        gamma.astype(jnp.float32).reshape(1, W),
+        beta.astype(jnp.float32).reshape(1, W),
+        w_qkv.astype(dtype),
+        b_qkv.astype(jnp.float32).reshape(1, 3 * W),
+        w_out.astype(dtype),
+        b_out.astype(jnp.float32).reshape(1, W),
+    )
