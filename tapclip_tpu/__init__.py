@@ -12,3 +12,35 @@ migration, and output-compatible metrics/CSV/plots.
 __version__ = "0.1.0"
 
 from tapclip_tpu import config  # noqa: F401
+
+# Lazy top-level API (mirrors the reference's import surface:
+# `from models.model_wrapper import FullModel` etc. become
+# `from tapclip_tpu import FullModel`).  Lazy so `import tapclip_tpu`
+# doesn't pull jax/PIL until used.
+_LAZY = {
+    "FullModel": ("tapclip_tpu.models.model_wrapper", "FullModel"),
+    "CLIPWrapper": ("tapclip_tpu.models.clip_wrapper", "CLIPWrapper"),
+    "PromptLearner": ("tapclip_tpu.models.prompt_learner", "PromptLearner"),
+    "get_dataloaders": ("tapclip_tpu.data.imagefolder", "get_dataloaders"),
+    "get_tokenizer": ("tapclip_tpu.data.tokenizer", "get_tokenizer"),
+    "evaluate_accuracy": ("tapclip_tpu.utils.eval_metrics", "evaluate_accuracy"),
+    "evaluate_per_class_accuracy": (
+        "tapclip_tpu.utils.eval_metrics",
+        "evaluate_per_class_accuracy",
+    ),
+    "make_mesh": ("tapclip_tpu.parallel.mesh", "make_mesh"),
+    "fit_prompt_model": ("tapclip_tpu.trainer", "fit_prompt_model"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'tapclip_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))

@@ -256,13 +256,17 @@ def transformer_forward(
         impl=impl,
     )
 
+    def scan_step(carry, layer_params):
+        y, _ = body(carry, layer_params)
+        return y, None
+
+    if attn_to_idx is None:
+        # No aux needed: scan over ALL layers (one trace, smaller program).
+        x, _ = jax.lax.scan(scan_step, x, blocks)
+        return x, None
+
     if n_layers > 1:
         head_blocks = jax.tree.map(lambda a: a[:-1], blocks)
-
-        def scan_step(carry, layer_params):
-            y, _ = body(carry, layer_params)
-            return y, None
-
         x, _ = jax.lax.scan(scan_step, x, head_blocks)
 
     last = jax.tree.map(lambda a: a[-1], blocks)
