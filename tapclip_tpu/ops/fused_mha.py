@@ -359,12 +359,33 @@ def fused_attn_block(
             attn_params["w_qkv"], attn_params["b_qkv"],
             attn_params["w_out"], attn_params["b_out"], n_heads, valid, eps,
         )
+    block_b = _pick_attn_block_b(B, T, W, block_b)
     return _attn_block_vjp(
         x, ln_params["scale"], ln_params["bias"],
         attn_params["w_qkv"], attn_params["b_qkv"],
         attn_params["w_out"], attn_params["b_out"],
         n_heads, valid, eps, block_b, interpret,
     )
+
+
+def _pick_attn_block_b(B: int, T: int, W: int, preferred: int,
+                       budget: int = 15 * 2 ** 20) -> int:
+    """Largest batch block whose VMEM footprint fits the budget.
+
+    footprint ~ weights (4W^2 bf16) + double-buffered x/out blocks + the QKV
+    and attention scratches + f32 LN/score temporaries.
+    """
+    weights = (3 * W * W + W * W) * 2
+    for bb in (preferred, 8, 4, 2, 1):
+        if bb > B or B % bb or bb > preferred:
+            continue
+        # x (double-buffered) + out (double-buffered) + qkv scratch + attn
+        # scratch, all bf16: 16 * bB * T * W bytes — calibrated so ViT-B/16
+        # (T=200, W=768) keeps the measured-good bb=4 (~14.5 MB total).
+        act = 16 * bb * T * W
+        if weights + act <= budget:
+            return bb
+    return 1
 
 
 def _attn_block_fwd_impl(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret):

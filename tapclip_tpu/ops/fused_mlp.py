@@ -57,14 +57,21 @@ def _mlp_kernel(
     x_ref,  # VMEM [R, W] input rows (pre-LN), compute dtype
     gamma_ref,  # VMEM [1, W] f32
     beta_ref,  # VMEM [1, W] f32
-    wfc_ref,  # VMEM [W, H]
-    bfc_ref,  # VMEM [1, H] f32
-    wproj_ref,  # VMEM [H, W]
+    wfc_ref,  # VMEM [W, Hc] — hidden-dim chunk j
+    bfc_ref,  # VMEM [1, Hc] f32
+    wproj_ref,  # VMEM [Hc, W]
     bproj_ref,  # VMEM [1, W] f32
     o_ref,  # VMEM [R, W]
+    acc_ref,  # VMEM scratch [R, W] f32 — partial sums across hidden chunks
     *,
     eps: float,
 ):
+    """Grid (row_tiles, h_chunks): large models' MLP weights exceed VMEM, so
+    the hidden dim is chunked; partial products accumulate in f32 scratch and
+    the output (with residual) is written on the last chunk."""
+    j = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
     x = x_ref[:]
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -76,13 +83,24 @@ def _mlp_kernel(
         y, wfc_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     h = _gelu_exact(h + bfc_ref[0])
-    out = jax.lax.dot_general(
+    part = jax.lax.dot_general(
         h.astype(x.dtype),
         wproj_ref[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[:] = (out + bproj_ref[0] + x32).astype(o_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part + bproj_ref[0] + x32
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] += part
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 def _xla_composition(x, gamma, beta, w_fc, b_fc, w_proj, b_proj, eps):
@@ -143,27 +161,42 @@ def fused_mlp_block(
     )
 
 
+def _pick_h_chunk(W: int, H: int, budget_bytes: int = 10 * 2 ** 20) -> int:
+    """Largest hidden chunk whose two weight blocks fit the VMEM budget."""
+    hc = H
+    while hc > 128 and 2 * W * hc * 2 > budget_bytes:
+        hc //= 2
+    return hc
+
+
 def _fused_mlp_fwd_impl(x, gamma, beta, w_fc, b_fc, w_proj, b_proj, eps, row_tile, interpret):
+    from jax.experimental.pallas import tpu as pltpu_local
+
     B, T, W = x.shape
     H = w_fc.shape[-1]
     R = B * T
     x2 = x.reshape(R, W)
     dtype = x.dtype
+    hc = _pick_h_chunk(W, H)
+    while H % hc:
+        hc //= 2
+    n_chunks = H // hc
 
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, eps=eps),
-        grid=(R // row_tile,),
+        grid=(R // row_tile, n_chunks),
         in_specs=[
-            pl.BlockSpec((row_tile, W), lambda i: (i, 0)),
-            pl.BlockSpec((1, W), lambda i: (0, 0)),
-            pl.BlockSpec((1, W), lambda i: (0, 0)),
-            pl.BlockSpec((W, H), lambda i: (0, 0)),
-            pl.BlockSpec((1, H), lambda i: (0, 0)),
-            pl.BlockSpec((H, W), lambda i: (0, 0)),
-            pl.BlockSpec((1, W), lambda i: (0, 0)),
+            pl.BlockSpec((row_tile, W), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, W), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, W), lambda i, j: (0, 0)),
+            pl.BlockSpec((W, hc), lambda i, j: (0, j)),
+            pl.BlockSpec((1, hc), lambda i, j: (0, j)),
+            pl.BlockSpec((hc, W), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, W), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((row_tile, W), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((row_tile, W), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((R, W), dtype),
+        scratch_shapes=[pltpu_local.VMEM((row_tile, W), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * R * W * H,
             bytes_accessed=2 * R * W * x.dtype.itemsize + 2 * W * H * 2,
