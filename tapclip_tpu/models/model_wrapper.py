@@ -285,5 +285,13 @@ class FullModel:
         out["attribution"] = out["attribution"][: self.n_cls]
         return out
 
+    def predict(self, images):
+        """Convenience inference: images -> (pred indices, class names)."""
+        import numpy as np
+
+        logits = np.asarray(self(images)["logits"])
+        preds = logits.argmax(axis=-1)
+        return preds, [self.class_names[i] for i in preds]
+
     def _bank_with_trained_ctx(self) -> PromptBank:
         return self.prompt_learner.bank
