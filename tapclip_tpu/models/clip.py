@@ -188,6 +188,7 @@ def text_forward_embeds(
     pool_idx=None,
     attn_to_idx=None,
     kv_valid_len=None,
+    impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Text transformer over raw embeddings ``[B, T, W]``.
 
@@ -217,6 +218,13 @@ def text_forward_embeds(
         causal = True
     elif mode == "ref_compat":
         causal = False
+        # Pad to a sublane multiple so the fused attention/MLP kernels engage
+        # (pad keys are masked; pad query rows never feed real outputs; the
+        # pool/attribution indices reference pre-pad positions).
+        Tp = (T + 7) // 8 * 8
+        if Tp != T and kv_valid_len is None:
+            x = jnp.pad(x, [(0, 0), (0, Tp - T), (0, 0)])
+            kv_valid_len = T
     else:
         raise ValueError(f"unknown text mode {mode!r}")
 
@@ -229,8 +237,12 @@ def text_forward_embeds(
         causal=causal,
         kv_valid_len=kv_valid_len,
         attn_to_idx=attn_to_idx,
-        impl=cfg.attn_impl,
+        impl=impl if impl is not None else cfg.attn_impl,
     )
+    if x.shape[1] != T:
+        x = x[:, :T]
+        if aux is not None:
+            aux = aux[:, :T]
     if mode == "idiomatic":
         x = layers.layer_norm(x, p["ln_final"], cfg.ln_eps)
 

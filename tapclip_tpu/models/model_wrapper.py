@@ -71,13 +71,21 @@ def text_features_with_attribution(
     clip_cfg: CLIPConfig,
     prompt_cfg: PromptConfig,
     adjustor_params: Dict[str, Any],
+    differentiable: bool = False,
 ):
     """Class-batched attribution -> adjust -> encode. Returns (feats, attribution).
 
     feats: [C, embed_dim] L2-normalized; attribution: [C, P] f32.
+
+    ``differentiable=True`` (training) routes the SECOND text pass to the XLA
+    attention path: the fused kernels' custom VJP recomputes the forward,
+    which doubles differentiated work (measured: cached train step 5.6 ->
+    11.1 ms). The attribution pass is stop-gradient'ed either way, so it
+    always keeps the kernels.
     """
     P = prompt_cfg.prompt_len
     mode = prompt_cfg.text_mode
+    encode_impl = "xla" if differentiable else None
 
     if mode == "ref_compat":
         # [ctx || full-77-token-embedding] -> 82-token sequence
@@ -95,7 +103,8 @@ def text_features_with_attribution(
         adjusted_ctx = adjust_prompt(adjustor_params, prompt_cfg.adjustor_method, ctx, attribution)
         seq2 = build_prompts(adjusted_ctx, token_embs)
         feats, _ = clip_model.text_forward_embeds(
-            clip_params, clip_cfg, seq2, mode="ref_compat", pool_idx=T - 1
+            clip_params, clip_cfg, seq2, mode="ref_compat", pool_idx=T - 1,
+            impl=encode_impl,
         )
     elif mode == "idiomatic":
         # CoOp-style: [sot, ctx(P), template tokens 1..77-P-1]; positional
@@ -133,7 +142,8 @@ def text_features_with_attribution(
             axis=1,
         )
         feats, _ = clip_model.text_forward_embeds(
-            clip_params, clip_cfg, seq2, mode="idiomatic", pool_idx=eot
+            clip_params, clip_cfg, seq2, mode="idiomatic", pool_idx=eot,
+            impl=encode_impl,
         )
     else:
         raise ValueError(f"unknown text mode {mode!r}")
@@ -176,6 +186,7 @@ def full_model_forward(
         clip_cfg,
         prompt_cfg,
         trainable["adjustor"],
+        differentiable=with_loss,
     )
 
     scale = jnp.exp(trainable["logit_scale"]).astype(jnp.float32)
