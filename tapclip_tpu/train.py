@@ -239,6 +239,25 @@ def main(argv: Optional[List[str]] = None) -> dict:
     save_accuracy_curve(result.acc_history, result.per_class_history, plot_path)
     log.info("accuracy plot saved to %s", plot_path)
 
+    # Attribution chart for the trained prompts (interpretability artifact).
+    from tapclip_tpu.models.model_wrapper import text_features_with_attribution
+    from tapclip_tpu.utils.plotting import save_attribution_chart
+
+    _, attribution = text_features_with_attribution(
+        model.clip_params,
+        model.trainable["ctx"],
+        model.prompt_learner.bank,
+        cfg.model,
+        cfg.prompt,
+        model.trainable["adjustor"],
+    )
+    attr_path = save_attribution_chart(
+        np.asarray(attribution)[: model.n_cls],
+        model.class_names,
+        os.path.join(paths["plot_dir"], f"{cfg.version}_attribution.png"),
+    )
+    log.info("attribution chart saved to %s", attr_path)
+
     with open(os.path.join(paths["csv_dir"], "history.json"), "w") as f:
         json.dump(
             {"acc": result.acc_history, "loss": result.loss_history}, f, indent=2

@@ -58,6 +58,35 @@ def save_results_csv(results: List[Dict], csv_path: str) -> str:
     return csv_path
 
 
+def save_attribution_chart(
+    attribution,  # [n_cls, P]
+    class_names: Sequence[str],
+    out_path: str,
+    title: str = "Per-class context-token attribution",
+) -> str:
+    """Grouped bars: attribution weight of each context token per class.
+
+    Visualizes what the attribution monitor feeds the adjustor — the
+    interpretability artifact the reference computes but never plots.
+    """
+    plt = _plt()
+    attribution = np.asarray(attribution)
+    n_cls, P = attribution.shape
+    x = np.arange(P)
+    width = 0.8 / max(n_cls, 1)
+    plt.figure(figsize=(8, 4))
+    for i, name in enumerate(class_names[:n_cls]):
+        plt.bar(x + i * width, attribution[i], width=width, label=name)
+    plt.xticks(x + width * (n_cls - 1) / 2, [f"ctx[{j}]" for j in range(P)])
+    plt.ylabel("attribution (softmax)")
+    plt.title(title)
+    plt.legend(fontsize=8)
+    plt.tight_layout()
+    plt.savefig(out_path)
+    plt.close()
+    return out_path
+
+
 def save_cross_domain_bar(
     results: List[Dict],
     out_path: str,
