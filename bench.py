@@ -44,6 +44,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     mode = os.environ.get("BENCH_MODE", "train")
+    attn_impl = os.environ.get("BENCH_ATTN_IMPL", "auto")
 
     backend = jax.default_backend()
     if backend != "tpu":
@@ -53,7 +54,7 @@ def main():
         if os.environ.get("BENCH_STEPS") is None:
             steps = 5
 
-    cfg = MODEL_PRESETS[model_name].replace(dtype=dtype)
+    cfg = MODEL_PRESETS[model_name].replace(dtype=dtype, attn_impl=attn_impl)
     pcfg = PromptConfig()
     print(f"[bench] {model_name} {dtype} batch={batch} steps={steps} mode={mode} "
           f"backend={backend}", file=sys.stderr)

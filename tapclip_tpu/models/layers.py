@@ -130,7 +130,7 @@ def attn_forward(
     qkv = dense(x, p["w_qkv"], p["b_qkv"])
 
     resolved = impl
-    if resolved == "auto":
+    if resolved in ("auto", "fused_split"):
         import jax as _jax
 
         if _jax.default_backend() == "tpu":
@@ -183,6 +183,9 @@ def block_forward(
     impl: str = "auto",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Pre-LN residual attention block (open_clip ResidualAttentionBlock)."""
+    # "fused_split": XLA GEMMs for qkv/out-proj + the fused_mha kernel for
+    # the attention core (better for very wide models where the monolithic
+    # block kernel is forced down to batch-block 1 by VMEM).
     use_fused_block = False
     if (
         impl in ("auto", "fused")
@@ -193,6 +196,15 @@ def block_forward(
         import jax as _jax
 
         use_fused_block = _jax.default_backend() == "tpu"
+        if use_fused_block:
+            # Very wide models force the monolithic kernel down to batch
+            # block 1; the split path (XLA GEMMs + fused_mha core) measured
+            # faster there (ViT-L/14: 762 vs 745 img/s).
+            from tapclip_tpu.ops.fused_mha import _pick_attn_block_b
+
+            B_, T_, W_ = x.shape
+            if _pick_attn_block_b(B_, T_, W_, 4) == 1:
+                use_fused_block = False
 
     if use_fused_block:
         from tapclip_tpu.ops.fused_mha import fused_attn_block
@@ -214,7 +226,7 @@ def block_forward(
         x = x + h
 
     use_fused_mlp = False
-    if act == "gelu" and impl in ("auto", "fused"):
+    if act == "gelu" and impl in ("auto", "fused", "fused_split"):
         import jax as _jax
 
         use_fused_mlp = _jax.default_backend() == "tpu"

@@ -155,13 +155,24 @@ def fused_mha(
     Falls back to the XLA path when the head layout can't satisfy the
     128-lane dynamic-slice alignment (tiny test configs).
     """
-    W = qkv.shape[-1] // 3
+    B, T, threeW = qkv.shape
+    W = threeW // 3
     Dh = W // n_heads
     heads_per_group = max(1, 128 // Dh)
-    valid = valid_len if valid_len is not None else qkv.shape[1]
+    valid = valid_len if valid_len is not None else T
     if n_heads % heads_per_group != 0:
         return _xla_reference(qkv, n_heads, valid)
-    return _fused_mha_vjp(qkv, n_heads, valid, block_b, interpret)
+    # VMEM-fit the batch block: double-buffered qkv-in + out blocks plus the
+    # per-head f32 score tile.
+    Tp = _round_up(T, 8)
+    bb = block_b
+    while bb > 1 and (
+        bb > B
+        or B % bb
+        or bb * Tp * (3 * W * 2 * 2 + W * 2 * 2 + Tp * 8) > 13 * 2 ** 20
+    ):
+        bb -= 1
+    return _fused_mha_vjp(qkv, n_heads, valid, bb, interpret)
 
 
 def _fused_mha_fwd_impl(
