@@ -61,6 +61,9 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None,
                    help="Orbax checkpoint dir to resume training from "
                         "(restores prompt params + optimizer state + step)")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="snapshot params+optimizer state every N epochs "
+                        "(preemption-safe; resume with --resume <dir>)")
     return p
 
 
@@ -210,9 +213,26 @@ def main(argv: Optional[List[str]] = None) -> dict:
         }
         log.info("resuming from %s (step %s)", args.resume, resume_state["step"])
 
+    latest_path = os.path.join(paths["model_dir"], "checkpoint_latest")
+
+    def _snapshot(epoch, state):
+        save_prompt_checkpoint(
+            latest_path,
+            trainable=state.params,
+            bank=model.prompt_learner.bank,
+            class_names=model.class_names,
+            opt_state=state.opt_state,
+            step=int(state.step),
+            extra_meta={"epoch": epoch},
+        )
+        log.info("periodic checkpoint at epoch %d -> %s", epoch, latest_path)
+
     with maybe_profile(args.profile_dir):
         result = fit_prompt_model(
-            model, train_loader, val_loader, cfg.train, resume_state=resume_state
+            model, train_loader, val_loader, cfg.train,
+            resume_state=resume_state,
+            checkpoint_cb=_snapshot if args.save_every else None,
+            checkpoint_every=args.save_every,
         )
 
     log.info("best val accuracy: %.2f%% (after %d epochs)",

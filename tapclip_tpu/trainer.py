@@ -202,6 +202,8 @@ def fit_prompt_model(
     track_best: bool = True,
     verbose: bool = True,
     resume_state=None,
+    checkpoint_cb: Optional[Callable] = None,
+    checkpoint_every: int = 0,
 ) -> FitResult:
     """Reference train loop (train.py:90-128) over cached features.
 
@@ -292,6 +294,10 @@ def fit_prompt_model(
         ent_hist.append(
             float(_attr_entropy(state.params["ctx"], state.params["adjustor"]))
         )
+        if checkpoint_cb is not None and checkpoint_every > 0 and epoch % checkpoint_every == 0:
+            # Periodic snapshot (params + optimizer state) for preemption-safe
+            # resume — the reference only ever saves the final best state.
+            checkpoint_cb(epoch, state)
 
         if val_cache is not None and epoch % eval_every == 0:
             acc, per_class = evaluate_cached(model, val_cache)
