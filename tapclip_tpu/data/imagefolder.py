@@ -21,8 +21,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import queue
-import threading
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np

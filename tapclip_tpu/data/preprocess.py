@@ -16,8 +16,6 @@ XLA program.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
-
 import numpy as np
 
 from tapclip_tpu.config import IMAGE_MEAN, IMAGE_STD

@@ -9,7 +9,7 @@ TPU) with layernorm/softmax accumulation in float32.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

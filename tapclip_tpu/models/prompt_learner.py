@@ -32,7 +32,6 @@ import numpy as np
 
 from tapclip_tpu.config import CLIPConfig, PromptConfig
 from tapclip_tpu.data.tokenizer import SimpleTokenizer
-from tapclip_tpu.models import clip as clip_model
 
 _GROW_CHUNK = 8
 

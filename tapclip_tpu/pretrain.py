@@ -19,14 +19,13 @@ them), so it is the path for from-scratch or continued CLIP training.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tapclip_tpu.config import CLIPConfig
 from tapclip_tpu.models import clip as clip_model

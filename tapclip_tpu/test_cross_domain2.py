@@ -12,7 +12,6 @@ chart into the timestamped results tree (``:102-130``).
 from __future__ import annotations
 
 import copy
-import logging
 import os
 from typing import List, Optional
 

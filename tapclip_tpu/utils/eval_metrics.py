@@ -14,7 +14,6 @@ from __future__ import annotations
 from collections import defaultdict
 from typing import Dict, Optional, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from tapclip_tpu.models.attribution_monitor import (  # noqa: F401

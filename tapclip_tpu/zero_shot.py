@@ -10,7 +10,7 @@ of the prompt-tuning machinery.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
