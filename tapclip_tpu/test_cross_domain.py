@@ -78,7 +78,9 @@ def evaluate_grid(
             split = few_shot_split(indexes[domain], class_names, num_shots, seed=seed)
             if fine_tune_fn is not None and num_shots > 0 and split.train:
                 fine_tune_fn(model, cache.gather(split.train))
-            acc, _ = evaluate_cached(model, cache.gather(split.val))
+            acc, _ = evaluate_cached(
+                model, cache.gather(split.val), batch_size=max(batch_size, 32)
+            )
             log.info("[%s/%s] accuracy: %.2f%%", shot_type, domain, acc)
             results.append({"Domain": domain, "Shots": shot_type, "Accuracy": acc})
     return results
