@@ -115,11 +115,19 @@ def build_model(cfg: ExperimentConfig, *, bpe_path: Optional[str] = None, rng_se
 
     log = logging.getLogger("tapclip_tpu")
     if cfg.pretrained_path:
-        from tapclip_tpu.utils.torch_convert import load_openclip_checkpoint
-
-        params = load_openclip_checkpoint(cfg.pretrained_path, cfg.model)
         import jax.numpy as jnp
 
+        if os.path.isdir(cfg.pretrained_path):
+            # Orbax tree (e.g. from pretrain_cli or scripts/convert_checkpoint)
+            import orbax.checkpoint as ocp
+
+            params = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(cfg.pretrained_path)
+            )
+        else:
+            from tapclip_tpu.utils.torch_convert import load_openclip_checkpoint
+
+            params = load_openclip_checkpoint(cfg.pretrained_path, cfg.model)
         params = jax.tree.map(jnp.asarray, params)
         log.info("loaded pretrained CLIP weights from %s", cfg.pretrained_path)
     else:
