@@ -120,6 +120,51 @@ def test_cross_domain2_driver_with_checkpoint(tmp_path, domain_tree):
     assert (zs >= 0).all() and (zs <= 100).all()
 
 
+def test_zero_shot_eval_driver(tmp_path, domain_tree):
+    from tapclip_tpu import zero_shot_eval
+
+    out = zero_shot_eval.main(
+        [
+            "--preset", "tiny",
+            "--domain-root", domain_tree,
+            "--domains", "Real World", "Art",
+            "--classes", *CLASSES,
+            "--output-root", str(tmp_path),
+        ]
+    )
+    df = pd.read_csv(out["csv"])
+    assert list(df.columns) == ["Domain", "Shots", "Accuracy"]
+    assert set(df["Shots"]) == {"Zero-Shot"}
+    assert len(df) == 2
+
+
+def test_pretrain_cli_driver(tmp_path, domain_tree):
+    from tapclip_tpu import pretrain_cli, train
+
+    out = pretrain_cli.main(
+        [
+            "--preset", "tiny",
+            "--data-root", os.path.join(domain_tree, "Real World"),
+            "--epochs", "1", "--batch-size", "8", "--lr", "1e-3",
+            "--output-root", str(tmp_path / "pt"),
+        ]
+    )
+    assert len(out["loss_history"]) == 1
+    assert os.path.isdir(out["ckpt"])
+    # The saved tree loads as --pretrained in the train driver.
+    out2 = train.main(
+        [
+            "--preset", "tiny",
+            "--data-root", os.path.join(domain_tree, "Real World"),
+            "--classes", *CLASSES,
+            "--epochs", "1", "--num-shots", "2", "--batch-size", "8",
+            "--pretrained", out["ckpt"],
+            "--output-root", str(tmp_path / "tr"),
+        ]
+    )
+    assert out2["best_acc"] >= 0
+
+
 def test_clip_wrapper_compat_api(tiny_cfg, tiny_params, rng):
     """Reference CLIPWrapper API surface (clip_wrapper.py:42-64)."""
     from tapclip_tpu.models.clip_wrapper import CLIPWrapper
