@@ -102,6 +102,12 @@ def make_pretrain_step(
     all_gather; without one, the single-device loss is used.
     """
 
+    # Pretraining differentiates the TOWERS themselves; the fused kernels'
+    # custom VJP recomputes their forward through XLA, which would make every
+    # kernel call cost fwd(kernel) + fwd(XLA) + bwd(XLA). Route the whole
+    # pretraining graph to the XLA path (same numerics, single fwd).
+    cfg = cfg.replace(attn_impl="xla")
+
     def loss_fn(params, images, token_ids):
         img = clip_model.encode_image(params, cfg, images)
         txt = clip_model.encode_text(params, cfg, token_ids)
