@@ -153,3 +153,24 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_evaluate_cached_sharded(tiny_cfg, tiny_params, tiny_prompt_cfg, rng):
+    """evaluate_cached(mesh=...) — the sharded batched inference pass —
+    must produce identical accuracy to the unsharded path."""
+    from tapclip_tpu.models.model_wrapper import FullModel
+    from tapclip_tpu.trainer import CachedSet, evaluate_cached
+
+    model = FullModel(
+        ["A", "B", "C"], tiny_params, tiny_cfg, prompt_cfg=tiny_prompt_cfg
+    )
+    cached = CachedSet(
+        feats=rng.standard_normal((64, tiny_cfg.embed_dim)).astype(np.float32),
+        labels=rng.integers(0, 3, 64).astype(np.int32),
+    )
+    acc_single, pc_single = evaluate_cached(model, cached, batch_size=32)
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        acc_sharded, pc_sharded = evaluate_cached(model, cached, batch_size=32, mesh=mesh)
+    assert acc_single == acc_sharded
+    assert pc_single == pc_sharded
