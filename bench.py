@@ -47,6 +47,7 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     mode = os.environ.get("BENCH_MODE", "train")
     attn_impl = os.environ.get("BENCH_ATTN_IMPL", "auto")
+    keep_ratio = float(os.environ.get("BENCH_KEEP_RATIO", "1.0"))
 
     backend = jax.default_backend()
     if backend != "tpu":
@@ -56,7 +57,9 @@ def main():
         if os.environ.get("BENCH_STEPS") is None:
             steps = 5
 
-    cfg = MODEL_PRESETS[model_name].replace(dtype=dtype, attn_impl=attn_impl)
+    cfg = MODEL_PRESETS[model_name].replace(
+        dtype=dtype, attn_impl=attn_impl, token_keep_ratio=keep_ratio
+    )
     pcfg = PromptConfig()
     print(f"[bench] {model_name} {dtype} batch={batch} steps={steps} mode={mode} "
           f"backend={backend}", file=sys.stderr)
@@ -140,7 +143,13 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"CLIP {model_name} prompt-tune images/sec/chip (fwd+attribution+bwd)",
+                "metric": (
+                    f"CLIP {model_name} "
+                    + ("prompt-tune images/sec/chip (fwd+attribution+bwd)"
+                       if mode == "train"
+                       else "eval images/sec/chip (fwd+attribution)")
+                    + (f" [token_keep={keep_ratio}]" if keep_ratio < 1.0 else "")
+                ),
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / 2000.0, 4),

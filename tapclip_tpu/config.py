@@ -55,6 +55,13 @@ class CLIPConfig:
     dtype: str = "float32"
     # Attention implementation: "auto" | "xla" | "pallas"
     attn_impl: str = "auto"
+    # Attention-aware token pruning for the (frozen) vision tower: after
+    # `token_prune_layer` blocks, keep the class token plus the patches with
+    # the highest class-query attention. 1.0 = exact (off). Inference
+    # acceleration in the spirit of the retrieved token-filtering papers
+    # (PAPERS.md); an approximation — eval-quality tradeoff is the user's.
+    token_keep_ratio: float = 1.0
+    token_prune_layer: int = 4
 
     @property
     def grid_size(self) -> int:

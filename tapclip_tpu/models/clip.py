@@ -126,20 +126,81 @@ def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
     if Tp != T:
         x = jnp.pad(x, [(0, 0), (0, Tp - T), (0, 0)])
         kv_valid = T
-    x, _ = layers.transformer_forward(
-        x,
-        p["blocks"],
-        cfg.vision_heads,
-        act=cfg.act,
-        ln_eps=cfg.ln_eps,
-        kv_valid_len=kv_valid,
-        impl=cfg.attn_impl,
-    )
+
+    if cfg.token_keep_ratio < 1.0 and cfg.token_prune_layer < cfg.vision_layers:
+        x = _forward_with_token_pruning(p, cfg, x, kv_valid)
+    else:
+        x, _ = layers.transformer_forward(
+            x,
+            p["blocks"],
+            cfg.vision_heads,
+            act=cfg.act,
+            ln_eps=cfg.ln_eps,
+            kv_valid_len=kv_valid,
+            impl=cfg.attn_impl,
+        )
     x = layers.layer_norm(x, p["ln_post"], cfg.ln_eps)
     pooled = x[:, 0]
     return jnp.dot(
         pooled, p["proj"].astype(dtype), preferred_element_type=jnp.float32
     ).astype(dtype)
+
+
+def _forward_with_token_pruning(p, cfg: CLIPConfig, x: jnp.ndarray, kv_valid):
+    """Attention-aware token filtering (EViT/ATS-style, PAPERS.md theme).
+
+    Runs ``token_prune_layer`` full blocks, scores the remaining patches by
+    the class query's head-averaged attention under the NEXT block's
+    attention weights, keeps the top ``token_keep_ratio`` (class token
+    always), and runs the remaining blocks on the reduced sequence.
+    Approximate — gated behind ``token_keep_ratio < 1``, eval-path use.
+    """
+    k = cfg.token_prune_layer
+    blocks = p["blocks"]
+    front = jax.tree.map(lambda a: a[:k], blocks)
+    back = jax.tree.map(lambda a: a[k:], blocks)
+
+    x, _ = layers.transformer_forward(
+        x, front, cfg.vision_heads,
+        act=cfg.act, ln_eps=cfg.ln_eps, kv_valid_len=kv_valid, impl=cfg.attn_impl,
+    )
+
+    # Class-query attention row under block k's attention weights.
+    blk = jax.tree.map(lambda a: a[0], back)
+    y = layers.layer_norm(x, blk["ln_1"], cfg.ln_eps)
+    W = y.shape[-1]
+    H = cfg.vision_heads
+    Dh = W // H
+    w_q = blk["attn"]["w_qkv"][:, :W]
+    w_k = blk["attn"]["w_qkv"][:, W : 2 * W]
+    b_q = blk["attn"]["b_qkv"][:W]
+    b_k = blk["attn"]["b_qkv"][W : 2 * W]
+    q_cls = (y[:, :1] @ w_q.astype(y.dtype) + b_q.astype(y.dtype)).reshape(
+        -1, 1, H, Dh
+    )
+    keys = (y @ w_k.astype(y.dtype) + b_k.astype(y.dtype)).reshape(
+        y.shape[0], y.shape[1], H, Dh
+    )
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q_cls, keys).astype(jnp.float32)
+    logits = logits[:, :, 0] * (Dh ** -0.5)  # [B, H, T]
+    if kv_valid is not None:
+        ki = jnp.arange(y.shape[1])[None, None, :]
+        logits = jnp.where(ki < kv_valid, logits, -jnp.inf)
+    scores = jax.nn.softmax(logits, axis=-1).mean(axis=1)  # [B, T]
+
+    T = x.shape[1]
+    n_keep = max(8, int(T * cfg.token_keep_ratio) // 8 * 8)  # sublane multiple
+    # Always keep the class token: force its score to +inf.
+    scores = scores.at[:, 0].set(jnp.inf)
+    _, idx = jax.lax.top_k(scores, n_keep)  # [B, n_keep]
+    x = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+    x, _ = layers.transformer_forward(
+        x, back, cfg.vision_heads,
+        act=cfg.act, ln_eps=cfg.ln_eps, impl=cfg.attn_impl,
+    )
+    # top_k is ordered by score; the class token (inf) lands at position 0.
+    return x
 
 
 # ---------------------------------------------------------------------------
