@@ -71,21 +71,21 @@ def text_features_with_attribution(
     clip_cfg: CLIPConfig,
     prompt_cfg: PromptConfig,
     adjustor_params: Dict[str, Any],
-    differentiable: bool = False,
 ):
     """Class-batched attribution -> adjust -> encode. Returns (feats, attribution).
 
     feats: [C, embed_dim] L2-normalized; attribution: [C, P] f32.
 
-    ``differentiable=True`` (training) routes the SECOND text pass to the XLA
-    attention path: the fused kernels' custom VJP recomputes the forward,
-    which doubles differentiated work (measured: cached train step 5.6 ->
-    11.1 ms). The attribution pass is stop-gradient'ed either way, so it
-    always keeps the kernels.
+    Both text passes run the fused kernels whether or not the caller
+    differentiates: every kernel on this path has a dedicated Pallas
+    backward (``ops/fused_mha.py::_mha_bwd_kernel``,
+    ``ops/flash_attention.py::_attn_bwd_kernel``), so training no longer
+    needs an XLA escape.  The attribution pass is stop-gradient'ed (the
+    reference detaches it, clip_wrapper.py:36).
     """
     P = prompt_cfg.prompt_len
     mode = prompt_cfg.text_mode
-    encode_impl = "xla" if differentiable else None
+    encode_impl = None
 
     if mode == "ref_compat":
         # [ctx || full-77-token-embedding] -> 82-token sequence
@@ -186,7 +186,6 @@ def full_model_forward(
         clip_cfg,
         prompt_cfg,
         trainable["adjustor"],
-        differentiable=with_loss,
     )
 
     scale = jnp.exp(trainable["logit_scale"]).astype(jnp.float32)

@@ -17,10 +17,13 @@ Design notes (TPU-first):
   * Per-batch scalars (valid key length, attribution column index) ride in as
     scalar-prefetch operands in SMEM so one compiled kernel serves every
     class-prompt length.
-  * Backward: ``jax.custom_vjp`` whose bwd recomputes gradients through the
-    XLA reference implementation (identical math).  Sequences are short, so a
-    dedicated backward kernel is not on the critical path; forward-only eval
-    and the (stop-gradient) attribution pass dominate.
+  * Backward: ``jax.custom_vjp`` with a dedicated Pallas backward kernel
+    (``_attn_bwd_kernel``) that recomputes the score tile from the saved
+    q/k/v and emits dq/dk/dv — the short-sequence single-block analogue of
+    the flash-attention two-kernel dq/dkv scheme.  The aux (attribution)
+    output is consumed under ``stop_gradient`` (the reference detaches it),
+    so its cotangent is structurally zero.  Only the blocked long-sequence
+    path (T > 2048, never hit by CLIP) falls back to XLA recompute.
 """
 
 from __future__ import annotations
@@ -336,6 +339,109 @@ def _pallas_attention_blocked(
     return out, aux
 
 
+def _attn_bwd_kernel(
+    valid_ref,  # SMEM [B] int32
+    q_ref,  # VMEM [1, 1, Tp, Dh]
+    k_ref,
+    v_ref,
+    g_ref,  # VMEM [1, 1, Tp, Dh] — cotangent of the attention output
+    dq_ref,  # VMEM [1, 1, Tp, Dh]
+    dk_ref,
+    dv_ref,
+    *,
+    scale: float,
+    causal: bool,
+):
+    """Single-block attention backward (per batch-head program).
+
+    Recomputes ``p = softmax(mask(q kᵀ · scale))`` from the saved inputs, then
+    the standard softmax-attention gradient: dv = pᵀ g, dp = g vᵀ,
+    ds = p ⊙ (dp − rowsum(dp ⊙ p)) · scale, dq = ds k, dk = dsᵀ q.
+    Masked keys have p = 0 exactly (−1e30 fill), so ds vanishes there; padded
+    query rows carry zero cotangent from the caller's padding.
+
+    The attribution aux output is consumed under ``stop_gradient`` in the
+    model (the reference detaches it, clip_wrapper.py:36), so its cotangent
+    is structurally zero and never enters this kernel.
+    """
+    b = pl.program_id(0)
+    valid = valid_ref[b]
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [Tp, Dh]
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32)
+    Tp = q.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ki = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    mask = ki < valid
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
+        mask = jnp.logical_and(mask, ki <= qi)
+    s = jnp.where(mask, s * scale, jnp.float32(-1e30))
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [Tq, Tk]
+
+    dv = jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Tk, Dh]
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Tq, Tk]
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _pallas_attention_bwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    g: jnp.ndarray,  # [B, H, T, Dh] cotangent of the output
+    valid: jnp.ndarray,  # [B] int32
+    *,
+    causal: bool,
+    interpret: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    B, H, T, Dh = q.shape
+    Tp = _round_up(max(T, 8), _LANE)
+    pad = [(0, 0), (0, 0), (0, Tp - T), (0, 0)]
+    qp, kp, vp, gp = (jnp.pad(t, pad) for t in (q, k, v, g))
+
+    kernel = functools.partial(_attn_bwd_kernel, scale=Dh ** -0.5, causal=causal)
+    spec = pl.BlockSpec((1, 1, Tp, Dh), lambda b, h, *_: (b, h, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+    )
+    shape = jax.ShapeDtypeStruct((B, H, Tp, Dh), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(shape, shape, shape),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * H * Tp * Tp * Dh,
+            bytes_accessed=7 * B * H * Tp * Dh * q.dtype.itemsize,
+            transcendentals=B * H * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), qp, kp, vp, gp)
+    return dq[:, :, :T], dk[:, :, :T], dv[:, :, :T]
+
+
 # ---------------------------------------------------------------------------
 # Differentiable public entry point
 # ---------------------------------------------------------------------------
@@ -365,6 +471,14 @@ def _core_bwd(causal, with_aux, interpret, residuals, cts):
     # The aux output is consumed under stop_gradient in the model (the
     # reference detaches it, clip_wrapper.py:36), so its cotangent is zero;
     # differentiate only through the attention output.
+    Tp = _round_up(max(q.shape[2], 8), _LANE)
+    if Tp <= _MAX_SINGLE_BLOCK_T:
+        dq, dk, dv = _pallas_attention_bwd(
+            q, k, v, d_out, valid, causal=causal, interpret=interpret
+        )
+        return dq, dk, dv, None, None
+    # Blocked path (T beyond the single-block cap, never hit by CLIP
+    # sequence lengths): recompute-through-XLA gradient.
     _, vjp = jax.vjp(
         lambda q_, k_, v_: attention_reference(
             q_, k_, v_, causal=causal, kv_valid_len=valid

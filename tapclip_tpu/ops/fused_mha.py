@@ -15,9 +15,11 @@ Grid: ``(B / bB,)`` batch blocks; heads iterated as a static Python loop in
 the kernel (each head's matmuls hit the MXU back to back).  Sequence length
 is padded to a sublane multiple by the caller; padded keys are masked.
 
-Scope: forward-only, no causal/aux support — this is the frozen-image-tower
-fast path. The general kernel (masks, EOT aux column, custom VJP) lives in
-``flash_attention.py``.
+No causal/aux support — that general kernel (per-batch masks, EOT aux
+column) lives in ``flash_attention.py``.  Fully differentiable: the custom
+VJP saves the packed qkv and runs a dedicated Pallas backward kernel
+(``_mha_bwd_kernel``) that recomputes the score tiles in VMEM and emits the
+packed dqkv — training never round-trips ``[B, H, T, T]`` through HBM either.
 """
 
 from __future__ import annotations
@@ -106,6 +108,139 @@ def _mha_kernel(
     jax.lax.fori_loop(0, n_groups, body, 0)
 
 
+def _mha_bwd_kernel(
+    qkv_ref,  # VMEM [bB, Tp, 3W] saved forward input
+    g_ref,  # VMEM [bB, Tp, W] output cotangent
+    dqkv_ref,  # VMEM [bB, Tp, 3W]
+    *,
+    n_heads: int,
+    width: int,
+    valid: int,
+    scale: float,
+):
+    """Packed-QKV attention backward: recompute scores, emit packed dqkv.
+
+    Standard softmax-attention gradient (the short-sequence single-block
+    analogue of the flash-attention dq/dk/dv scheme): per head,
+    ``p = softmax(mask(q kᵀ · scale))`` is recomputed from the saved qkv, then
+        dv = pᵀ g,   dp = g vᵀ,   ds = p ⊙ (dp − rowsum(dp ⊙ p)) · scale,
+        dq = ds k,   dk = dsᵀ q.
+    Masked (padded) keys have p = 0 exactly, so their ds vanishes; padded
+    query rows carry g = 0 from the caller.  Same head-group layout rules as
+    the forward (128-lane-aligned dynamic slices, fori_loop over groups).
+    """
+    bB, Tp, _ = qkv_ref.shape
+    Dh = width // n_heads
+    ki = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    key_mask = ki < valid
+    neg = jnp.float32(-1e30)
+
+    heads_per_group = max(1, 128 // Dh)
+    n_groups = n_heads // heads_per_group
+    group_w = heads_per_group * Dh
+
+    def one_head(q, k, v, gh):
+        # q, k [bB, Tp, Dh] f32; v, gh in input dtype.
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(key_mask[None], s * scale, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [bB, Tq, Tk] f32
+        g32 = gh.astype(jnp.float32)
+        dv = jax.lax.dot_general(
+            p.astype(gh.dtype), gh,
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bB, Tk, Dh]
+        dp = jax.lax.dot_general(
+            g32, v.astype(jnp.float32),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bB, Tq, Tk]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [bB, Tq, Dh]
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [bB, Tk, Dh]
+        return dq, dk, dv
+
+    def body(grp, carry):
+        off = pl.multiple_of(grp * group_w, group_w)
+        qg = qkv_ref[:, :, pl.ds(off, group_w)].astype(jnp.float32)
+        kg = qkv_ref[:, :, pl.ds(width + off, group_w)].astype(jnp.float32)
+        vg = qkv_ref[:, :, pl.ds(2 * width + off, group_w)]
+        gg = g_ref[:, :, pl.ds(off, group_w)]
+        dqs, dks, dvs = [], [], []
+        for i in range(heads_per_group):
+            sl = slice(i * Dh, (i + 1) * Dh)
+            dq, dk, dv = one_head(qg[:, :, sl], kg[:, :, sl], vg[:, :, sl], gg[:, :, sl])
+            dqs.append(dq)
+            dks.append(dk)
+            dvs.append(dv)
+        dt = dqkv_ref.dtype
+        dqkv_ref[:, :, pl.ds(off, group_w)] = jnp.concatenate(dqs, -1).astype(dt)
+        dqkv_ref[:, :, pl.ds(width + off, group_w)] = jnp.concatenate(dks, -1).astype(dt)
+        dqkv_ref[:, :, pl.ds(2 * width + off, group_w)] = jnp.concatenate(dvs, -1).astype(dt)
+        return carry
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+
+def _fused_mha_bwd_impl(
+    qkv: jnp.ndarray,  # [B, T, 3W]
+    g: jnp.ndarray,  # [B, T, W]
+    n_heads: int,
+    valid: int,
+    block_b: int,
+    interpret: Optional[bool],
+) -> jnp.ndarray:
+    B, T, threeW = qkv.shape
+    W = threeW // 3
+    Dh = W // n_heads
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    Tp = _round_up(T, 8)
+    if Tp != T:
+        qkv = jnp.pad(qkv, [(0, 0), (0, Tp - T), (0, 0)])
+        g = jnp.pad(g, [(0, 0), (0, Tp - T), (0, 0)])
+    # Backward holds two extra f32 score tiles (p, dp) plus the g block and
+    # the dqkv output — shrink the batch block until it fits.
+    bB = min(block_b, B)
+    while bB > 1 and (
+        B % bB
+        or bB * Tp * (3 * W * 2 * 2 + W * 2 + 3 * W * 2 * 2 + 3 * Tp * 4) > 13 * 2 ** 20
+    ):
+        bB -= 1
+    while B % bB:
+        bB -= 1
+
+    kernel = functools.partial(
+        _mha_bwd_kernel, n_heads=n_heads, width=W, valid=valid, scale=Dh ** -0.5
+    )
+    dqkv = pl.pallas_call(
+        kernel,
+        grid=(B // bB,),
+        in_specs=[
+            pl.BlockSpec((bB, Tp, 3 * W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bB, Tp, W), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bB, Tp, 3 * W), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, 3 * W), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * n_heads * Tp * Tp * Dh,
+            bytes_accessed=(3 + 1 + 3) * B * Tp * W * qkv.dtype.itemsize,
+            transcendentals=B * n_heads * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(qkv, g)
+    return dqkv[:, :T, :]
+
+
 def _xla_reference(qkv: jnp.ndarray, n_heads: int, valid: Optional[int] = None) -> jnp.ndarray:
     """Same math in plain XLA (used for the backward pass)."""
     from tapclip_tpu.ops.attention import attention_reference
@@ -132,9 +267,7 @@ def _fused_mha_fwd(qkv, n_heads, valid, block_b, interpret):
 
 
 def _fused_mha_bwd(n_heads, valid, block_b, interpret, qkv, g):
-    _, vjp = jax.vjp(lambda x: _xla_reference(x, n_heads, valid), qkv)
-    (dqkv,) = vjp(g)
-    return (dqkv,)
+    return (_fused_mha_bwd_impl(qkv, g, n_heads, valid, block_b, interpret),)
 
 
 _fused_mha_vjp.defvjp(_fused_mha_fwd, _fused_mha_bwd)
@@ -150,10 +283,11 @@ def fused_mha(
 ) -> jnp.ndarray:
     """Packed-QKV multi-head self attention -> ``[B, T, W]``.
 
-    Differentiable: the backward recomputes through the XLA reference (the
-    forward-only kernel is the frozen-tower fast path; sequences are short).
-    Falls back to the XLA path when the head layout can't satisfy the
-    128-lane dynamic-slice alignment (tiny test configs).
+    Differentiable: a dedicated Pallas backward kernel recomputes the score
+    tiles from the saved qkv and emits packed dqkv (no XLA recompute, no
+    ``[B, H, T, T]`` HBM materialization in either direction).  Falls back to
+    the XLA path when the head layout can't satisfy the 128-lane
+    dynamic-slice alignment (tiny test configs).
     """
     B, T, threeW = qkv.shape
     W = threeW // 3
@@ -334,10 +468,27 @@ def _attn_block_fwd(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, 
     return out, (x, gamma, beta, w_qkv, b_qkv, w_out, b_out)
 
 
+def _attn_block_split(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps):
+    """LN -> QKV GEMM -> fused_mha kernel -> out-proj GEMM -> +residual.
+
+    The gradient path for the monolithic forward kernel: XLA handles the
+    GEMM/LN pieces (its weight-grad GEMMs are already optimal and it saves
+    their activations), while the attention core runs the Pallas forward and
+    its dedicated Pallas backward — no [B, H, T, T] HBM round trip in either
+    direction.
+    """
+    from tapclip_tpu.models import layers
+
+    y = layers.layer_norm(x, {"scale": gamma, "bias": beta}, eps)
+    qkv = layers.dense(y, w_qkv, b_qkv)
+    out = fused_mha(qkv, n_heads, valid_len=valid)
+    return x + layers.dense(out, w_out, b_out)
+
+
 def _attn_block_bwd(n_heads, valid, eps, block_b, interpret, res, g):
     x, gamma, beta, w_qkv, b_qkv, w_out, b_out = res
     _, vjp = jax.vjp(
-        lambda *a: _attn_block_xla(*a, n_heads, valid, eps),
+        lambda *a: _attn_block_split(*a, n_heads, valid, eps),
         x, gamma, beta, w_qkv, b_qkv, w_out, b_out,
     )
     return vjp(g)

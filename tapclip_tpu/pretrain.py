@@ -102,11 +102,12 @@ def make_pretrain_step(
     all_gather; without one, the single-device loss is used.
     """
 
-    # Pretraining differentiates the TOWERS themselves; the fused kernels'
-    # custom VJP recomputes their forward through XLA, which would make every
-    # kernel call cost fwd(kernel) + fwd(XLA) + bwd(XLA). Route the whole
-    # pretraining graph to the XLA path (same numerics, single fwd).
-    cfg = cfg.replace(attn_impl="xla")
+    # Pretraining differentiates the TOWERS themselves. The fused kernels are
+    # kept engaged end-to-end: the attention cores have dedicated Pallas
+    # backward kernels (fused_mha/_mha_bwd_kernel, flash_attention/
+    # _attn_bwd_kernel), and the block-fusion wrappers recompute through the
+    # split composition that reuses those cores — checkpoint-style recompute
+    # for the GEMMs, kernel gradients for the attention math.
 
     def loss_fn(params, images, token_ids):
         img = clip_model.encode_image(params, cfg, images)

@@ -1,0 +1,157 @@
+"""Gradient parity: Pallas backward kernels vs the XLA oracle.
+
+Training keeps the fused kernels engaged end-to-end (no XLA escape):
+``fused_mha`` and ``flash_attention``'s core have dedicated Pallas backward
+kernels, and the block-fusion wrappers recompute through the split
+composition that reuses those cores.  These tests pin their gradients to
+``jax.grad`` through the plain-XLA reference implementations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tapclip_tpu.ops.attention import attention_reference
+from tapclip_tpu.ops.flash_attention import fused_attention
+from tapclip_tpu.ops.fused_mha import (
+    _attn_block_xla,
+    _xla_reference,
+    fused_attn_block,
+    fused_mha,
+)
+
+
+def _loss_weights(rng, shape):
+    return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "B,T,H,Dh",
+    [
+        (2, 50, 2, 64),  # kernel path, one head-pair group
+        (3, 197, 4, 64),  # ViT-like
+        (2, 30, 2, 128),  # Dh == lane width
+    ],
+)
+def test_fused_mha_grad_matches_xla(rng, B, T, H, Dh):
+    qkv = jnp.asarray(rng.standard_normal((B, T, 3 * H * Dh)), jnp.float32)
+    w = _loss_weights(rng, (B, T, H * Dh))
+
+    def loss(fn):
+        return lambda x: jnp.sum(fn(x) * w)
+
+    g_kernel = jax.grad(loss(lambda x: fused_mha(x, H, interpret=True)))(qkv)
+    g_ref = jax.grad(loss(lambda x: _xla_reference(x, H)))(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g_kernel), np.asarray(g_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_mha_grad_with_padded_keys(rng):
+    B, T, H, Dh = 2, 50, 2, 64
+    valid = 41
+    qkv = jnp.asarray(rng.standard_normal((B, T, 3 * H * Dh)), jnp.float32)
+    w = _loss_weights(rng, (B, T, H * Dh))
+
+    g_kernel = jax.grad(
+        lambda x: jnp.sum(fused_mha(x, H, valid_len=valid, interpret=True) * w)
+    )(qkv)
+    g_ref = jax.grad(lambda x: jnp.sum(_xla_reference(x, H, valid) * w))(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g_kernel), np.asarray(g_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("with_aux", [False, True])
+def test_fused_attention_grad(rng, causal, with_aux):
+    B, H, T, Dh = 2, 3, 26, 32
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, H, T, Dh)), jnp.float32) for _ in range(3)
+    )
+    valid = jnp.asarray([T, T - 7], jnp.int32)
+    eot = jnp.asarray([T - 1, T - 9], jnp.int32) if with_aux else None
+    w = _loss_weights(rng, (B, H, T, Dh))
+
+    def kernel_loss(q, k, v):
+        out, aux = fused_attention(
+            q, k, v, causal=causal, kv_valid_len=valid, attn_to_idx=eot, interpret=True
+        )
+        # The model consumes aux under stop_gradient (reference detaches it).
+        return jnp.sum(out * w)
+
+    def ref_loss(q, k, v):
+        out, _ = attention_reference(
+            q, k, v, causal=causal, kv_valid_len=valid, attn_to_idx=None
+        )
+        return jnp.sum(out * w)
+
+    gk = jax.grad(kernel_loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attn_block_grad(rng):
+    """Monolithic forward kernel; backward through the split composition."""
+    B, T, W, H = 2, 16, 256, 2
+    x = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    kp = jax.random.PRNGKey(3)
+    from tapclip_tpu.models.layers import init_attn, init_layer_norm
+
+    ln = init_layer_norm(W)
+    attn = init_attn(kp, W)
+    wl = _loss_weights(rng, (B, T, W))
+
+    def kernel_loss(x, ln, attn):
+        return jnp.sum(fused_attn_block(x, ln, attn, H, interpret=True) * wl)
+
+    def ref_loss(x, ln, attn):
+        out = _attn_block_xla(
+            x, ln["scale"], ln["bias"], attn["w_qkv"], attn["b_qkv"],
+            attn["w_out"], attn["b_out"], H, T, 1e-5,
+        )
+        return jnp.sum(out * wl)
+
+    gk = jax.grad(kernel_loss, argnums=(0, 1, 2))(x, ln, attn)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(x, ln, attn)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
+
+
+def test_text_pass_grads_pallas_vs_xla(tiny_cfg, tiny_prompt_cfg, tiny_params, rng):
+    """Full differentiated text pass (attribution -> adjust -> encode):
+    pallas impl (interpret) vs xla impl, grads wrt the trainable pytree."""
+    from tapclip_tpu.data.tokenizer import get_tokenizer
+    from tapclip_tpu.models.model_wrapper import (
+        init_trainable,
+        text_features_with_attribution,
+    )
+    from tapclip_tpu.models.prompt_learner import PromptLearner
+
+    learner = PromptLearner(
+        ["Backpack", "Pen"],
+        tiny_params,
+        tiny_cfg,
+        tiny_prompt_cfg,
+        get_tokenizer(context_length=tiny_cfg.context_length),
+    )
+    trainable = init_trainable(jax.random.PRNGKey(1), learner, tiny_prompt_cfg)
+    tgt = jnp.asarray(
+        rng.standard_normal((learner.bank.ctx.shape[0], tiny_cfg.embed_dim)),
+        jnp.float32,
+    )
+
+    def loss(trainable, impl):
+        cfg = tiny_cfg.replace(attn_impl=impl)
+        feats, _ = text_features_with_attribution(
+            tiny_params, trainable["ctx"], learner.bank, cfg,
+            tiny_prompt_cfg, trainable["adjustor"],
+        )
+        return jnp.sum(feats * tgt)
+
+    g_pallas = jax.grad(loss)(trainable, "pallas")
+    g_xla = jax.grad(loss)(trainable, "xla")
+    for a, b in zip(jax.tree.leaves(g_pallas), jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
