@@ -203,7 +203,7 @@ def block_forward(
             from tapclip_tpu.ops.fused_mha import _pick_attn_block_b
 
             B_, T_, W_ = x.shape
-            if _pick_attn_block_b(B_, T_, W_, 4) == 1:
+            if _pick_attn_block_b(B_, T_, W_, 8) == 1:
                 use_fused_block = False
 
     if use_fused_block:
