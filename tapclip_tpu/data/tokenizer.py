@@ -76,9 +76,17 @@ def get_pairs(word):
     return pairs
 
 
+try:  # pragma: no cover - ftfy is absent from this image
+    import ftfy as _ftfy
+except ImportError:
+    _ftfy = None
+
+
 def basic_clean(text: str) -> str:
-    # The original also runs ftfy.fix_text; ftfy is not available here and is
-    # a no-op for well-formed input.
+    # The original runs ftfy.fix_text first; gate on availability (it is a
+    # no-op for well-formed input).
+    if _ftfy is not None:
+        text = _ftfy.fix_text(text)
     return html.unescape(html.unescape(text)).strip()
 
 

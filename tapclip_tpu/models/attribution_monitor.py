@@ -40,12 +40,18 @@ def attribution_entropy(attribution: jnp.ndarray) -> jnp.ndarray:
     return (-(p * jnp.log(p)).sum(axis=-1)).mean()
 
 
-def attribution_variance(attribution: jnp.ndarray, labels: jnp.ndarray, n_classes: int) -> jnp.ndarray:
+def attribution_variance(
+    attribution: jnp.ndarray, labels: jnp.ndarray, n_classes=None
+) -> jnp.ndarray:
     """Mean per-label variance of attribution (eval_metrics.py:84-96).
 
     Segment-reduced version of the reference's Python group-by; labels out of
-    range contribute nothing.
+    range contribute nothing.  ``n_classes`` defaults to ``max(labels)+1``
+    (matching the reference's 2-arg signature); pass it explicitly under jit,
+    where the inferred value would be data-dependent.
     """
+    if n_classes is None:
+        n_classes = int(labels.max()) + 1
     one_hot = jax.nn.one_hot(labels, n_classes, dtype=attribution.dtype)  # [N, C]
     counts = one_hot.sum(axis=0)  # [C]
     safe = jnp.maximum(counts, 1.0)

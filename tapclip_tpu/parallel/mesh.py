@@ -67,11 +67,21 @@ def make_multihost_mesh(dp_per_host: int = -1, tp: int = 1) -> Mesh:
     n_local = jax.local_device_count()
     if dp_per_host == -1:
         dp_per_host = n_local // tp
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(dp_per_host, tp),
-        dcn_mesh_shape=(jax.process_count(), 1),
-    )
-    return Mesh(devices.reshape(-1, tp), (DATA_AXIS, MODEL_AXIS))
+    try:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(dp_per_host, tp),
+            dcn_mesh_shape=(jax.process_count(), 1),
+        )
+        return Mesh(devices.reshape(-1, tp), (DATA_AXIS, MODEL_AXIS))
+    except ValueError:
+        # Devices without slice topology info (e.g. the multi-process CPU
+        # simulation — no ``slice_index`` attr): group by process manually.
+        # TP groups stay within one process's devices (the ICI-domain
+        # analogue); DP stacks process-major so gradient reduction crosses
+        # the "DCN" boundary exactly once per ring.
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        grid = np.asarray(devs).reshape(jax.process_count() * dp_per_host, tp)
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
