@@ -48,6 +48,7 @@ def main():
     mode = os.environ.get("BENCH_MODE", "train")
     attn_impl = os.environ.get("BENCH_ATTN_IMPL", "auto")
     keep_ratio = float(os.environ.get("BENCH_KEEP_RATIO", "1.0"))
+    quantize = os.environ.get("BENCH_QUANT", "0") == "1"  # eval-mode int8 tower
 
     backend = jax.default_backend()
     if backend != "tpu":
@@ -58,7 +59,8 @@ def main():
             steps = 5
 
     cfg = MODEL_PRESETS[model_name].replace(
-        dtype=dtype, attn_impl=attn_impl, token_keep_ratio=keep_ratio
+        dtype=dtype, attn_impl=attn_impl, token_keep_ratio=keep_ratio,
+        quantize_tower=quantize and mode == "eval",
     )
     pcfg = PromptConfig()
     print(f"[bench] {model_name} {dtype} batch={batch} steps={steps} mode={mode} "
@@ -149,6 +151,7 @@ def main():
                        if mode == "train"
                        else "eval images/sec/chip (fwd+attribution)")
                     + (f" [token_keep={keep_ratio}]" if keep_ratio < 1.0 else "")
+                    + (" [int8 tower]" if cfg.quantize_tower else "")
                 ),
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",

@@ -62,6 +62,10 @@ class CLIPConfig:
     # (PAPERS.md); an approximation — eval-quality tradeoff is the user's.
     token_keep_ratio: float = 1.0
     token_prune_layer: int = 4
+    # int8 (W8A8, stochastic-rounding activations) frozen-tower MLP path for
+    # EVAL (ops/int8_mlp.py). Bounded accuracy delta for ~1.3x GEMM
+    # throughput; training must not route here (the int8 op has no VJP).
+    quantize_tower: bool = False
 
     @property
     def grid_size(self) -> int:

@@ -123,6 +123,7 @@ class Loader:
         preprocess: Optional[Callable] = None,
         drop_remainder: bool = False,
         use_native: Optional[bool] = None,
+        output_dtype: str = "float32",
     ):
         self.samples = list(samples)
         self.batch_size = batch_size
@@ -132,12 +133,25 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.drop_remainder = drop_remainder
         self._epoch = 0
+        if output_dtype not in ("float32", "uint8"):
+            raise ValueError(f"output_dtype must be float32|uint8, got {output_dtype}")
+        if output_dtype == "uint8" and preprocess is not None:
+            raise ValueError(
+                "output_dtype='uint8' requires the built-in pipeline "
+                "(normalization moves on-device; see preprocess.device_normalize)"
+            )
+        self.output_dtype = output_dtype
         # Native C++ decode path (bit-exact with the PIL pipeline) is used
         # when no custom preprocess fn was supplied and the library builds.
         if use_native is None:
             use_native = preprocess is None and _native_available()
         self.use_native = bool(use_native) and preprocess is None
-        self.preprocess = preprocess or make_preprocess(image_size)
+        if output_dtype == "uint8":
+            from tapclip_tpu.data.preprocess import make_preprocess_uint8
+
+            self.preprocess = make_preprocess_uint8(image_size)
+        else:
+            self.preprocess = preprocess or make_preprocess(image_size)
 
     def __len__(self) -> int:
         n = len(self.samples)
@@ -172,9 +186,18 @@ class Loader:
             idx = order[b * B : (b + 1) * B]
             paths = [self.samples[i][0] for i in idx]
             labels = np.asarray([self.samples[i][1] for i in idx], np.int32)
+            to_uint8 = self.output_dtype == "uint8"
             images, ok = native.decode_batch(
-                paths, self.image_size, num_threads=self.num_workers
+                paths,
+                self.image_size,
+                do_normalize=not to_uint8,
+                num_threads=self.num_workers,
             )
+            if to_uint8:
+                # Pre-normalize values are exactly k/255 (uint8 through the
+                # PIL-compatible resize) -> the round-trip is exact. clip()
+                # sanitizes rows whose decode failed (overwritten below).
+                images = np.rint(np.clip(images, 0.0, 1.0) * 255.0).astype(np.uint8)
             if not ok.all():
                 # Formats the native decoder doesn't cover (webp/bmp/tiff)
                 # or corrupt-but-PIL-readable files: fall back per image.
@@ -240,11 +263,16 @@ def get_dataloaders(
     image_size: int = 224,
     num_workers: int = 4,
     verbose: bool = True,
+    output_dtype: str = "float32",
 ) -> Tuple[Optional[Loader], Loader]:
     """Public API matching the reference ``get_dataloaders`` (dataset.py:21-71).
 
     Returns ``(train_loader | None, val_loader)``; ``num_shots=0`` yields
     ``train_loader=None`` (zero-shot, dataset.py:51-62).
+
+    ``output_dtype="uint8"`` ships raw resized/cropped pixels across
+    host->device (4x less transfer) and fuses CLIP normalization into the
+    image tower's program (``encode_image`` handles uint8) — bit-identical.
     """
     index = ImageFolderIndex.scan(root_dir)
     split = few_shot_split(index, class_names, num_shots, seed=seed)
@@ -259,6 +287,7 @@ def get_dataloaders(
             image_size=image_size,
             num_workers=num_workers,
             preprocess=preprocess,
+            output_dtype=output_dtype,
         )
     elif verbose:
         print("[dataset] num_shots=0 -> train set empty (zero-shot setting)")
@@ -269,6 +298,7 @@ def get_dataloaders(
         image_size=image_size,
         num_workers=num_workers,
         preprocess=preprocess,
+        output_dtype=output_dtype,
     )
     if verbose:
         # Mirrors the reference's sanity prints (dataset.py:66-69).

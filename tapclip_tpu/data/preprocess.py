@@ -90,8 +90,38 @@ def make_preprocess(image_size: int = 224, do_normalize: bool = True):
     return _fn
 
 
+def preprocess_pil_uint8(img: "Image.Image", image_size: int = 224) -> np.ndarray:
+    """PIL image -> ``[S, S, 3]`` uint8 (resize+crop only, no normalize).
+
+    PIL's bicubic resize outputs uint8, so the float pipeline's pre-normalize
+    values are exactly ``k/255`` — shipping uint8 across host->device and
+    normalizing on device (:func:`device_normalize`) is bit-identical to the
+    float path at 1/4 the transfer bandwidth.
+    """
+    img = img.convert("RGB")
+    img = resize_shorter_side(img, image_size)
+    img = center_crop(img, image_size)
+    return np.asarray(img, np.uint8)
+
+
+def make_preprocess_uint8(image_size: int = 224):
+    def _fn(img):
+        if isinstance(img, str):
+            if not _HAS_PIL:
+                raise RuntimeError("PIL is required for image loading")
+            with Image.open(img) as im:
+                return preprocess_pil_uint8(im, image_size)
+        return preprocess_pil_uint8(img, image_size)
+
+    return _fn
+
+
 def device_normalize(images: "np.ndarray"):
-    """On-device normalization for uint8 NHWC batches (jnp-compatible)."""
+    """On-device normalization for uint8 NHWC batches (jnp-compatible).
+
+    ``(x/255 - mean)/std`` in f32 — the exact math the host pipeline applies,
+    so the uint8-transfer path is bit-identical to host-normalized float32.
+    """
     import jax.numpy as jnp
 
     x = images.astype(jnp.float32) / 255.0

@@ -107,6 +107,13 @@ def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
     """
     p = params["visual"]
     dtype = cfg.compute_dtype
+    if images.dtype == jnp.uint8:
+        # uint8 host->device transfer path (4x less bandwidth): CLIP
+        # normalization fuses into this program, bit-identical to the
+        # host-normalized float pipeline (data/preprocess.py).
+        from tapclip_tpu.data.preprocess import device_normalize
+
+        images = device_normalize(images)
     x = patchify(images.astype(dtype), cfg.patch_size)
     x = jnp.dot(x, p["patch_embed"]["w"].astype(dtype), preferred_element_type=jnp.float32)
     x = x.astype(dtype)
@@ -138,6 +145,7 @@ def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
             ln_eps=cfg.ln_eps,
             kv_valid_len=kv_valid,
             impl=cfg.attn_impl,
+            quantize=cfg.quantize_tower,
         )
     x = layers.layer_norm(x, p["ln_post"], cfg.ln_eps)
     pooled = x[:, 0]
@@ -322,8 +330,18 @@ def text_forward_embeds(
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    n = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
-    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
+    """x / ||x|| with a gradient that is finite at x = 0.
+
+    ``jnp.linalg.norm`` has a NaN gradient at the origin (d||x||/dx = x/||x||
+    = 0/0), and zero cotangents don't save you (0 * NaN = NaN) — padded
+    prompt-bank rows are exactly zero, so the naive form poisons their AdamW
+    state.  The smooth ``rsqrt(sum(x^2) + eps^2)`` form is within one ulp of
+    the exact quotient for any real feature vector and has zero gradient
+    contribution at the origin under a zero cotangent.
+    """
+    x32 = x.astype(jnp.float32)
+    n2 = jnp.sum(x32 * x32, axis=axis, keepdims=True)
+    return (x32 * jax.lax.rsqrt(n2 + eps * eps)).astype(x.dtype)
 
 
 def param_count(params: Params) -> int:

@@ -181,6 +181,7 @@ def block_forward(
     kv_valid_len=None,
     attn_to_idx=None,
     impl: str = "auto",
+    quantize: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Pre-LN residual attention block (open_clip ResidualAttentionBlock)."""
     # "fused_split": XLA GEMMs for qkv/out-proj + the fused_mha kernel for
@@ -225,6 +226,14 @@ def block_forward(
         )
         x = x + h
 
+    if quantize and act == "gelu":
+        # int8 W8A8 eval path (CLIPConfig.quantize_tower). No VJP by design:
+        # differentiating through it fails loudly rather than silently
+        # training against quantization noise.
+        from tapclip_tpu.ops.int8_mlp import int8_mlp_block
+
+        return int8_mlp_block(x, p["ln_2"], p["mlp"], eps=ln_eps), aux
+
     use_fused_mlp = False
     if act == "gelu" and impl in ("auto", "fused", "fused_split"):
         import jax as _jax
@@ -250,6 +259,7 @@ def transformer_forward(
     kv_valid_len=None,
     attn_to_idx=None,
     impl: str = "auto",
+    quantize: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run stacked transformer blocks via ``lax.scan``.
 
@@ -266,6 +276,7 @@ def transformer_forward(
         causal=causal,
         kv_valid_len=kv_valid_len,
         impl=impl,
+        quantize=quantize,
     )
 
     def scan_step(carry, layer_params):

@@ -64,6 +64,10 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--save-every", type=int, default=0,
                    help="snapshot params+optimizer state every N epochs "
                         "(preemption-safe; resume with --resume <dir>)")
+    p.add_argument("--uint8-transfer", action="store_true",
+                   help="ship uint8 pixels host->device (4x less transfer "
+                        "bandwidth) and normalize on device — bit-identical "
+                        "to the float pipeline")
     return p
 
 
@@ -198,9 +202,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
         list(cfg.class_names),
         batch_size=cfg.train.batch_size,
         num_shots=cfg.train.num_shots,
-        preprocess=preprocess,
+        preprocess=None if args.uint8_transfer else preprocess,
         seed=cfg.train.seed,
         image_size=cfg.model.image_size,
+        output_dtype="uint8" if args.uint8_transfer else "float32",
     )
     if train_loader is None:
         # zero-shot: single eval pass

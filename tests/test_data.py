@@ -145,3 +145,57 @@ class TestPreprocess:
         idx = ImageFolderIndex.scan(tree)
         out = fn(idx.samples[0][0])
         assert out.shape == (16, 16, 3)
+
+
+class TestUint8Transfer:
+    """uint8 host->device path: bit-identical to the float pipeline."""
+
+    def test_uint8_loader_bit_exact_through_encode(self, tree):
+        import jax
+        import jax.numpy as jnp
+
+        from tapclip_tpu.config import TINY_TEST
+        from tapclip_tpu.models import clip as C
+
+        cfg = TINY_TEST
+        _, vl_f32 = get_dataloaders(
+            tree, CLASSES, num_shots=0, verbose=False, image_size=cfg.image_size
+        )
+        _, vl_u8 = get_dataloaders(
+            tree, CLASSES, num_shots=0, verbose=False, image_size=cfg.image_size,
+            output_dtype="uint8",
+        )
+        params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+        for (im_f, lb_f, mask), (im_u, lb_u, _) in zip(vl_f32, vl_u8):
+            assert im_u.dtype == np.uint8
+            assert (lb_f == lb_u).all()
+            feats_f = np.asarray(C.encode_image(params, cfg, jnp.asarray(im_f)))
+            feats_u = np.asarray(C.encode_image(params, cfg, jnp.asarray(im_u)))
+            # Padding rows differ by construction (pixel-space vs
+            # normalized-space zeros) and are masked downstream.
+            np.testing.assert_allclose(
+                feats_f[mask], feats_u[mask], rtol=1e-5, atol=1e-5
+            )
+
+    def test_uint8_device_normalize_matches_host(self, tree):
+        from tapclip_tpu.data.preprocess import device_normalize
+
+        _, vl_f32 = get_dataloaders(
+            tree, CLASSES, num_shots=0, verbose=False, image_size=24
+        )
+        _, vl_u8 = get_dataloaders(
+            tree, CLASSES, num_shots=0, verbose=False, image_size=24,
+            output_dtype="uint8",
+        )
+        for (im_f, _, mask), (im_u, _, _) in zip(vl_f32, vl_u8):
+            np.testing.assert_allclose(
+                np.asarray(device_normalize(im_u))[mask], im_f[mask],
+                rtol=0, atol=2e-6,
+            )
+
+    def test_uint8_rejects_custom_preprocess(self, tree):
+        with pytest.raises(ValueError):
+            get_dataloaders(
+                tree, CLASSES, num_shots=0, verbose=False, image_size=24,
+                preprocess=lambda p: p, output_dtype="uint8",
+            )
