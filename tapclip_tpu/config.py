@@ -32,12 +32,17 @@ class CLIPConfig:
     """
 
     name: str = "ViT-B-32"
-    # Vision tower
+    # Vision tower: "vit" (default) or "resnet" (CLIP ModifiedResNet — the
+    # RN50 family the reference's CLIPWrapper interface also accepts).
+    vision_tower: str = "vit"
     image_size: int = 224
     patch_size: int = 32
     vision_width: int = 768
     vision_layers: int = 12
     vision_heads: int = 12
+    # Bottleneck-block counts per stage (resnet towers only; e.g. RN50 is
+    # (3, 4, 6, 3) at vision_width 64).
+    resnet_layers: tuple = ()
     # Text tower
     vocab_size: int = 49408
     context_length: int = 77
@@ -105,6 +110,21 @@ VIT_L_14 = CLIPConfig(
     embed_dim=768,
 )
 
+RN50 = CLIPConfig(
+    name="RN50",
+    vision_tower="resnet",
+    vision_width=64,
+    resnet_layers=(3, 4, 6, 3),
+    embed_dim=1024,
+)
+RN101 = CLIPConfig(
+    name="RN101",
+    vision_tower="resnet",
+    vision_width=64,
+    resnet_layers=(3, 4, 23, 3),
+    embed_dim=512,
+)
+
 # A tiny config for unit tests / multichip dry runs (fast init + compile).
 TINY_TEST = CLIPConfig(
     name="tiny-test",
@@ -126,6 +146,8 @@ MODEL_PRESETS = {
     "ViT-B-32": VIT_B_32,
     "ViT-B-16": VIT_B_16,
     "ViT-L-14": VIT_L_14,
+    "RN50": RN50,
+    "RN101": RN101,
     "tiny-test": TINY_TEST,
 }
 

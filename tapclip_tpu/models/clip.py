@@ -49,6 +49,15 @@ def _init_clip_params_jit(key: jax.Array, cfg: CLIPConfig) -> Params:
     kv, kt, ke, kp, kc, kpe, ktp, kvp = jax.random.split(key, 8)
     vw, tw = cfg.vision_width, cfg.text_width
     patch_dim = cfg.patch_size * cfg.patch_size * 3
+    if cfg.vision_tower == "resnet":
+        from tapclip_tpu.models.resnet import init_resnet_params
+
+        visual = init_resnet_params(kv, cfg)
+        return {
+            "visual": visual,
+            "text": _init_text_params(kt, ke, kpe, ktp, cfg),
+            "logit_scale": jnp.asarray(jnp.log(1.0 / 0.07), jnp.float32),
+        }
     visual = {
         "patch_embed": {
             "w": jax.random.normal(kp, (patch_dim, vw), jnp.float32) * (vw ** -0.5)
@@ -62,7 +71,18 @@ def _init_clip_params_jit(key: jax.Array, cfg: CLIPConfig) -> Params:
         "ln_post": layers.init_layer_norm(vw),
         "proj": jax.random.normal(kvp, (vw, cfg.embed_dim), jnp.float32) * (vw ** -0.5),
     }
-    text = {
+    return {
+        "visual": visual,
+        "text": _init_text_params(kt, ke, kpe, ktp, cfg),
+        # CLIP's own logit scale, init ln(1/0.07) (the FullModel keeps a
+        # separate learnable copy per model_wrapper.py:26).
+        "logit_scale": jnp.asarray(jnp.log(1.0 / 0.07), jnp.float32),
+    }
+
+
+def _init_text_params(kt, ke, kpe, ktp, cfg: CLIPConfig) -> Params:
+    tw = cfg.text_width
+    return {
         "token_embedding": jax.random.normal(ke, (cfg.vocab_size, tw), jnp.float32) * 0.02,
         "positional_embedding": (
             jax.random.normal(kpe, (cfg.context_length, tw), jnp.float32) * 0.01
@@ -71,13 +91,6 @@ def _init_clip_params_jit(key: jax.Array, cfg: CLIPConfig) -> Params:
         "ln_final": layers.init_layer_norm(tw),
         "text_projection": jax.random.normal(ktp, (tw, cfg.embed_dim), jnp.float32)
         * (tw ** -0.5),
-    }
-    return {
-        "visual": visual,
-        "text": text,
-        # CLIP's own logit scale, init ln(1/0.07) (the FullModel keeps a
-        # separate learnable copy per model_wrapper.py:26).
-        "logit_scale": jnp.asarray(jnp.log(1.0 / 0.07), jnp.float32),
     }
 
 
@@ -105,6 +118,14 @@ def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
     Matches open_clip ``VisionTransformer.forward`` + projection; the caller
     L2-normalizes (as ``model_wrapper.py:41`` does).
     """
+    if cfg.vision_tower == "resnet":
+        from tapclip_tpu.models.resnet import resnet_encode_image
+
+        if images.dtype == jnp.uint8:
+            from tapclip_tpu.data.preprocess import device_normalize
+
+            images = device_normalize(images)
+        return resnet_encode_image(params, cfg, images)
     p = params["visual"]
     dtype = cfg.compute_dtype
     if images.dtype == jnp.uint8:

@@ -78,10 +78,89 @@ def _stack_blocks(blocks) -> Dict[str, Any]:
     return jax.tree.map(lambda *xs: np.stack(xs), *blocks)
 
 
+def _convert_conv(w: np.ndarray) -> Dict[str, np.ndarray]:
+    """torch conv [O, I, kh, kw] -> HWIO (NHWC convolution layout)."""
+    return {"w": _f32(w).transpose(2, 3, 1, 0)}
+
+
+def _convert_bn(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _f32(sd[f"{prefix}.weight"]),
+        "bias": _f32(sd[f"{prefix}.bias"]),
+        "mean": _f32(sd[f"{prefix}.running_mean"]),
+        "var": _f32(sd[f"{prefix}.running_var"]),
+    }
+
+
+def _convert_bottleneck(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    p = {
+        "conv1": _convert_conv(sd[f"{prefix}.conv1.weight"]),
+        "bn1": _convert_bn(sd, f"{prefix}.bn1"),
+        "conv2": _convert_conv(sd[f"{prefix}.conv2.weight"]),
+        "bn2": _convert_bn(sd, f"{prefix}.bn2"),
+        "conv3": _convert_conv(sd[f"{prefix}.conv3.weight"]),
+        "bn3": _convert_bn(sd, f"{prefix}.bn3"),
+    }
+    if f"{prefix}.downsample.0.weight" in sd:
+        # CLIP's downsample OrderedDict: ["-1" avgpool, "0" conv, "1" bn].
+        p["downsample"] = {
+            "conv": _convert_conv(sd[f"{prefix}.downsample.0.weight"]),
+            "bn": _convert_bn(sd, f"{prefix}.downsample.1"),
+        }
+    return p
+
+
+def _convert_resnet_visual(sd: Dict[str, np.ndarray], cfg: CLIPConfig) -> Dict[str, Any]:
+    """open_clip ModifiedResNet ``visual.*`` -> our resnet param tree."""
+    v: Dict[str, Any] = {
+        "conv1": _convert_conv(sd["visual.conv1.weight"]),
+        "bn1": _convert_bn(sd, "visual.bn1"),
+        "conv2": _convert_conv(sd["visual.conv2.weight"]),
+        "bn2": _convert_bn(sd, "visual.bn2"),
+        "conv3": _convert_conv(sd["visual.conv3.weight"]),
+        "bn3": _convert_bn(sd, "visual.bn3"),
+    }
+    for li, n_blocks in enumerate(cfg.resnet_layers):
+        v[f"layer{li + 1}"] = [
+            _convert_bottleneck(sd, f"visual.layer{li + 1}.{b}")
+            for b in range(n_blocks)
+        ]
+    v["attnpool"] = {
+        "positional_embedding": _f32(sd["visual.attnpool.positional_embedding"]),
+        **{
+            f"{n}_proj": {
+                "w": _f32(sd[f"visual.attnpool.{n}_proj.weight"]),
+                "b": _f32(sd[f"visual.attnpool.{n}_proj.bias"]),
+            }
+            for n in ("q", "k", "v", "c")
+        },
+    }
+    return v
+
+
 def convert_openclip_state_dict(
     sd: Dict[str, np.ndarray], cfg: CLIPConfig
 ) -> Dict[str, Any]:
     """open_clip CLIP state dict -> tapclip_tpu param pytree (numpy leaves)."""
+    if cfg.vision_tower == "resnet":
+        t_blocks = [
+            _convert_block(sd, f"transformer.resblocks.{i}")
+            for i in range(cfg.text_layers)
+        ]
+        return {
+            "visual": _convert_resnet_visual(sd, cfg),
+            "text": {
+                "token_embedding": _f32(sd["token_embedding.weight"]),
+                "positional_embedding": _f32(sd["positional_embedding"]),
+                "blocks": _stack_blocks(t_blocks),
+                "ln_final": {
+                    "scale": _f32(sd["ln_final.weight"]),
+                    "bias": _f32(sd["ln_final.bias"]),
+                },
+                "text_projection": _f32(sd["text_projection"]),
+            },
+            "logit_scale": _f32(sd["logit_scale"]).reshape(()),
+        }
     conv_w = _f32(sd["visual.conv1.weight"])  # [O, C, kh, kw]
     O, C, kh, kw = conv_w.shape
     if kh != cfg.patch_size:
