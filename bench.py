@@ -142,6 +142,28 @@ def main():
 
     imgs_per_sec = batch * steps / dt
     print(f"[bench] {dt/steps*1e3:.2f} ms/step", file=sys.stderr)
+
+    # Secondary evidence in the same artifact: the cached-feature train step
+    # (the rate real prompt-tuning epochs run at — the frozen tower is
+    # encoded once per dataset) — cheap to measure here.
+    extra = {"ms_per_step": round(dt / steps * 1e3, 2), "batch": batch,
+             "mode": mode, "model": model_name}
+    if mode == "train" and os.environ.get("BENCH_SKIP_CACHED") != "1":
+        feats = clip_model.encode_image(params, cfg, images)
+        jax.block_until_ready(feats)
+        cstep = make_train_step(cfg, pcfg, optimizer, use_image_feats=True)
+        cstate = init_train_state(trainable, optimizer)
+        cstate, m = cstep(params, cstate, bank, feats, labels, mask)
+        jax.block_until_ready(m["loss"])
+        n = 50
+        t0 = time.perf_counter()
+        for _ in range(n):
+            cstate, m = cstep(params, cstate, bank, feats, labels, mask)
+        jax.block_until_ready(m["loss"])
+        cdt = (time.perf_counter() - t0) / n
+        extra["cached_train_step_ms"] = round(cdt * 1e3, 3)
+        extra["cached_imgs_per_sec"] = round(batch / cdt, 1)
+        print(f"[bench] cached-feature step: {cdt*1e3:.2f} ms", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -156,6 +178,7 @@ def main():
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / 2000.0, 4),
+                "extra": extra,
             }
         )
     )

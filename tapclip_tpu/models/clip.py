@@ -219,6 +219,13 @@ def _forward_with_token_pruning(p, cfg: CLIPConfig, x: jnp.ndarray, kv_valid):
 
     T = x.shape[1]
     n_keep = max(8, int(T * cfg.token_keep_ratio) // 8 * 8)  # sublane multiple
+    if kv_valid is not None:
+        # Never keep more tokens than exist: past this point kv_valid is
+        # dropped, so a padded row that survived the gather would become an
+        # attendable key in the back blocks (pads score exactly 0, but guard
+        # keep-ratios near 1 anyway). The sublane minimum of 8 rows still
+        # applies — sequences shorter than 8 keep their pads regardless.
+        n_keep = min(n_keep, max(kv_valid // 8 * 8, 8))
     # Always keep the class token: force its score to +inf.
     scores = scores.at[:, 0].set(jnp.inf)
     _, idx = jax.lax.top_k(scores, n_keep)  # [B, n_keep]
