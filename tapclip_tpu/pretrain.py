@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import functools
 import jax
 import jax.numpy as jnp
 import optax
@@ -119,7 +120,11 @@ def make_pretrain_step(
             loss = contrastive_loss_local(img, txt, scale)
         return loss
 
-    @jax.jit
+    # Donate params + optimizer state: the step consumes and replaces them,
+    # so XLA can update in place — without donation two full copies of
+    # (params, mu, nu) coexist and full-tower training OOMs at half the
+    # batch it should handle.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, images, token_ids):
         loss, grads = jax.value_and_grad(loss_fn)(params, images, token_ids)
         updates, opt_state = optimizer.update(grads, opt_state, params)
