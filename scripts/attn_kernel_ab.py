@@ -170,7 +170,8 @@ def run_interleaved(ln, attn, x, H, valid, group_heads=2, bB=8, vmem_mb=48):
     )
 
 
-def make_variant_kernel(n_heads, valid, eps, group_heads, ln_1pass, perhead_qkv):
+def make_variant_kernel(n_heads, valid, eps, group_heads, ln_1pass, perhead_qkv,
+                        softmax_opt=False):
     def kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                o_ref, qkv_s, attn_s):
         bB, Tp, W = x_ref.shape
@@ -206,6 +207,19 @@ def make_variant_kernel(n_heads, valid, eps, group_heads, ln_1pass, perhead_qkv)
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
             )
+            if softmax_opt:
+                # exp2 with the scale and log2(e) folded into one constant,
+                # and the 1/l normalisation deferred past the p@v dot: the
+                # divide shrinks from [Tp, Tp] to [Tp, Dh] elements.
+                s = jnp.where(key_mask[None], s * (scale * 1.4426950408889634), neg)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                return o / l
             s = jnp.where(key_mask[None], s * scale, neg)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
@@ -259,10 +273,11 @@ def make_variant_kernel(n_heads, valid, eps, group_heads, ln_1pass, perhead_qkv)
 
 
 def run_variant(ln, attn, x, H, valid, group_heads=2, ln_1pass=False,
-                perhead_qkv=False, bB=4, vmem_mb=None):
+                perhead_qkv=False, softmax_opt=False, bB=4, vmem_mb=None):
     B, T, W = x.shape
     dtype = x.dtype
-    kernel = make_variant_kernel(H, valid, 1e-5, group_heads, ln_1pass, perhead_qkv)
+    kernel = make_variant_kernel(H, valid, 1e-5, group_heads, ln_1pass, perhead_qkv,
+                                 softmax_opt)
     return pl.pallas_call(
         kernel,
         grid=(B // bB,),
@@ -302,8 +317,12 @@ def run_variant(ln, attn, x, H, valid, group_heads=2, ln_1pass=False,
 
 
 def main():
-    B, T, W, H = 256, 200, 768, 12
-    valid = 197
+    if len(sys.argv) > 1 and sys.argv[1] == "vitl":
+        B, T, W, H = 128, 264, 1024, 16
+        valid = 257
+    else:
+        B, T, W, H = 256, 200, 768, 12
+        valid = 197
     x = jax.jit(lambda k: jax.random.normal(k, (B, T, W), jnp.bfloat16))(
         jax.random.PRNGKey(1)
     )
@@ -318,10 +337,10 @@ def main():
 
     variants = {
         "bb8_perhead": (run_variant, dict(bB=8, perhead_qkv=True, vmem_mb=48)),
-        "il_bb8_g2": (run_interleaved, dict(bB=8, group_heads=2, vmem_mb=48)),
-        "il_bb4_g2": (run_interleaved, dict(bB=4, group_heads=2, vmem_mb=48)),
-        "il_bb8_g4": (run_interleaved, dict(bB=8, group_heads=4, vmem_mb=48)),
-        "il_bb16_g2": (run_interleaved, dict(bB=16, group_heads=2, vmem_mb=80)),
+        "bb8_ph_smopt": (run_variant, dict(bB=8, perhead_qkv=True, softmax_opt=True,
+                                           vmem_mb=48)),
+        "bb8_ph_smopt_g4": (run_variant, dict(bB=8, perhead_qkv=True, group_heads=4,
+                                              softmax_opt=True, vmem_mb=48)),
     }
     t = measure(base, ln, attn, x)
     print(f"production          : {t*1e3:6.2f} ms ({attn_fl/t/PEAK*100:5.1f}% MXU)")

@@ -90,6 +90,41 @@ def main():
     for n, a, b in zip(("dq", "dk", "dv"), gk, gr):
         check(n, a, b, rtol=8e-2, atol=8e-2)
 
+    # --- fused_mlp_block dedicated bwd kernel, vision shape (bf16) --------
+    from tapclip_tpu.models.layers import init_mlp
+    from tapclip_tpu.ops.fused_mlp import _xla_composition, fused_mlp_block
+
+    # R = B·T must be a row_tile (256) multiple or fused_mlp_block falls back
+    # to XLA and the kernel is never exercised: B=32, T=200 -> R=6400.
+    B, T, W = 32, 200, 768
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, T, W), jnp.bfloat16)
+    ln2 = init_layer_norm(W)
+    mlp = init_mlp(jax.random.PRNGKey(5), W, 4 * W)
+    wm = jax.random.normal(key, (B, T, W), jnp.bfloat16)
+
+    def kloss3(x, wf, wp):
+        m = dict(mlp, w_fc=wf, w_proj=wp)
+        return jnp.sum((fused_mlp_block(x, ln2, m) * wm).astype(jnp.float32))
+
+    def rloss3(x, wf, wp):
+        out = _xla_composition(x, ln2["scale"], ln2["bias"], wf, mlp["b_fc"],
+                               wp, mlp["b_proj"], 1e-5)
+        return jnp.sum((out * wm).astype(jnp.float32))
+
+    gk = jax.jit(jax.grad(kloss3, argnums=(0, 1, 2)))(x, mlp["w_fc"], mlp["w_proj"])
+    gr = jax.jit(jax.grad(rloss3, argnums=(0, 1, 2)))(x, mlp["w_fc"], mlp["w_proj"])
+    print("fused_mlp_block dedicated bwd kernel (vision shape):")
+    # Weight grads are R=6400-row accumulated sums: elementwise atol is the
+    # wrong metric (bf16-input noise is ~0.5% of the TENSOR magnitude while
+    # individual entries cross zero). Compare against the tensor scale.
+    for n, a, b in zip(("dx", "dw_fc", "dw_proj"), gk, gr):
+        a32 = np.asarray(a, np.float32)
+        b32 = np.asarray(b, np.float32)
+        scale_err = np.max(np.abs(a32 - b32)) / max(np.max(np.abs(b32)), 1e-6)
+        print(f"  {n}: max err / tensor scale {scale_err:.2e} -> "
+              f"{'OK' if scale_err < 2e-2 else 'FAIL'}")
+        assert scale_err < 2e-2, n
+
     print("ALL GRAD SMOKE CHECKS PASSED on", jax.devices()[0].device_kind)
 
 

@@ -71,6 +71,34 @@ def main():
     assert spread > 0, "stochastic rounding produced identical draws across seeds"
     assert many < one, (many, one)
 
+    # int8 attention half-block kernel vs its deterministic model and f32.
+    from tapclip_tpu.models.layers import init_attn
+    from tapclip_tpu.ops.fused_mha import _attn_block_xla
+    from tapclip_tpu.ops.int8_attn import _xla_int8_attn_reference, int8_attn_block
+
+    Ha = 12
+    attn = init_attn(jax.random.PRNGKey(7), W)
+    akern = jax.jit(
+        lambda ln, a, x, s: int8_attn_block(x, ln, a, Ha, valid_len=197, seed=s),
+        static_argnums=3,
+    )
+    adet = jax.jit(
+        lambda ln, a, x: _xla_int8_attn_reference(x, ln, a, Ha, 197, 1e-5)
+    )
+    af32 = jax.jit(
+        lambda ln, a, x: _attn_block_xla(
+            x, ln["scale"], ln["bias"], a["w_qkv"], a["b_qkv"],
+            a["w_out"], a["b_out"], Ha, 197, 1e-5,
+        )
+    )
+    aout_k = np.asarray(akern(ln, attn, x, 0), np.float32)
+    aout_d = np.asarray(adet(ln, attn, x), np.float32)
+    aout_f = np.asarray(af32(ln, attn, x), np.float32)
+    print(f"attn kernel vs deterministic-int8 model: rel {relerr(aout_k, aout_d):.4f}")
+    print(f"attn kernel vs f32 exact               : rel {relerr(aout_k, aout_f):.4f}")
+    assert relerr(aout_k, aout_d) < 0.05
+    assert relerr(aout_k, aout_f) < 0.08
+
     # End-to-end quantized tower.
     cfg = VIT_B_16.replace(dtype="bfloat16")
     cfg_q = cfg.replace(quantize_tower=True)

@@ -208,11 +208,19 @@ def block_forward(
                 use_fused_block = False
 
     if use_fused_block:
-        from tapclip_tpu.ops.fused_mha import fused_attn_block
+        if quantize:
+            # int8 W8A8 qkv/out-proj (eval-only, like the int8 MLP below).
+            from tapclip_tpu.ops.int8_attn import int8_attn_block
 
-        x = fused_attn_block(
-            x, p["ln_1"], p["attn"], n_heads, valid_len=kv_valid_len, eps=ln_eps
-        )
+            x = int8_attn_block(
+                x, p["ln_1"], p["attn"], n_heads, valid_len=kv_valid_len, eps=ln_eps
+            )
+        else:
+            from tapclip_tpu.ops.fused_mha import fused_attn_block
+
+            x = fused_attn_block(
+                x, p["ln_1"], p["attn"], n_heads, valid_len=kv_valid_len, eps=ln_eps
+            )
         aux = None
     else:
         h, aux = attn_forward(

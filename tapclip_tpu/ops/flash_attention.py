@@ -55,6 +55,9 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _attn_kernel(
     valid_ref,  # SMEM [B] int32 — number of valid keys per batch row
     eot_ref,  # SMEM [B] int32 — attribution column index per batch row
@@ -84,7 +87,9 @@ def _attn_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    s = s * scale
+    # exp2 softmax: scale·log2(e) folded into one multiply; normalisation by
+    # 1/l deferred past the p·v dot ([Tp, Dh] divide instead of [Tp, Tp]).
+    s = s * (scale * _LOG2E)
 
     ki = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
     mask = ki < valid
@@ -95,15 +100,17 @@ def _attn_kernel(
     s = jnp.where(mask, s, neg)
 
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p_norm = p / l
 
-    o_ref[0, 0] = jax.lax.dot_general(
-        p_norm.astype(v.dtype),
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    o_ref[0, 0] = (
+        jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        / l
     ).astype(o_ref.dtype)
 
     if with_aux:
@@ -112,7 +119,7 @@ def _attn_kernel(
         eot = eot_ref[b]
         onehot = (ki == eot).astype(jnp.float32)  # [Tp, Tp] column mask
         h = pl.program_id(1)
-        aux_ref[0, h, :] = jnp.sum(p_norm * onehot, axis=-1)
+        aux_ref[0, h, :] = jnp.sum(p * onehot, axis=-1) / l[:, 0]
 
 
 def _blocked_attn_kernel(
@@ -142,7 +149,9 @@ def _blocked_attn_kernel(
     qi_blk = pl.program_id(2)
     valid = valid_ref[b]
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [Qb, Dh]
+    # scale·log2(e) folded into the query pre-multiply; all running-softmax
+    # exponentials below are then exp2 in the log2 domain.
+    q = q_ref[0, 0].astype(jnp.float32) * (scale * _LOG2E)  # [Qb, Dh]
     Tp = k_ref.shape[2]
     Qb = q.shape[0]
     n_kv = Tp // kv_block
@@ -171,8 +180,8 @@ def _blocked_attn_kernel(
         s = jnp.where(mask, s, neg)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
             p.astype(v_chunk.dtype),
@@ -194,7 +203,7 @@ def _blocked_attn_kernel(
         s_eot = jax.lax.dot_general(
             q, k_eot, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [Qb, 1]
-        col = jnp.exp(s_eot - m) / l_safe  # [Qb, 1]
+        col = jnp.exp2(s_eot - m) / l_safe  # [Qb, 1]
         # The loop masked invalid/causal-excluded keys out of (m, l); the
         # recomputed eot score must honor the same mask explicitly.
         q_rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (Qb, 1), 0)
@@ -381,9 +390,9 @@ def _attn_bwd_kernel(
     if causal:
         qi = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
         mask = jnp.logical_and(mask, ki <= qi)
-    s = jnp.where(mask, s * scale, jnp.float32(-1e30))
+    s = jnp.where(mask, s * (scale * _LOG2E), jnp.float32(-1e30))
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp2(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)  # [Tq, Tk]
 
     dv = jax.lax.dot_general(

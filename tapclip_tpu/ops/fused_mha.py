@@ -44,6 +44,9 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _mha_kernel(
     qkv_ref,  # VMEM [bB, Tp, 3W]
     o_ref,  # VMEM [bB, Tp, W]
@@ -76,16 +79,18 @@ def _mha_kernel(
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [bB, Tp, Tp]
-        s = jnp.where(key_mask[None], s * scale, neg)
+        # exp2 softmax with deferred normalisation (see _attn_block_kernel).
+        s = jnp.where(key_mask[None], s * (scale * _LOG2E), neg)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        return jax.lax.dot_general(
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
             p.astype(v.dtype),
             v,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [bB, Tp, Dh]
+        return o / l
 
     def body(g, carry):
         off = pl.multiple_of(g * group_w, group_w)
@@ -144,9 +149,9 @@ def _mha_bwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        s = jnp.where(key_mask[None], s * scale, neg)
+        s = jnp.where(key_mask[None], s * (scale * _LOG2E), neg)
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp2(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # [bB, Tq, Tk] f32
         g32 = gh.astype(jnp.float32)
         dv = jax.lax.dot_general(
@@ -398,14 +403,19 @@ def _attn_block_kernel(
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        s = jnp.where(key_mask[None], s * scale, neg)
+        # softmax via exp2 with scale·log2(e) folded into one multiply, and
+        # the 1/l normalisation deferred past the p·v dot — the divide
+        # shrinks from [Tp, Tp] to [Tp, Dh] elements.  Measured 13% on the
+        # isolated kernel at ViT-L geometry (T=264), ~1% at ViT-B (T=200).
+        s = jnp.where(key_mask[None], s * (scale * _LOG2E), neg)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        return jax.lax.dot_general(
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
+        return o / l
 
     def proj_group(col_off):
         g = jax.lax.dot_general(

@@ -53,6 +53,19 @@ def _gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5)))
 
 
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _gelu_and_grad(z: jnp.ndarray):
+    """(gelu(z), gelu'(z)) sharing the erf evaluation.
+
+    gelu'(z) = Φ(z) + z·φ(z) with Φ(z) = 0.5(1+erf(z/√2)) and
+    φ(z) = exp(-z²/2)/√(2π)."""
+    cdf = 0.5 * (1.0 + _erf_poly(z * (2.0 ** -0.5)))
+    pdf = jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI
+    return z * cdf, cdf + z * pdf
+
+
 def _mlp_kernel(
     x_ref,  # VMEM [R, W] input rows (pre-LN), compute dtype
     gamma_ref,  # VMEM [1, W] f32
@@ -103,6 +116,97 @@ def _mlp_kernel(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _mlp_bwd_kernel(
+    x_ref,  # VMEM [R, W] saved forward input (pre-LN), compute dtype
+    g_ref,  # VMEM [R, W] output cotangent
+    gamma_ref,  # VMEM [1, W] f32
+    beta_ref,  # VMEM [1, W] f32
+    wfc_ref,  # VMEM [W, H]
+    bfc_ref,  # VMEM [1, H] f32
+    wproj_ref,  # VMEM [H, W]
+    dx_ref,  # VMEM [R, W] out — blocked over rows
+    dgamma_ref,  # VMEM [1, W] f32 out — grid-resident accumulator
+    dbeta_ref,  # VMEM [1, W] f32 out
+    dwfc_ref,  # VMEM [W, H] f32 out
+    dbfc_ref,  # VMEM [1, H] f32 out
+    dwproj_ref,  # VMEM [H, W] f32 out
+    dbproj_ref,  # VMEM [1, W] f32 out
+    *,
+    eps: float,
+):
+    """Dedicated MLP half-block backward: recompute the forward for the row
+    tile in VMEM (LN → fc → GELU), then the six gradient GEMM-equivalents —
+    dh = g·w_projᵀ, dw_proj = hᵀ·g, dh_pre = dh⊙gelu'(h_pre),
+    dy = dh_pre·w_fcᵀ, dw_fc = yᵀ·dh_pre, plus the analytic LN backward —
+    with the [R, H] hidden tensors never leaving VMEM (the XLA recompute
+    path round-trips y, h_pre, h and dh through HBM).  Weight-gradient
+    accumulators have a constant block index: Pallas keeps them VMEM-resident
+    across the whole row grid and flushes once."""
+    i = pl.program_id(0)
+    x = x_ref[:]
+    dt = x.dtype
+    W = x.shape[-1]
+
+    # --- recompute forward for this row tile (matches _mlp_kernel exactly) ---
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    n = (x32 - mean) * rstd  # normalised, pre-affine
+    y = (n * gamma_ref[0] + beta_ref[0]).astype(dt)
+    h_pre = jax.lax.dot_general(
+        y, wfc_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bfc_ref[0]
+    h, dgelu = _gelu_and_grad(h_pre)
+
+    # --- gradients ---
+    g32 = g_ref[:].astype(jnp.float32)
+    gc = g32.astype(dt)
+    dh = jax.lax.dot_general(  # [R, H] = g @ w_projᵀ
+        gc, wproj_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dwproj_part = jax.lax.dot_general(  # [H, W] = hᵀ @ g
+        h.astype(dt), gc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dh_pre = dh * dgelu
+    dhc = dh_pre.astype(dt)
+    dy = jax.lax.dot_general(  # [R, W] = dh_pre @ w_fcᵀ
+        dhc, wfc_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dwfc_part = jax.lax.dot_general(  # [W, H] = yᵀ @ dh_pre
+        y, dhc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    # LayerNorm backward (affine params + input).
+    dgamma_part = jnp.sum(dy * n, axis=0, keepdims=True)
+    dbeta_part = jnp.sum(dy, axis=0, keepdims=True)
+    dn = dy * gamma_ref[0]
+    dx_ln = rstd * (
+        dn
+        - jnp.mean(dn, axis=-1, keepdims=True)
+        - n * jnp.mean(dn * n, axis=-1, keepdims=True)
+    )
+    dx_ref[:] = (g32 + dx_ln).astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dgamma_ref[:] = dgamma_part
+        dbeta_ref[:] = dbeta_part
+        dwfc_ref[:] = dwfc_part
+        dbfc_ref[:] = jnp.sum(dh_pre, axis=0, keepdims=True)
+        dwproj_ref[:] = dwproj_part
+        dbproj_ref[:] = jnp.sum(g32, axis=0, keepdims=True)
+
+    @pl.when(i > 0)
+    def _():
+        dgamma_ref[:] += dgamma_part
+        dbeta_ref[:] += dbeta_part
+        dwfc_ref[:] += dwfc_part
+        dbfc_ref[:] += jnp.sum(dh_pre, axis=0, keepdims=True)
+        dwproj_ref[:] += dwproj_part
+        dbproj_ref[:] += jnp.sum(g32, axis=0, keepdims=True)
+
+
 def _xla_composition(x, gamma, beta, w_fc, b_fc, w_proj, b_proj, eps):
     from tapclip_tpu.models import layers
 
@@ -125,6 +229,19 @@ def _fwd(x, gamma, beta, w_fc, b_fc, w_proj, b_proj, eps, row_tile, interpret):
 
 def _bwd(eps, row_tile, interpret, res, g):
     x, gamma, beta, w_fc, b_fc, w_proj, b_proj = res
+    W, H = w_fc.shape
+    # The dedicated kernel keeps the [R, H] hidden tensors in VMEM and the
+    # f32 weight-gradient accumulators grid-resident; it needs the whole
+    # (weights + accumulators) set to fit under the scoped-VMEM cap.
+    # 2·W·H bf16 weights + 2·W·H f32 accumulators + ~6 row_tile·H f32 tiles.
+    fits = (
+        2 * W * H * 2 + 2 * W * H * 4 + 6 * row_tile * H * 4
+    ) <= _BWD_VMEM_BUDGET
+    if fits:
+        return _fused_mlp_bwd_impl(
+            x, gamma, beta, w_fc, b_fc, w_proj, b_proj, g, eps, row_tile,
+            interpret,
+        )
     _, vjp = jax.vjp(
         lambda *a: _xla_composition(*a, eps), x, gamma, beta, w_fc, b_fc, w_proj, b_proj
     )
@@ -132,6 +249,79 @@ def _bwd(eps, row_tile, interpret, res, g):
 
 
 _fused_mlp_vjp.defvjp(_fwd, _bwd)
+
+
+_BWD_VMEM_BUDGET = 52 * 2 ** 20
+
+
+def _fused_mlp_bwd_impl(x, gamma, beta, w_fc, b_fc, w_proj, b_proj, g, eps,
+                        row_tile, interpret):
+    from jax.experimental.pallas import tpu as pltpu_local
+
+    B, T, W = x.shape
+    H = w_fc.shape[-1]
+    R = B * T
+    dtype = x.dtype
+    x2 = x.reshape(R, W)
+    g2 = g.reshape(R, W)
+
+    dx, dgamma, dbeta, dwfc, dbfc, dwproj, dbproj = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=eps),
+        grid=(R // row_tile,),
+        in_specs=[
+            pl.BlockSpec((row_tile, W), lambda i: (i, 0)),
+            pl.BlockSpec((row_tile, W), lambda i: (i, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+            pl.BlockSpec((W, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, W), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((row_tile, W), lambda i: (i, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+            pl.BlockSpec((W, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, W), lambda i: (0, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, W), dtype),
+            jax.ShapeDtypeStruct((1, W), jnp.float32),
+            jax.ShapeDtypeStruct((1, W), jnp.float32),
+            jax.ShapeDtypeStruct((W, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, W), jnp.float32),
+            jax.ShapeDtypeStruct((1, W), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * R * W * H,
+            bytes_accessed=3 * R * W * x.dtype.itemsize + 3 * W * H * 4,
+            transcendentals=2 * R * H,
+        ),
+        compiler_params=pltpu_local.CompilerParams(
+            vmem_limit_bytes=96 * 2 ** 20
+        ),
+        interpret=interpret,
+    )(
+        x2,
+        g2,
+        gamma.astype(jnp.float32).reshape(1, W),
+        beta.astype(jnp.float32).reshape(1, W),
+        w_fc.astype(dtype),
+        b_fc.astype(jnp.float32).reshape(1, H),
+        w_proj.astype(dtype),
+    )
+    return (
+        dx.reshape(B, T, W),
+        dgamma.reshape(gamma.shape).astype(gamma.dtype),
+        dbeta.reshape(beta.shape).astype(beta.dtype),
+        dwfc.astype(w_fc.dtype),
+        dbfc.reshape(b_fc.shape).astype(b_fc.dtype),
+        dwproj.astype(w_proj.dtype),
+        dbproj.reshape(b_proj.shape).astype(b_proj.dtype),
+    )
 
 
 def fused_mlp_block(

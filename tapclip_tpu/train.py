@@ -64,6 +64,13 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--save-every", type=int, default=0,
                    help="snapshot params+optimizer state every N epochs "
                         "(preemption-safe; resume with --resume <dir>)")
+    p.add_argument("--keep-last-n", type=int, default=2,
+                   help="retain the N most recent periodic snapshots")
+    p.add_argument("--keep-best-n", type=int, default=0,
+                   help="also retain the N best-by-val-accuracy snapshots")
+    p.add_argument("--async-save", action="store_true",
+                   help="write periodic snapshots on a background thread "
+                        "(the train loop never blocks on serialization)")
     p.add_argument("--uint8-transfer", action="store_true",
                    help="ship uint8 pixels host->device (4x less transfer "
                         "bandwidth) and normalize on device — bit-identical "
@@ -226,19 +233,27 @@ def main(argv: Optional[List[str]] = None) -> dict:
         }
         log.info("resuming from %s (step %s)", args.resume, resume_state["step"])
 
-    latest_path = os.path.join(paths["model_dir"], "checkpoint_latest")
+    from tapclip_tpu.utils.checkpoint import CheckpointManager
 
-    def _snapshot(epoch, state):
-        save_prompt_checkpoint(
-            latest_path,
+    ckpt_mgr = CheckpointManager(
+        os.path.join(paths["model_dir"], "checkpoints"),
+        keep_last_n=args.keep_last_n,
+        keep_best_n=args.keep_best_n,
+        mode="max",
+        async_save=args.async_save,
+    )
+
+    def _snapshot(epoch, state, metric=None):
+        p = ckpt_mgr.save(
+            step=int(state.step),
             trainable=state.params,
             bank=model.prompt_learner.bank,
             class_names=model.class_names,
             opt_state=state.opt_state,
-            step=int(state.step),
+            metric=metric,
             extra_meta={"epoch": epoch},
         )
-        log.info("periodic checkpoint at epoch %d -> %s", epoch, latest_path)
+        log.info("periodic checkpoint at epoch %d -> %s", epoch, p)
 
     with maybe_profile(args.profile_dir):
         result = fit_prompt_model(
@@ -247,6 +262,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             checkpoint_cb=_snapshot if args.save_every else None,
             checkpoint_every=args.save_every,
         )
+    ckpt_mgr.close()
 
     log.info("best val accuracy: %.2f%% (after %d epochs)",
              result.best_acc, result.epochs_run)

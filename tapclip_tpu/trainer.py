@@ -294,13 +294,11 @@ def fit_prompt_model(
         ent_hist.append(
             float(_attr_entropy(state.params["ctx"], state.params["adjustor"]))
         )
-        if checkpoint_cb is not None and checkpoint_every > 0 and epoch % checkpoint_every == 0:
-            # Periodic snapshot (params + optimizer state) for preemption-safe
-            # resume — the reference only ever saves the final best state.
-            checkpoint_cb(epoch, state)
-
+        epoch_acc = None
+        stop = False
         if val_cache is not None and epoch % eval_every == 0:
             acc, per_class = evaluate_cached(model, val_cache)
+            epoch_acc = acc
             acc_hist.append(acc)
             for i, name in enumerate(model.class_names):
                 per_class_hist[name].append(per_class.get(i, 0.0))
@@ -320,9 +318,20 @@ def fit_prompt_model(
                 else:
                     patience_ctr += 1
                     if patience_ctr == train_cfg.patience:
-                        break
+                        stop = True
         elif verbose:
             log.info("[Epoch %d] avg train loss: %.4f", epoch, avg_loss)
+
+        if checkpoint_cb is not None and checkpoint_every > 0 and (
+            epoch % checkpoint_every == 0 or stop
+        ):
+            # Periodic snapshot (params + optimizer state) for preemption-safe
+            # resume — the reference only ever saves the final best state.
+            # The epoch's val accuracy rides along when this epoch evaluated
+            # (None otherwise) so retention policies can rank by metric.
+            checkpoint_cb(epoch, state, epoch_acc)
+        if stop:
+            break
 
     if not track_best or val_cache is None:
         best_trainable = dict(model.trainable)

@@ -125,3 +125,188 @@ def load_any_prompt_checkpoint(
     out: Dict[str, Any] = {"ctx_by_name": ctx_by_name, "meta": {}}
     out.update(extras)
     return out
+
+
+class CheckpointManager:
+    """Retention + async policies over ``save_prompt_checkpoint``.
+
+    The reference keeps exactly one ``state_dict`` pickle of the final best
+    model (``/root/reference/train.py:131-133``).  Production training wants
+    more: periodic preemption-safe snapshots, the N best-by-metric kept, and
+    saves that do not block the train loop on serialization.  This manager
+    layers those policies without changing the on-disk format — every
+    checkpoint stays an ordinary Orbax dir restorable by
+    ``restore_prompt_checkpoint``.
+
+    * ``keep_last_n`` — most recent checkpoints retained (resume safety).
+    * ``keep_best_n`` — best-by-``metric`` checkpoints retained
+      (``mode='max'`` for accuracy, ``'min'`` for loss).  A checkpoint in
+      both sets is stored once.
+    * ``async_save=True`` — the Orbax write (and retention sweep) runs on a
+      single background worker; the device trees are snapshotted to host
+      numpy *before* dispatch, so the step's arrays can be donated/mutated
+      immediately.  Call :meth:`wait` (or use as a context manager) before
+      reading the files.
+    """
+
+    _INDEX = "manager_index.json"
+
+    def __init__(
+        self,
+        directory: str,
+        *,
+        keep_last_n: int = 2,
+        keep_best_n: int = 0,
+        mode: str = "max",
+        async_save: bool = False,
+    ):
+        if mode not in ("max", "min"):
+            raise ValueError(f"mode must be 'max' or 'min', got {mode!r}")
+        self.directory = os.path.abspath(directory)
+        self.keep_last_n = keep_last_n
+        self.keep_best_n = keep_best_n
+        self.mode = mode
+        os.makedirs(self.directory, exist_ok=True)
+        # [(step, path, metric-or-None)] in save order; _lock guards it
+        # against the async worker's retention sweep.
+        import threading
+
+        self._lock = threading.Lock()
+        self._records = []
+        self._load_index()
+        self._pool = None
+        self._pending = []
+        if async_save:
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-mgr"
+            )
+
+    # -- public API ---------------------------------------------------------
+
+    def save(
+        self,
+        *,
+        step: int,
+        trainable: Dict[str, Any],
+        bank,
+        class_names: Sequence[str],
+        opt_state: Any = None,
+        metric: Optional[float] = None,
+        extra_meta: Optional[Dict[str, Any]] = None,
+    ) -> str:
+        """Queue (or perform) a checkpoint write; returns its path."""
+        path = os.path.join(self.directory, f"step_{step:08d}")
+        # Host snapshot up front: correctness under async (the caller may
+        # donate/overwrite the device buffers right after this returns).
+        trainable = jax.tree.map(np.asarray, trainable)
+        bank = _bank_as_dict(bank)
+        if opt_state is not None:
+            opt_state = jax.tree.map(np.asarray, opt_state)
+        meta = dict(extra_meta or {})
+        if metric is not None:
+            meta["metric"] = float(metric)
+        args = (path, trainable, bank, list(class_names), opt_state, step, meta)
+        with self._lock:
+            self._records.append(
+                (int(step), path, None if metric is None else float(metric))
+            )
+        if self._pool is None:
+            self._write_and_sweep(*args)
+        else:
+            self._pending.append(self._pool.submit(self._write_and_sweep, *args))
+        return path
+
+    def wait(self) -> None:
+        """Block until every queued save (and retention sweep) completed."""
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()  # re-raises worker exceptions
+
+    def close(self) -> None:
+        self.wait()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    @property
+    def latest_path(self) -> Optional[str]:
+        kept = self._kept()
+        recs = [r for r in self._records if r[1] in kept]
+        return max(recs, key=lambda r: r[0])[1] if recs else None
+
+    @property
+    def best_path(self) -> Optional[str]:
+        scored = [r for r in self._records if r[2] is not None]
+        if not scored:
+            return None
+        pick = max if self.mode == "max" else min
+        return pick(scored, key=lambda r: r[2])[1]
+
+    def all_paths(self):
+        return [r[1] for r in self._records if r[1] in self._kept()]
+
+    # -- internals ----------------------------------------------------------
+
+    def _kept(self):
+        last = {r[1] for r in sorted(self._records)[-self.keep_last_n:]} \
+            if self.keep_last_n > 0 else set()
+        scored = sorted(
+            (r for r in self._records if r[2] is not None),
+            key=lambda r: r[2],
+            reverse=self.mode == "max",
+        )
+        best = {r[1] for r in scored[: self.keep_best_n]}
+        return last | best
+
+    def _write_and_sweep(self, path, trainable, bank, class_names, opt_state,
+                         step, meta):
+        tree = {"trainable": trainable, "bank": bank}
+        if opt_state is not None:
+            tree["opt_state"] = opt_state
+        _checkpointer().save(path, tree, force=True)
+        with open(os.path.join(path, _META_NAME), "w") as f:
+            json.dump({"class_names": class_names, "step": step, **meta}, f,
+                      indent=2)
+        self._sweep()
+        self._save_index()
+
+    def _sweep(self):
+        import shutil
+
+        with self._lock:
+            keep = self._kept()
+            self._records = [r for r in self._records if r[1] in keep]
+        for name in os.listdir(self.directory):
+            p = os.path.join(self.directory, name)
+            if (
+                name.startswith("step_")
+                and os.path.isdir(p)
+                and p not in keep
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+
+    def _save_index(self):
+        with open(os.path.join(self.directory, self._INDEX), "w") as f:
+            json.dump(
+                [{"step": s, "path": p, "metric": m} for s, p, m in self._records],
+                f,
+            )
+
+    def _load_index(self):
+        idx = os.path.join(self.directory, self._INDEX)
+        if os.path.exists(idx):
+            with open(idx) as f:
+                self._records = [
+                    (r["step"], r["path"], r.get("metric"))
+                    for r in json.load(f)
+                    if os.path.isdir(r["path"])
+                ]

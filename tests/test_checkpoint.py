@@ -130,3 +130,86 @@ def test_load_torch_file_tensor_conversion(tmp_path):
     out = load_torch_file(pt)
     assert isinstance(out["a"], np.ndarray)
     np.testing.assert_allclose(out["a"], [0, 1, 2, 3])
+
+
+# ---------------------------------------------------------------------------
+# CheckpointManager policies
+# ---------------------------------------------------------------------------
+
+
+def _mgr_save(mgr, model, step, metric=None):
+    return mgr.save(
+        step=step,
+        trainable=model.trainable,
+        bank=model.prompt_learner.bank,
+        class_names=model.class_names,
+        metric=metric,
+    )
+
+
+def test_manager_keep_last_n(model, tmp_path):
+    from tapclip_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), keep_last_n=2)
+    paths = [_mgr_save(mgr, model, s) for s in (1, 2, 3, 4)]
+    mgr.close()
+    assert not os.path.isdir(paths[0]) and not os.path.isdir(paths[1])
+    assert os.path.isdir(paths[2]) and os.path.isdir(paths[3])
+    assert mgr.latest_path == paths[3]
+    # retained checkpoints stay restorable through the normal entry point
+    tree = restore_prompt_checkpoint(paths[3])
+    assert tree["meta"]["step"] == 4
+
+
+def test_manager_keep_best_n(model, tmp_path):
+    from tapclip_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(
+        str(tmp_path / "ckpts"), keep_last_n=1, keep_best_n=2, mode="max"
+    )
+    accs = {1: 10.0, 2: 80.0, 3: 40.0, 4: 70.0, 5: 20.0}
+    paths = {s: _mgr_save(mgr, model, s, metric=a) for s, a in accs.items()}
+    mgr.close()
+    # best two by accuracy: steps 2 (80) and 4 (70); last one: step 5
+    assert os.path.isdir(paths[2]) and os.path.isdir(paths[4]) and os.path.isdir(paths[5])
+    assert not os.path.isdir(paths[1]) and not os.path.isdir(paths[3])
+    assert mgr.best_path == paths[2]
+    assert restore_prompt_checkpoint(paths[2])["meta"]["metric"] == 80.0
+
+
+def test_manager_async_save(model, tmp_path):
+    from tapclip_tpu.utils.checkpoint import CheckpointManager
+
+    with CheckpointManager(
+        str(tmp_path / "ckpts"), keep_last_n=3, async_save=True
+    ) as mgr:
+        paths = [_mgr_save(mgr, model, s, metric=float(s)) for s in (1, 2, 3)]
+        mgr.wait()
+        for p in paths:
+            assert os.path.isdir(p), p
+    tree = restore_prompt_checkpoint(paths[-1])
+    np.testing.assert_allclose(
+        np.asarray(tree["trainable"]["ctx"], np.float32),
+        np.asarray(model.trainable["ctx"], np.float32),
+    )
+
+
+def test_manager_index_survives_restart(model, tmp_path):
+    from tapclip_tpu.utils.checkpoint import CheckpointManager
+
+    d = str(tmp_path / "ckpts")
+    mgr = CheckpointManager(d, keep_last_n=2, keep_best_n=1)
+    _mgr_save(mgr, model, 1, metric=99.0)
+    _mgr_save(mgr, model, 2, metric=10.0)
+    mgr.close()
+
+    mgr2 = CheckpointManager(d, keep_last_n=2, keep_best_n=1)
+    assert mgr2.best_path and mgr2.best_path.endswith("step_00000001")
+    _mgr_save(mgr2, model, 3, metric=50.0)
+    _mgr_save(mgr2, model, 4, metric=60.0)
+    mgr2.close()
+    # keep: best (step 1) + last two (3, 4); step 2 swept
+    assert os.path.isdir(os.path.join(d, "step_00000001"))
+    assert not os.path.isdir(os.path.join(d, "step_00000002"))
+    assert os.path.isdir(os.path.join(d, "step_00000003"))
+    assert os.path.isdir(os.path.join(d, "step_00000004"))

@@ -50,6 +50,49 @@ def test_grad_parity(shapes):
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-5)
 
 
+def test_grad_parity_all_inputs(shapes):
+    """Dedicated Pallas backward vs XLA autodiff on every differentiable
+    input (dx, dgamma, dbeta, dw_fc, db_fc, dw_proj, db_proj)."""
+    x, g, b, wf, bf, wp, bp = shapes
+    names = ("x", "gamma", "beta", "w_fc", "b_fc", "w_proj", "b_proj")
+
+    def loss_k(*a):
+        return (_fused_mlp_vjp(*a, 1e-5, 8, True) ** 2).sum()
+
+    def loss_r(*a):
+        return (_xla_composition(*a, 1e-5) ** 2).sum()
+
+    argnums = tuple(range(7))
+    gk = jax.grad(loss_k, argnums)(x, g, b, wf, bf, wp, bp)
+    gr = jax.grad(loss_r, argnums)(x, g, b, wf, bf, wp, bp)
+    for name, a, r in zip(names, gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_bwd_multi_row_tile_accumulation(rng):
+    """Weight gradients must accumulate correctly across >1 row tiles."""
+    B, T, W, H = 4, 8, 128, 256  # R=32, row_tile=8 -> 4 grid steps
+    x = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal(W), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(W), jnp.float32)
+    wf = jnp.asarray(rng.standard_normal((W, H)) * 0.05, jnp.float32)
+    bf = jnp.zeros(H, jnp.float32)
+    wp = jnp.asarray(rng.standard_normal((H, W)) * 0.05, jnp.float32)
+    bp = jnp.zeros(W, jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+
+    _, vjp_k = jax.vjp(lambda *a: _fused_mlp_vjp(*a, 1e-5, 8, True),
+                       x, g, b, wf, bf, wp, bp)
+    _, vjp_r = jax.vjp(lambda *a: _xla_composition(*a, 1e-5),
+                       x, g, b, wf, bf, wp, bp)
+    for a, r in zip(vjp_k(ct), vjp_r(ct)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_unaligned_fallback(shapes, rng):
     # W=100 not a lane multiple -> must fall back to the XLA composition.
     x = jnp.asarray(rng.standard_normal((2, 7, 100)), jnp.float32)

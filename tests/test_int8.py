@@ -44,6 +44,24 @@ def test_int8_mlp_close_to_f32(tiny_cfg, rng):
     assert rel < 0.05, rel
 
 
+def test_int8_attn_close_to_f32(rng):
+    from tapclip_tpu.models.layers import init_attn, init_layer_norm
+    from tapclip_tpu.ops.fused_mha import _attn_block_xla
+    from tapclip_tpu.ops.int8_attn import int8_attn_block
+
+    W, H = 128, 4
+    x = jnp.asarray(rng.standard_normal((2, 16, W)), jnp.float32)
+    ln = init_layer_norm(W)
+    attn = init_attn(jax.random.PRNGKey(0), W)
+    exact = _attn_block_xla(
+        x, ln["scale"], ln["bias"], attn["w_qkv"], attn["b_qkv"],
+        attn["w_out"], attn["b_out"], H, 13, 1e-5,
+    )
+    quant = int8_attn_block(x, ln, attn, H, valid_len=13)
+    rel = float(jnp.linalg.norm(quant - exact) / jnp.linalg.norm(exact - x))
+    assert rel < 0.05, rel
+
+
 def test_quantized_tower_feature_fidelity(tiny_cfg, tiny_params, rng):
     cfg_q = tiny_cfg.replace(quantize_tower=True)
     imgs = jnp.asarray(
