@@ -172,6 +172,14 @@ class PromptConfig:
     # n_cls <= max_classes.  Grown in chunks when exceeded.
     max_classes: int = 8
     normalize_attribution: bool = True  # attribution_monitor.py:31-34
+    # Image-conditioned prompts (CoCoOp-style meta-net): each sample shifts
+    # the context tokens by a projection of its image feature, making the
+    # attribution per-(sample, class) instead of class-level.  The reference
+    # defines attribution per-sample but its prompts are image-independent so
+    # all rows coincide (SURVEY.md §3.2); this is the variant where they
+    # genuinely differ.  Costs a text pass per (sample, class) pair.
+    image_conditioned: bool = False
+    meta_hidden: int = 0  # 0 -> embed_dim // 16 (CoCoOp's bottleneck)
     # "ref_compat": bare text transformer on [ctx || 77-token emb] with no
     #   positional embedding, no causal mask, no ln_final, pool position -1
     #   (model_wrapper.py:58,72-74).

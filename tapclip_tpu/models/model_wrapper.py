@@ -52,7 +52,7 @@ def init_trainable(
     since the optimizer only sees prompt params — we expose it so training
     configs can choose).
     """
-    return {
+    out = {
         "ctx": prompt_learner.bank.ctx,
         "adjustor": init_adjustor_params(
             key,
@@ -62,6 +62,42 @@ def init_trainable(
         ),
         "logit_scale": jnp.asarray(jnp.log(1.0 / 0.07), jnp.float32),
     }
+    if prompt_cfg.image_conditioned:
+        E = prompt_learner.clip_cfg.embed_dim
+        D = prompt_learner.clip_cfg.text_width
+        h = prompt_cfg.meta_hidden or max(E // 16, 8)
+        k1, _ = jax.random.split(key)
+        # Zero-init the output layer: the conditioned model starts exactly
+        # equal to the unconditioned one and learns the shift from there.
+        out["meta_net"] = {
+            "w1": jax.random.normal(k1, (E, h), jnp.float32) * (E ** -0.5),
+            "b1": jnp.zeros((h,), jnp.float32),
+            "w2": jnp.zeros((h, D), jnp.float32),
+            "b2": jnp.zeros((D,), jnp.float32),
+        }
+    return out
+
+
+def meta_net_forward(p: Dict[str, Any], feats: jnp.ndarray) -> jnp.ndarray:
+    """CoCoOp-style bottleneck: [B, E] L2-normalized image feature -> [B, D]
+    per-sample context shift."""
+    h = jax.nn.relu(feats.astype(jnp.float32) @ p["w1"] + p["b1"])
+    return h @ p["w2"] + p["b2"]
+
+
+def _tile_bank(bank: PromptBank, B: int) -> PromptBank:
+    """Repeat the class axis per sample: [C, ...] -> [B·C, ...]."""
+    C = bank.ctx.shape[0]
+
+    def rep(a):
+        return jnp.broadcast_to(a[None], (B,) + a.shape).reshape((B * C,) + a.shape[1:])
+
+    return PromptBank(
+        ctx=rep(bank.ctx),
+        token_embs=rep(bank.token_embs),
+        class_mask=rep(bank.class_mask),
+        eot_pos=rep(bank.eot_pos),
+    )
 
 
 def text_features_with_attribution(
@@ -179,22 +215,50 @@ def full_model_forward(
         image_feats = clip_model.encode_image(clip_params, clip_cfg, images)
     img = clip_model.l2_normalize(image_feats)  # model_wrapper.py:41
 
-    text_feats, attribution = text_features_with_attribution(
-        clip_params,
-        trainable["ctx"],
-        bank,
-        clip_cfg,
-        prompt_cfg,
-        trainable["adjustor"],
-    )
-
     scale = jnp.exp(trainable["logit_scale"]).astype(jnp.float32)
-    logits = scale * jnp.einsum(
-        "be,ce->bc",
-        img.astype(jnp.float32),
-        text_feats.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )  # model_wrapper.py:79-83
+    if prompt_cfg.image_conditioned:
+        # CoCoOp-style: every sample shifts the context tokens by a
+        # projection of its image feature; the text/attribution pass runs
+        # per (sample, class) and attribution becomes genuinely per-sample
+        # ([B, C, P] — the reference's per-sample shape, which its
+        # image-independent prompts collapse to identical rows).
+        B = img.shape[0]
+        C, P, D = trainable["ctx"].shape
+        pi = meta_net_forward(trainable["meta_net"], img)  # [B, D]
+        ctx_bc = (
+            trainable["ctx"][None].astype(jnp.float32)
+            + pi[:, None, None, :]
+        ).astype(trainable["ctx"].dtype)
+        text_feats, attribution = text_features_with_attribution(
+            clip_params,
+            ctx_bc.reshape(B * C, P, D),
+            _tile_bank(bank, B),
+            clip_cfg,
+            prompt_cfg,
+            trainable["adjustor"],
+        )
+        attribution = attribution.reshape(B, C, P)
+        logits = scale * jnp.einsum(
+            "be,bce->bc",
+            img.astype(jnp.float32),
+            text_feats.reshape(B, C, -1).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        text_feats, attribution = text_features_with_attribution(
+            clip_params,
+            trainable["ctx"],
+            bank,
+            clip_cfg,
+            prompt_cfg,
+            trainable["adjustor"],
+        )
+        logits = scale * jnp.einsum(
+            "be,ce->bc",
+            img.astype(jnp.float32),
+            text_feats.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # model_wrapper.py:79-83
     logits = jnp.where(bank.class_mask[None, :], logits, NEG_INF)
 
     out = {"logits": logits, "attribution": attribution}
@@ -292,7 +356,10 @@ class FullModel:
         )
         out = dict(out)
         out["logits"] = out["logits"][:, : self.n_cls]
-        out["attribution"] = out["attribution"][: self.n_cls]
+        if out["attribution"].ndim == 3:  # image-conditioned: [B, C, P]
+            out["attribution"] = out["attribution"][:, : self.n_cls]
+        else:
+            out["attribution"] = out["attribution"][: self.n_cls]
         return out
 
     def predict(self, images):
