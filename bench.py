@@ -48,7 +48,7 @@ def main():
     mode = os.environ.get("BENCH_MODE", "train")
     attn_impl = os.environ.get("BENCH_ATTN_IMPL", "auto")
     keep_ratio = float(os.environ.get("BENCH_KEEP_RATIO", "1.0"))
-    quantize = os.environ.get("BENCH_QUANT", "0") == "1"  # eval-mode int8 tower
+    quantize = os.environ.get("BENCH_QUANT", "0") == "1"  # int8 frozen tower
 
     backend = jax.default_backend()
     if backend != "tpu":
@@ -58,9 +58,12 @@ def main():
         if os.environ.get("BENCH_STEPS") is None:
             steps = 5
 
+    # int8 tower is valid in BOTH modes here: prompt-tune training never
+    # differentiates the frozen image tower (grads flow only to the prompt
+    # side), so the VJP-less int8 ops are off the autodiff path.
     cfg = MODEL_PRESETS[model_name].replace(
         dtype=dtype, attn_impl=attn_impl, token_keep_ratio=keep_ratio,
-        quantize_tower=quantize and mode == "eval",
+        quantize_tower=quantize,
     )
     pcfg = PromptConfig()
     print(f"[bench] {model_name} {dtype} batch={batch} steps={steps} mode={mode} "

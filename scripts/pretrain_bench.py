@@ -1,0 +1,67 @@
+"""Full-tower CLIP pretraining step throughput on the current backend.
+
+Measures the contrastive (fwd + bwd through BOTH towers + AdamW) step at
+real shapes — the workload where the dedicated Pallas backward kernels
+matter.  Data generated on device; one jitted dispatch per timed step with
+donated (params, opt_state); single block at the end (tunnel protocol).
+
+Usage: python scripts/pretrain_bench.py [batch=128] [model=ViT-B-16] [steps=10]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tapclip_tpu.config import MODEL_PRESETS
+from tapclip_tpu.models import clip as C
+from tapclip_tpu.pretrain import make_pretrain_step
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    name = sys.argv[2] if len(sys.argv) > 2 else "ViT-B-16"
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    cfg = MODEL_PRESETS[name].replace(dtype="bfloat16")
+    print(f"backend={jax.default_backend()} {name} bs={batch}")
+
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adamw(1e-4, weight_decay=0.1)
+    opt_state = opt.init(params)
+    step = make_pretrain_step(cfg, opt)
+
+    gen = jax.jit(
+        lambda k: (
+            jax.random.normal(
+                jax.random.fold_in(k, 0),
+                (batch, cfg.image_size, cfg.image_size, 3),
+                jnp.float32,
+            ),
+            jax.random.randint(
+                jax.random.fold_in(k, 1), (batch, cfg.context_length), 0, 30000
+            ),
+        )
+    )
+    batches = [gen(jax.random.PRNGKey(i)) for i in range(4)]
+    jax.block_until_ready(batches)
+
+    # warm/compile
+    params, opt_state, m = step(params, opt_state, *batches[0])
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt_state, m = step(params, opt_state, *batches[i % 4])
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    print(f"pretrain step: {dt*1e3:.1f} ms -> {batch/dt:,.0f} img/s "
+          f"(loss {float(m['loss']):.4f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -193,9 +193,13 @@ def encode_dataset_features(
     """
     import numpy as np
 
+    from tapclip_tpu.data.prefetch import prefetch_to_device
+
     encoder = encoder or make_image_encoder(clip_cfg)
     feats, labels = [], []
-    for images, lbls, mask in loader:
+    # Decode-ahead + async H2D: the next batch transfers while this one
+    # runs the tower (data/prefetch.py).
+    for images, lbls, mask in prefetch_to_device(loader):
         f = np.asarray(encoder(clip_params, jnp.asarray(images)))
         keep = np.asarray(mask)
         feats.append(f[keep])

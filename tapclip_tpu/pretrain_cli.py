@@ -92,17 +92,21 @@ def main(argv: Optional[List[str]] = None) -> dict:
         params = shard_params(params, mesh)
         opt_state = replicate(opt_state, mesh)
 
+    from tapclip_tpu.data.prefetch import background_iter
+
     history = []
     for epoch in range(1, cfg.train.epochs + 1):
         losses = []
-        for images, labels, mask in loader:
+        # Decode runs on a producer thread; the loss stays a device scalar
+        # inside the loop (a float() per step would cost a host RTT each).
+        for images, labels, mask in background_iter(loader):
             ids = np.stack([caption_ids[int(l)] for l in labels])
             batch = (jnp.asarray(images), jnp.asarray(ids))
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             params, opt_state, m = step(params, opt_state, *batch)
-            losses.append(float(m["loss"]))
-        avg = float(np.mean(losses)) if losses else float("nan")
+            losses.append(m["loss"])
+        avg = float(np.mean([float(l) for l in losses])) if losses else float("nan")
         history.append(avg)
         log.info("[Epoch %d] contrastive loss: %.4f", epoch, avg)
 

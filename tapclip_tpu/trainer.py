@@ -109,8 +109,10 @@ class PathFeatureCache:
             preprocess=self.preprocess,
             num_workers=self.num_workers,
         )
+        from tapclip_tpu.data.prefetch import prefetch_to_device
+
         it = iter(missing)
-        for images, _, mask in loader:
+        for images, _, mask in prefetch_to_device(loader):
             f = np.asarray(self._encoder(self.model.clip_params, jnp.asarray(images)))
             for row, ok in zip(f, np.asarray(mask)):
                 if ok:

@@ -27,7 +27,9 @@ def _accumulate(model, dataloader):
     total = 0
     per_class_correct = defaultdict(int)
     per_class_total = defaultdict(int)
-    for images, labels, mask in dataloader:
+    from tapclip_tpu.data.prefetch import background_iter
+
+    for images, labels, mask in background_iter(dataloader):
         out = model(images)
         logits = np.asarray(out["logits"])
         preds = logits.argmax(axis=1)
