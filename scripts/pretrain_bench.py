@@ -47,20 +47,32 @@ def main():
             ),
         )
     )
-    batches = [gen(jax.random.PRNGKey(i)) for i in range(4)]
+    # Slope timing with a HARD drain (float(), a host readback): on the
+    # tunneled backend, jax.block_until_ready on the loss of a chain of
+    # donated-buffer steps has been observed to return early (0.4 ms/"step"
+    # for a 200 ms step), so we time two chain lengths through float() and
+    # difference them — constants (RTT, readback) cancel in the slope.
+    n1, n2 = steps, 2 * steps
+    batches = [gen(jax.random.PRNGKey(i)) for i in range(n2 + 1)]
     jax.block_until_ready(batches)
 
     # warm/compile
-    params, opt_state, m = step(params, opt_state, *batches[0])
-    jax.block_until_ready(m["loss"])
+    params, opt_state, m = step(params, opt_state, *batches[-1])
+    float(m["loss"])
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        params, opt_state, m = step(params, opt_state, *batches[i % 4])
-    jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / steps
+    def run_chain(n):
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        for i in range(n):
+            params, opt_state, m = step(params, opt_state, *batches[i])
+        loss = float(m["loss"])
+        return time.perf_counter() - t0, loss
+
+    t1, _ = run_chain(n1)
+    t2, loss = run_chain(n2)
+    dt = (t2 - t1) / (n2 - n1)
     print(f"pretrain step: {dt*1e3:.1f} ms -> {batch/dt:,.0f} img/s "
-          f"(loss {float(m['loss']):.4f})")
+          f"(loss {loss:.4f}; chains {n1}/{n2}: {t1:.2f}s/{t2:.2f}s)")
 
 
 if __name__ == "__main__":

@@ -313,6 +313,14 @@ def _fused_mlp_bwd_impl(x, gamma, beta, w_fc, b_fc, w_proj, b_proj, g, eps,
         b_fc.astype(jnp.float32).reshape(1, H),
         w_proj.astype(dtype),
     )
+    # Keep downstream consumers (e.g. the scan-transpose's gradient scatter
+    # into the stacked [L, W, H] array) OUT of the custom-call fusion: when
+    # XLA merges them, the merged fusion is budgeted at the default 16M
+    # scoped-vmem cap and the per-call vmem_limit override is lost —
+    # observed as "scoped allocation 27.77M > 16M" under grad-of-scan.
+    dx, dgamma, dbeta, dwfc, dbfc, dwproj, dbproj = jax.lax.optimization_barrier(
+        (dx, dgamma, dbeta, dwfc, dbfc, dwproj, dbproj)
+    )
     return (
         dx.reshape(B, T, W),
         dgamma.reshape(gamma.shape).astype(gamma.dtype),
