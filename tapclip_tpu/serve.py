@@ -1,0 +1,299 @@
+"""Batched inference serving for a (prompt-tuned) TAP-CLIP model.
+
+The reference repo stops at offline eval scripts; this framework is built
+for production serving, so it ships one: a threaded HTTP server with
+dynamic micro-batching in front of a single jitted predict executable.
+
+Design (TPU-shaped):
+
+* **One static shape.**  Requests are aggregated into a fixed ``[B, H, W, 3]``
+  batch (padded, masked) — the predict executable compiles once and never
+  retraces, whatever the arrival pattern.
+* **Dynamic micro-batching.**  A collector thread drains the request queue:
+  a batch launches when ``batch_size`` requests are waiting or the oldest
+  has waited ``max_latency_ms`` — the standard throughput/latency knob.
+* **Text features are cached.**  Prompts only change on ``add_class``;
+  the text tower runs once per vocabulary change (the attribution pass
+  included), then serving cost is image tower + one GEMM of logits.
+* **Classes can be added live** (``POST /classes``) without recompiling:
+  the class axis is padded (`PromptBank`), same as the offline eval flow.
+
+Endpoints (JSON):
+  GET  /health            -> {"status": "ok", "classes": N, ...}
+  GET  /classes           -> {"classes": [...]}
+  POST /classes           {"name": "Clipboards"} -> {"classes": [...]}
+  POST /predict           {"image": <base64 jpeg/png>} or
+                          {"pixels": [[...]]} ([H, W, 3] f32 0-1 or uint8)
+                          -> {"class": str, "index": int, "probs": {name: p}}
+
+Run: ``python -m tapclip_tpu.serve --preset tiny --synthetic --port 8711``
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+log = logging.getLogger("tapclip.serve")
+
+
+class PredictService:
+    """Micro-batching front end over FullModel's jitted forward."""
+
+    def __init__(
+        self,
+        model,
+        *,
+        batch_size: int = 8,
+        max_latency_ms: float = 10.0,
+    ):
+        self.model = model
+        self.batch_size = batch_size
+        self.max_latency_ms = max_latency_ms
+        self._queue: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()  # model mutation (add_class) vs predict
+        self._text_cache = None
+        self._stop = threading.Event()
+        self._worker = threading.Thread(
+            target=self._collector, daemon=True, name="predict-batcher"
+        )
+        self._worker.start()
+
+    # -- public ---------------------------------------------------------
+
+    def predict(self, pixels: np.ndarray, timeout: float = 30.0) -> Dict[str, Any]:
+        """Enqueue one [H, W, 3] image; blocks until its batch returns."""
+        done = threading.Event()
+        slot: Dict[str, Any] = {}
+        self._queue.put((pixels, slot, done))
+        if not done.wait(timeout):
+            raise TimeoutError("predict timed out")
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["result"]
+
+    def add_class(self, name: str) -> List[str]:
+        with self._lock:
+            self.model.add_class_prompt(name)
+        return list(self.model.class_names)
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # -- internals ------------------------------------------------------
+
+    def _collector(self):
+        poll_s = self.max_latency_ms / 1000.0 / 4
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.max_latency_ms / 1000.0
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=min(remaining, poll_s)))
+                except queue.Empty:
+                    continue
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        import jax.numpy as jnp
+
+        pixels = [b[0] for b in batch]
+        B = self.batch_size
+        size = self.model.clip_cfg.image_size
+        x = np.zeros((B, size, size, 3), np.float32)
+        for i, p in enumerate(pixels):
+            x[i] = p
+        try:
+            with self._lock:
+                out = self.model(jnp.asarray(x))
+                names = list(self.model.class_names)
+            logits = np.asarray(out["logits"], np.float32)[: len(batch)]
+            probs = _softmax(logits)
+            preds = logits.argmax(-1)
+            for i, (_, slot, done) in enumerate(batch):
+                slot["result"] = {
+                    "index": int(preds[i]),
+                    "class": names[int(preds[i])],
+                    "probs": {n: round(float(probs[i, j]), 6)
+                              for j, n in enumerate(names)},
+                }
+                done.set()
+        except Exception as e:  # noqa: BLE001 - propagate to every waiter
+            for _, slot, done in batch:
+                slot["error"] = f"{type(e).__name__}: {e}"
+                done.set()
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def decode_image_payload(payload: Dict[str, Any], image_size: int) -> np.ndarray:
+    """Request JSON -> [H, W, 3] f32 pixels (CLIP-normalized)."""
+    from tapclip_tpu.data.preprocess import make_preprocess
+
+    if "image" in payload:
+        from PIL import Image
+
+        raw = base64.b64decode(payload["image"])
+        img = Image.open(io.BytesIO(raw))
+        pre = make_preprocess(image_size)
+        return np.asarray(pre(img), np.float32)
+    if "pixels" in payload:
+        arr = np.asarray(payload["pixels"])
+        if arr.dtype == np.uint8 or arr.max() > 2.0:
+            arr = arr.astype(np.float32) / 255.0
+        if arr.shape != (image_size, image_size, 3):
+            raise ValueError(
+                f"pixels must be [{image_size}, {image_size}, 3], got {arr.shape}"
+            )
+        from tapclip_tpu.config import IMAGE_MEAN, IMAGE_STD
+
+        return ((arr - np.asarray(IMAGE_MEAN, np.float32))
+                / np.asarray(IMAGE_STD, np.float32)).astype(np.float32)
+    raise ValueError("payload must contain 'image' (base64) or 'pixels'")
+
+
+def make_http_server(service: PredictService, host: str = "127.0.0.1",
+                     port: int = 8711):
+    """Threaded stdlib HTTP server bound to the service (returns unstarted)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    image_size = service.model.clip_cfg.image_size
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging
+            log.debug("%s " + fmt, self.address_string(), *args)
+
+        def _send(self, code: int, obj: Dict[str, Any]):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_json(self) -> Dict[str, Any]:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {
+                    "status": "ok",
+                    "model": service.model.clip_cfg.name,
+                    "classes": len(service.model.class_names),
+                    "batch_size": service.batch_size,
+                })
+            elif self.path == "/classes":
+                self._send(200, {"classes": list(service.model.class_names)})
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            try:
+                payload = self._read_json()
+                if self.path == "/predict":
+                    pixels = decode_image_payload(payload, image_size)
+                    self._send(200, service.predict(pixels))
+                elif self.path == "/classes":
+                    self._send(200, {"classes": service.add_class(payload["name"])})
+                else:
+                    self._send(404, {"error": f"no route {self.path}"})
+            except Exception as e:  # noqa: BLE001 - serving boundary
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv: Optional[List[str]] = None):
+    from tapclip_tpu.config import MODEL_PRESETS
+    from tapclip_tpu.data.tokenizer import get_tokenizer
+    from tapclip_tpu.models import clip as clip_model
+    from tapclip_tpu.models.model_wrapper import FullModel
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--model", default="ViT-B-16", choices=list(MODEL_PRESETS))
+    p.add_argument("--preset", default=None, help="use a config preset's model "
+                   "(e.g. tiny) instead of --model")
+    p.add_argument("--classes", nargs="+",
+                   default=["Backpack", "Pen", "Monitor"])
+    p.add_argument("--ckpt", default=None,
+                   help="prompt checkpoint (Orbax dir or reference .pt)")
+    p.add_argument("--pretrained", default=None, help="open_clip weights")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8711)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-latency-ms", type=float, default=10.0)
+    p.add_argument("--synthetic", action="store_true",
+                   help="random-init weights (smoke/demo)")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    if args.preset:
+        from tapclip_tpu.config import preset
+
+        cfg = preset(args.preset).model
+    else:
+        cfg = MODEL_PRESETS[args.model]
+    import jax
+
+    if args.pretrained:
+        from tapclip_tpu.utils.torch_convert import load_openclip_checkpoint
+
+        params = load_openclip_checkpoint(args.pretrained, cfg.name)
+    else:
+        if not args.synthetic:
+            log.warning("no --pretrained given; serving random-init weights "
+                        "(pass --synthetic to silence)")
+        params = clip_model.init_clip_params(jax.random.PRNGKey(0), cfg)
+
+    model = FullModel(args.classes, params, cfg)
+    if args.ckpt:
+        import jax.numpy as jnp
+
+        from tapclip_tpu.utils.checkpoint import load_any_prompt_checkpoint
+
+        tree = load_any_prompt_checkpoint(args.ckpt, args.classes)
+        model.prompt_learner.load_ctx(tree["ctx_by_name"])
+        model.trainable = dict(model.trainable, ctx=model.prompt_learner.bank.ctx)
+        if tree.get("logit_scale") is not None and np.size(tree["logit_scale"]):
+            model.trainable = dict(
+                model.trainable, logit_scale=jnp.asarray(tree["logit_scale"])
+            )
+
+    service = PredictService(model, batch_size=args.batch_size,
+                             max_latency_ms=args.max_latency_ms)
+    server = make_http_server(service, args.host, args.port)
+    log.info("serving %s with %d classes on http://%s:%d (batch=%d, "
+             "max_latency=%.0fms)", cfg.name, len(args.classes), args.host,
+             args.port, args.batch_size, args.max_latency_ms)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

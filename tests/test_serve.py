@@ -1,0 +1,143 @@
+"""Serving layer: micro-batching service + HTTP endpoints.
+
+The reference stops at offline eval scripts; serving is a framework
+extension (tapclip_tpu/serve.py docstring).
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tapclip_tpu.models.model_wrapper import FullModel
+from tapclip_tpu.serve import PredictService, decode_image_payload, make_http_server
+
+CLASSES = ["Backpack", "Pen", "Monitor"]
+
+
+@pytest.fixture()
+def model(tiny_cfg, tiny_params, tiny_prompt_cfg):
+    return FullModel(CLASSES, tiny_params, tiny_cfg, prompt_cfg=tiny_prompt_cfg)
+
+
+@pytest.fixture()
+def service(model):
+    svc = PredictService(model, batch_size=4, max_latency_ms=5.0)
+    yield svc
+    svc.close()
+
+
+def _rand_pixels(size, seed=0):
+    return np.random.default_rng(seed).standard_normal((size, size, 3)).astype(
+        np.float32
+    )
+
+
+def test_predict_single(service, tiny_cfg):
+    out = service.predict(_rand_pixels(tiny_cfg.image_size))
+    assert out["class"] in CLASSES
+    assert 0 <= out["index"] < len(CLASSES)
+    assert abs(sum(out["probs"].values()) - 1.0) < 1e-3
+    assert set(out["probs"]) == set(CLASSES)
+
+
+def test_predict_batches_concurrent(service, tiny_cfg):
+    """Concurrent requests aggregate into batches; every caller gets its own
+    answer, and answers match a direct model call on the same image."""
+    results = {}
+
+    def call(i):
+        results[i] = service.predict(_rand_pixels(tiny_cfg.image_size, seed=i))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(9)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert len(results) == 9
+    # determinism: same image -> same class whichever batch it landed in
+    again = service.predict(_rand_pixels(tiny_cfg.image_size, seed=3))
+    assert again["index"] == results[3]["index"]
+    np.testing.assert_allclose(
+        sorted(again["probs"].values()), sorted(results[3]["probs"].values()),
+        atol=2e-3,
+    )
+
+
+def test_add_class_live(service, tiny_cfg):
+    names = service.add_class("Clipboards")
+    assert names[-1] == "Clipboards"
+    out = service.predict(_rand_pixels(tiny_cfg.image_size))
+    assert set(out["probs"].keys()) == set(CLASSES) | {"Clipboards"}
+
+
+def test_decode_image_payload_base64(tiny_cfg):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (40, 52, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    px = decode_image_payload({"image": b64}, tiny_cfg.image_size)
+    assert px.shape == (tiny_cfg.image_size, tiny_cfg.image_size, 3)
+    assert px.dtype == np.float32
+
+
+def test_decode_image_payload_pixels(tiny_cfg):
+    s = tiny_cfg.image_size
+    px = decode_image_payload(
+        {"pixels": np.zeros((s, s, 3), np.uint8).tolist()}, s
+    )
+    # zeros -> (0 - mean)/std, CLIP-normalized
+    assert px.min() < 0
+    with pytest.raises(ValueError):
+        decode_image_payload({"pixels": np.zeros((s + 1, s, 3)).tolist()}, s)
+    with pytest.raises(ValueError):
+        decode_image_payload({}, s)
+
+
+def test_http_endpoints(service, tiny_cfg):
+    server = make_http_server(service, "127.0.0.1", 0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        def get(path):
+            with urllib.request.urlopen(base + path, timeout=30) as r:
+                return json.loads(r.read())
+
+        def post(path, obj):
+            req = urllib.request.Request(
+                base + path, json.dumps(obj).encode(),
+                {"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        h = get("/health")
+        assert h["status"] == "ok" and h["classes"] == len(CLASSES)
+        assert get("/classes")["classes"] == CLASSES
+
+        s = tiny_cfg.image_size
+        out = post("/predict", {"pixels": np.zeros((s, s, 3), np.uint8).tolist()})
+        assert out["class"] in CLASSES
+
+        out = post("/classes", {"name": "Clipboards"})
+        assert "Clipboards" in out["classes"]
+
+        # bad payload -> 400 with error body
+        req = urllib.request.Request(
+            base + "/predict", b"{}", {"Content-Type": "application/json"}
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
