@@ -336,11 +336,12 @@ def main():
     ref = base(ln, attn, x)
 
     variants = {
-        "bb8_perhead": (run_variant, dict(bB=8, perhead_qkv=True, vmem_mb=48)),
         "bb8_ph_smopt": (run_variant, dict(bB=8, perhead_qkv=True, softmax_opt=True,
                                            vmem_mb=48)),
-        "bb8_ph_smopt_g4": (run_variant, dict(bB=8, perhead_qkv=True, group_heads=4,
-                                              softmax_opt=True, vmem_mb=48)),
+        "bb16_ph_smopt": (run_variant, dict(bB=16, perhead_qkv=True,
+                                            softmax_opt=True, vmem_mb=96)),
+        "bb32_ph_smopt": (run_variant, dict(bB=32, perhead_qkv=True,
+                                            softmax_opt=True, vmem_mb=110)),
     }
     t = measure(base, ln, attn, x)
     print(f"production          : {t*1e3:6.2f} ms ({attn_fl/t/PEAK*100:5.1f}% MXU)")

@@ -38,6 +38,15 @@ def main(argv: Optional[List[str]] = None) -> dict:
     p.add_argument("--dp", type=int, default=-1, help="data-parallel mesh size")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     p.add_argument("--template", default="a photo of a {}")
+    p.add_argument("--schedule", default="constant",
+                   choices=["constant", "cosine"],
+                   help="LR schedule: constant (reference-style) or linear "
+                        "warmup + cosine decay to zero over the run "
+                        "(open_clip-style)")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear warmup steps (cosine schedule)")
+    p.add_argument("--grad-clip", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off)")
     args = p.parse_args(argv)
     setup_platform(args.platform)
     cfg = apply_overrides(preset(args.preset), args)
@@ -85,7 +94,24 @@ def main(argv: Optional[List[str]] = None) -> dict:
 
     n_dev = len(jax.devices())
     mesh = make_mesh(dp=args.dp, tp=args.tp) if n_dev > 1 else None
-    optimizer = optax.adamw(cfg.train.lr, weight_decay=cfg.train.weight_decay)
+    if args.schedule == "cosine":
+        total_steps = max(len(loader) * cfg.train.epochs, 1)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.train.lr,
+            warmup_steps=min(args.warmup_steps, total_steps - 1),
+            decay_steps=total_steps,
+            end_value=0.0,
+        )
+        log.info("cosine schedule: peak %.2e, %d warmup of %d total steps",
+                 cfg.train.lr, args.warmup_steps, total_steps)
+    else:
+        lr = cfg.train.lr
+    optimizer = optax.adamw(lr, weight_decay=cfg.train.weight_decay)
+    if args.grad_clip > 0:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(args.grad_clip), optimizer
+        )
     step = make_pretrain_step(cfg.model, optimizer, mesh=mesh)
     opt_state = optimizer.init(params)
     if mesh is not None:
