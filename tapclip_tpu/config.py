@@ -124,6 +124,28 @@ RN101 = CLIPConfig(
     resnet_layers=(3, 4, 23, 3),
     embed_dim=512,
 )
+# EfficientNet-style scaled RN50 variants (open_clip geometry: width, depth
+# and input resolution scale together; attnpool heads derive from width).
+RN50x4 = CLIPConfig(
+    name="RN50x4",
+    vision_tower="resnet",
+    vision_width=80,
+    resnet_layers=(4, 6, 10, 6),
+    image_size=288,
+    embed_dim=640,
+    text_width=640,
+    text_heads=10,
+)
+RN50x16 = CLIPConfig(
+    name="RN50x16",
+    vision_tower="resnet",
+    vision_width=96,
+    resnet_layers=(6, 8, 18, 8),
+    image_size=384,
+    embed_dim=768,
+    text_width=768,
+    text_heads=12,
+)
 
 # A tiny config for unit tests / multichip dry runs (fast init + compile).
 TINY_TEST = CLIPConfig(
@@ -148,6 +170,8 @@ MODEL_PRESETS = {
     "ViT-L-14": VIT_L_14,
     "RN50": RN50,
     "RN101": RN101,
+    "RN50x4": RN50x4,
+    "RN50x16": RN50x16,
     "tiny-test": TINY_TEST,
 }
 

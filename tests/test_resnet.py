@@ -231,3 +231,28 @@ def test_resnet_random_init_forward(rng):
     feats = resnet_encode_image(params, RCFG, imgs)
     assert feats.shape == (2, RCFG.embed_dim)
     assert bool(jnp.isfinite(feats).all())
+
+
+def test_rn50_scaled_presets(rng):
+    """RN50x4 / RN50x16 geometry (open_clip scaled variants) — the tower
+    builds and produces finite [B, embed_dim] features at a downscaled
+    input resolution (full 288/384 px is CPU-heavy; geometry is identical)."""
+    from tapclip_tpu.config import MODEL_PRESETS
+
+    for name, stages, width, embed in [
+        ("RN50x4", (4, 6, 10, 6), 80, 640),
+        ("RN50x16", (6, 8, 18, 8), 96, 768),
+    ]:
+        cfg = MODEL_PRESETS[name]
+        assert cfg.vision_tower == "resnet"
+        assert cfg.resnet_layers == stages
+        assert cfg.vision_width == width
+        assert cfg.embed_dim == embed
+        assert cfg.text_width == embed  # open_clip ties these for RN50xN
+
+    small = MODEL_PRESETS["RN50x4"].replace(image_size=96)
+    params = {"visual": init_resnet_params(jax.random.PRNGKey(0), small)}
+    imgs = jnp.asarray(rng.standard_normal((2, 96, 96, 3)), jnp.float32)
+    feats = resnet_encode_image(params, small, imgs)
+    assert feats.shape == (2, small.embed_dim)
+    assert bool(jnp.isfinite(feats).all())
