@@ -84,6 +84,7 @@ class PredictService:
     def add_class(self, name: str) -> List[str]:
         with self._lock:
             self.model.add_class_prompt(name)
+            self._text_cache = None  # prompts changed -> recompute text side
         return list(self.model.class_names)
 
     def close(self):
@@ -111,6 +112,31 @@ class PredictService:
                     continue
             self._run_batch(batch)
 
+    def _cached_text_feats(self):
+        """[C_max, E] L2-normalized text features for the current prompts.
+
+        The text/attribution pass only depends on the prompts, not on the
+        image batch (the image-independence identity, model_wrapper.py) —
+        compute once per vocabulary/prompt change, then the serving hot path
+        is image tower + one logits GEMM. (Image-conditioned prompt configs
+        are the exception and bypass this cache.)"""
+        if self._text_cache is None:
+            from tapclip_tpu.models.model_wrapper import (
+                text_features_with_attribution,
+            )
+
+            m = self.model
+            feats, _ = text_features_with_attribution(
+                m.clip_params,
+                m.trainable["ctx"],
+                m.prompt_learner.bank,
+                m.clip_cfg,
+                m.prompt_cfg,
+                m.trainable["adjustor"],
+            )
+            self._text_cache = feats
+        return self._text_cache
+
     def _run_batch(self, batch):
         import jax.numpy as jnp
 
@@ -122,7 +148,26 @@ class PredictService:
             x[i] = p
         try:
             with self._lock:
-                out = self.model(jnp.asarray(x))
+                if self.model.prompt_cfg.image_conditioned:
+                    out = self.model(jnp.asarray(x))
+                else:
+                    from tapclip_tpu.models import clip as clip_model
+
+                    m = self.model
+                    text = self._cached_text_feats()
+                    img = clip_model.l2_normalize(
+                        clip_model.encode_image(
+                            m.clip_params, m.clip_cfg, jnp.asarray(x)
+                        )
+                    )
+                    scale = jnp.exp(m.trainable["logit_scale"])
+                    logits = scale * img.astype(jnp.float32) @ (
+                        text.astype(jnp.float32).T
+                    )
+                    logits = jnp.where(
+                        m.prompt_learner.bank.class_mask[None], logits, -1e30
+                    )
+                    out = {"logits": logits[:, : m.n_cls]}
                 names = list(self.model.class_names)
             logits = np.asarray(out["logits"], np.float32)[: len(batch)]
             probs = _softmax(logits)

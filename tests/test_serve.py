@@ -68,6 +68,20 @@ def test_predict_batches_concurrent(service, tiny_cfg):
     )
 
 
+def test_cached_text_path_matches_full_model(service, model, tiny_cfg):
+    """The serving hot path (cached text feats + image tower + logits GEMM)
+    must equal the full forward (image-independence identity)."""
+    import jax.numpy as jnp
+
+    px = _rand_pixels(tiny_cfg.image_size, seed=7)
+    served = service.predict(px)
+    direct = model(jnp.asarray(px[None]))
+    direct_probs = np.exp(np.asarray(direct["logits"][0], np.float64))
+    direct_probs /= direct_probs.sum()
+    for j, name in enumerate(model.class_names):
+        assert abs(served["probs"][name] - direct_probs[j]) < 1e-3, name
+
+
 def test_add_class_live(service, tiny_cfg):
     names = service.add_class("Clipboards")
     assert names[-1] == "Clipboards"
