@@ -228,10 +228,15 @@ def fit_prompt_model(
     )
 
     optimizer = make_optimizer(train_cfg)
+    # The optimized set mirrors the reference (prompt context only,
+    # train.py:65-67); the CoCoOp-style meta-net joins it when enabled —
+    # image conditioning is inert unless the meta-net trains.
+    trainable_keys = ("ctx", "meta_net") if model.prompt_cfg.image_conditioned \
+        else ("ctx",)
     if resume_state is not None:
         from tapclip_tpu.parallel.train_step import TrainState
 
-        base = init_train_state(model.trainable, optimizer)
+        base = init_train_state(model.trainable, optimizer, trainable_keys)
         state = TrainState(
             step=jnp.asarray(resume_state.get("step", 0), jnp.int32),
             params=jax.tree.map(jnp.asarray, dict(resume_state["trainable"])),
@@ -239,8 +244,9 @@ def fit_prompt_model(
         )
         model.trainable = state.params
     else:
-        state = init_train_state(model.trainable, optimizer)
-    step_fn = make_train_step(model.clip_cfg, model.prompt_cfg, optimizer)
+        state = init_train_state(model.trainable, optimizer, trainable_keys)
+    step_fn = make_train_step(model.clip_cfg, model.prompt_cfg, optimizer,
+                              trainable_keys=trainable_keys)
     bank = model.prompt_learner.bank
     clip_params = model.clip_params
 

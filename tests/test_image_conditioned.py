@@ -94,3 +94,30 @@ def test_conditioned_add_class_and_predict(tiny_cfg, tiny_params, cond_prompt_cf
     assert out["attribution"].shape[1] == 4
     preds, names = model.predict(imgs)
     assert len(names) == 4
+
+
+def test_conditioned_training_learns(tiny_cfg, tiny_params, cond_prompt_cfg, tmp_path):
+    """End-to-end: the conditioned model trains through the standard cached
+    trainer (meta_net is an ordinary trainable leaf) and the loss drops."""
+    from tapclip_tpu.config import TrainConfig
+    from tapclip_tpu.data.imagefolder import get_dataloaders
+    from tapclip_tpu.data.preprocess import make_preprocess
+    from tapclip_tpu.data.synthetic import build_imagefolder
+    from tapclip_tpu.trainer import fit_prompt_model
+
+    root = str(tmp_path / "imgs")
+    build_imagefolder(root, CLASSES, per_class=8, image_size=tiny_cfg.image_size)
+    train_loader, val_loader = get_dataloaders(
+        root, CLASSES, batch_size=8, num_shots=5,
+        preprocess=make_preprocess(tiny_cfg.image_size),
+        image_size=tiny_cfg.image_size, verbose=False,
+    )
+    model = FullModel(CLASSES, tiny_params, tiny_cfg, prompt_cfg=cond_prompt_cfg)
+    result = fit_prompt_model(
+        model, train_loader, val_loader,
+        TrainConfig(lr=5e-2, epochs=4, patience=10), verbose=False,
+    )
+    assert result.loss_history[-1] < result.loss_history[0]
+    # the meta-net moved off its zero init
+    w2 = np.asarray(result.best_trainable["meta_net"]["w2"])
+    assert np.abs(w2).max() > 0.0
