@@ -47,6 +47,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    help="linear warmup steps (cosine schedule)")
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off)")
+    # --save-every / --resume come from the shared build_argparser; here they
+    # snapshot/restore (params, opt_state, epoch) of the PRETRAINING run.
     args = p.parse_args(argv)
     setup_platform(args.platform)
     cfg = apply_overrides(preset(args.preset), args)
@@ -114,14 +116,28 @@ def main(argv: Optional[List[str]] = None) -> dict:
         )
     step = make_pretrain_step(cfg.model, optimizer, mesh=mesh)
     opt_state = optimizer.init(params)
+    start_epoch = 1
+    if args.resume:
+        import orbax.checkpoint as ocp
+
+        from tapclip_tpu.trainer import _restore_opt_state
+
+        snap = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.resume))
+        params = jax.tree.map(jnp.asarray, snap["params"])
+        opt_state = _restore_opt_state(opt_state, snap["opt_state"])
+        start_epoch = int(snap.get("epoch", 0)) + 1
+        log.info("resumed from %s (epoch %d)", args.resume, start_epoch - 1)
     if mesh is not None:
         params = shard_params(params, mesh)
         opt_state = replicate(opt_state, mesh)
 
     from tapclip_tpu.data.prefetch import background_iter
 
+    import orbax.checkpoint as ocp
+
+    snap_dir = os.path.join(paths["model_dir"], "pretrain_snapshot")
     history = []
-    for epoch in range(1, cfg.train.epochs + 1):
+    for epoch in range(start_epoch, cfg.train.epochs + 1):
         losses = []
         # Decode runs on a producer thread; the loss stays a device scalar
         # inside the loop (a float() per step would cost a host RTT each).
@@ -135,6 +151,17 @@ def main(argv: Optional[List[str]] = None) -> dict:
         avg = float(np.mean([float(l) for l in losses])) if losses else float("nan")
         history.append(avg)
         log.info("[Epoch %d] contrastive loss: %.4f", epoch, avg)
+        if args.save_every and epoch % args.save_every == 0:
+            ocp.PyTreeCheckpointer().save(
+                os.path.abspath(snap_dir),
+                {
+                    "params": jax.tree.map(np.asarray, params),
+                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "epoch": epoch,
+                },
+                force=True,
+            )
+            log.info("pretrain snapshot at epoch %d -> %s", epoch, snap_dir)
 
     ckpt = os.path.join(paths["model_dir"], "clip_pretrained")
     import orbax.checkpoint as ocp

@@ -183,3 +183,28 @@ def test_clip_wrapper_compat_api(tiny_cfg, tiny_params, rng):
     assert w.get_attention_map() is None
     imgs = rng.standard_normal((2, tiny_cfg.image_size, tiny_cfg.image_size, 3))
     assert w.encode_image(np.asarray(imgs, np.float32)).shape == (2, tiny_cfg.embed_dim)
+
+
+def test_pretrain_resume(tmp_path, domain_tree):
+    """--save-every snapshots (params + opt state + epoch) resume exactly
+    where they left off."""
+    from tapclip_tpu import pretrain_cli
+
+    common = [
+        "--preset", "tiny",
+        "--data-root", os.path.join(domain_tree, "Real World"),
+        "--batch-size", "8", "--lr", "1e-3",
+    ]
+    out1 = pretrain_cli.main(
+        common + ["--epochs", "1", "--save-every", "1",
+                  "--output-root", str(tmp_path / "p1")]
+    )
+    snap = os.path.join(os.path.dirname(out1["ckpt"]), "pretrain_snapshot")
+    assert os.path.isdir(snap)
+    out2 = pretrain_cli.main(
+        common + ["--epochs", "2", "--resume", snap,
+                  "--output-root", str(tmp_path / "p2")]
+    )
+    # resumed run covers only the remaining epoch
+    assert len(out2["loss_history"]) == 1
+    assert os.path.isdir(out2["ckpt"])
