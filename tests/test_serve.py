@@ -27,6 +27,10 @@ def model(tiny_cfg, tiny_params, tiny_prompt_cfg):
 @pytest.fixture()
 def service(model):
     svc = PredictService(model, batch_size=4, max_latency_ms=5.0)
+    # First predict jit-compiles the tiny tower (~20 s; slower under a loaded
+    # xdist run) — warm it here so per-test predicts use a short timeout.
+    svc.predict(np.zeros((model.clip_cfg.image_size,) * 2 + (3,), np.float32),
+                timeout=300)
     yield svc
     svc.close()
 
