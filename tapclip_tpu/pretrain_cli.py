@@ -47,6 +47,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    help="linear warmup steps (cosine schedule)")
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off)")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation: one optimizer update every K "
+                        "micro-batches (K x the effective batch for the "
+                        "gradient; contrastive negatives stay per-micro-batch)")
     # --save-every / --resume come from the shared build_argparser; here they
     # snapshot/restore (params, opt_state, epoch) of the PRETRAINING run.
     args = p.parse_args(argv)
@@ -114,6 +118,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
         optimizer = optax.chain(
             optax.clip_by_global_norm(args.grad_clip), optimizer
         )
+    if args.accum_steps > 1:
+        # One real update every K micro-batches; the MultiSteps state carries
+        # the f32 gradient accumulator and survives --save-every snapshots.
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=args.accum_steps)
     step = make_pretrain_step(cfg.model, optimizer, mesh=mesh)
     opt_state = optimizer.init(params)
     start_epoch = 1

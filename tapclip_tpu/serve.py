@@ -25,6 +25,8 @@ Endpoints (JSON):
   POST /predict           {"image": <base64 jpeg/png>} or
                           {"pixels": [[...]]} ([H, W, 3] f32 0-1 or uint8)
                           -> {"class": str, "index": int, "probs": {name: p}}
+  POST /explain           same payload -> prediction + per-class context-token
+                          attribution rows (the interpretability signal)
 
 Run: ``python -m tapclip_tpu.serve --preset tiny --synthetic --port 8711``
 """
@@ -80,6 +82,34 @@ class PredictService:
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["result"]
+
+    def explain(self, pixels: np.ndarray) -> Dict[str, Any]:
+        """Prediction + context-token attribution for one image.
+
+        Attribution is the model's interpretability signal (which context
+        tokens the text encoder attends to for each class). Class-level for
+        standard configs; per-sample when ``image_conditioned``. Not
+        micro-batched — explainability is not a hot path."""
+        import jax.numpy as jnp
+
+        with self._lock:
+            out = self.model(jnp.asarray(pixels[None].astype(np.float32)))
+            names = list(self.model.class_names)
+        logits = np.asarray(out["logits"], np.float32)[0]
+        probs = _softmax(logits[None])[0]
+        attr = np.asarray(out["attribution"], np.float32)
+        if attr.ndim == 3:  # image-conditioned: [B, C, P]
+            attr = attr[0]
+        pred = int(logits.argmax())
+        return {
+            "index": pred,
+            "class": names[pred],
+            "probs": {n: round(float(probs[j]), 6) for j, n in enumerate(names)},
+            "attribution": {
+                n: [round(float(v), 6) for v in attr[j]]
+                for j, n in enumerate(names)
+            },
+        }
 
     def add_class(self, name: str) -> List[str]:
         with self._lock:
@@ -259,6 +289,9 @@ def make_http_server(service: PredictService, host: str = "127.0.0.1",
                 if self.path == "/predict":
                     pixels = decode_image_payload(payload, image_size)
                     self._send(200, service.predict(pixels))
+                elif self.path == "/explain":
+                    pixels = decode_image_payload(payload, image_size)
+                    self._send(200, service.explain(pixels))
                 elif self.path == "/classes":
                     self._send(200, {"classes": service.add_class(payload["name"])})
                 else:

@@ -147,6 +147,7 @@ def test_pretrain_cli_driver(tmp_path, domain_tree):
             "--data-root", os.path.join(domain_tree, "Real World"),
             "--epochs", "1", "--batch-size", "8", "--lr", "1e-3",
             "--schedule", "cosine", "--warmup-steps", "1", "--grad-clip", "1.0",
+            "--accum-steps", "2",
             "--output-root", str(tmp_path / "pt"),
         ]
     )

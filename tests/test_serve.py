@@ -86,6 +86,16 @@ def test_cached_text_path_matches_full_model(service, model, tiny_cfg):
         assert abs(served["probs"][name] - direct_probs[j]) < 1e-3, name
 
 
+def test_explain_returns_attribution(service, model, tiny_cfg, tiny_prompt_cfg):
+    out = service.explain(_rand_pixels(tiny_cfg.image_size, seed=5))
+    assert out["class"] in CLASSES
+    P = tiny_prompt_cfg.prompt_len
+    assert set(out["attribution"]) == set(CLASSES)
+    for name, row in out["attribution"].items():
+        assert len(row) == P
+        assert abs(sum(row) - 1.0) < 1e-3  # softmax-normalized per class
+
+
 def test_add_class_live(service, tiny_cfg):
     names = service.add_class("Clipboards")
     assert names[-1] == "Clipboards"
