@@ -121,3 +121,17 @@ def test_conditioned_training_learns(tiny_cfg, tiny_params, cond_prompt_cfg, tmp
     # the meta-net moved off its zero init
     w2 = np.asarray(result.best_trainable["meta_net"]["w2"])
     assert np.abs(w2).max() > 0.0
+
+
+def test_conditioned_idiomatic_text_mode(tiny_cfg, tiny_params, tiny_prompt_cfg, imgs):
+    """Conditioning composes with the idiomatic (CoOp-style) text mode —
+    per-class EOT positions tile correctly across the sample axis."""
+    cfg_p = dataclasses.replace(
+        tiny_prompt_cfg, image_conditioned=True, text_mode="idiomatic",
+        prompt_len=3,
+    )
+    model = FullModel(CLASSES, tiny_params, tiny_cfg, prompt_cfg=cfg_p)
+    out = model(imgs)
+    assert out["logits"].shape == (4, len(CLASSES))
+    assert out["attribution"].shape == (4, len(CLASSES), 3)
+    assert np.isfinite(np.asarray(out["logits"], np.float32)).all()

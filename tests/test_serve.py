@@ -169,3 +169,19 @@ def test_http_endpoints(service, tiny_cfg):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serving_image_conditioned_model(tiny_cfg, tiny_params, tiny_prompt_cfg):
+    """The conditioned model serves through the full-forward path (the text
+    cache is bypassed — its text pass is per-sample by definition)."""
+    import dataclasses
+
+    cfg_p = dataclasses.replace(tiny_prompt_cfg, image_conditioned=True)
+    model = FullModel(CLASSES, tiny_params, tiny_cfg, prompt_cfg=cfg_p)
+    svc = PredictService(model, batch_size=2, max_latency_ms=5.0)
+    try:
+        out = svc.predict(_rand_pixels(tiny_cfg.image_size), timeout=300)
+        assert out["class"] in CLASSES
+        assert abs(sum(out["probs"].values()) - 1.0) < 1e-3
+    finally:
+        svc.close()
