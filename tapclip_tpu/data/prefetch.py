@@ -33,6 +33,10 @@ def background_iter(iterable: Iterable, depth: int = 2) -> Iterator:
 
     Exceptions on the producer re-raise at the consumer's next pull; the
     queue bound keeps at most ``depth`` decoded batches of host memory alive.
+    The producer is a daemon thread: if the consumer abandons the generator
+    mid-epoch, the thread parks on the full queue until process exit — fine
+    for the epoch-shaped loops this wraps, but don't use it for iterators
+    you routinely drop halfway.
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()

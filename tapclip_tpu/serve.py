@@ -117,6 +117,12 @@ class PredictService:
             self._text_cache = None  # prompts changed -> recompute text side
         return list(self.model.class_names)
 
+    def invalidate_text_cache(self) -> None:
+        """Call after mutating ``model.trainable`` out of band (e.g. loading
+        a new prompt checkpoint into a live service)."""
+        with self._lock:
+            self._text_cache = None
+
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
