@@ -64,6 +64,10 @@ class PredictService:
         self._queue: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()  # model mutation (add_class) vs predict
         self._text_cache = None
+        # served-traffic counters (reported by /health)
+        self._n_requests = 0
+        self._n_batches = 0
+        self._batch_ms_total = 0.0
         self._stop = threading.Event()
         self._worker = threading.Thread(
             target=self._collector, daemon=True, name="predict-batcher"
@@ -173,9 +177,19 @@ class PredictService:
             self._text_cache = feats
         return self._text_cache
 
+    def stats(self) -> Dict[str, Any]:
+        n_b = max(self._n_batches, 1)
+        return {
+            "requests": self._n_requests,
+            "batches": self._n_batches,
+            "mean_batch_fill": round(self._n_requests / n_b, 2),
+            "mean_batch_ms": round(self._batch_ms_total / n_b, 2),
+        }
+
     def _run_batch(self, batch):
         import jax.numpy as jnp
 
+        t_start = time.monotonic()
         pixels = [b[0] for b in batch]
         B = self.batch_size
         size = self.model.clip_cfg.image_size
@@ -216,6 +230,9 @@ class PredictService:
                               for j, n in enumerate(names)},
                 }
                 done.set()
+            self._n_requests += len(batch)
+            self._n_batches += 1
+            self._batch_ms_total += (time.monotonic() - t_start) * 1e3
         except Exception as e:  # noqa: BLE001 - propagate to every waiter
             for _, slot, done in batch:
                 slot["error"] = f"{type(e).__name__}: {e}"
@@ -283,6 +300,7 @@ def make_http_server(service: PredictService, host: str = "127.0.0.1",
                     "model": service.model.clip_cfg.name,
                     "classes": len(service.model.class_names),
                     "batch_size": service.batch_size,
+                    **service.stats(),
                 })
             elif self.path == "/classes":
                 self._send(200, {"classes": list(service.model.class_names)})

@@ -150,6 +150,8 @@ def test_http_endpoints(service, tiny_cfg):
 
         h = get("/health")
         assert h["status"] == "ok" and h["classes"] == len(CLASSES)
+        assert h["requests"] >= 1 and h["batches"] >= 1  # fixture warm-up
+        assert h["mean_batch_ms"] > 0
         assert get("/classes")["classes"] == CLASSES
 
         s = tiny_cfg.image_size
