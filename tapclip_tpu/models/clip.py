@@ -192,6 +192,7 @@ def _forward_with_token_pruning(p, cfg: CLIPConfig, x: jnp.ndarray, kv_valid):
     x, _ = layers.transformer_forward(
         x, front, cfg.vision_heads,
         act=cfg.act, ln_eps=cfg.ln_eps, kv_valid_len=kv_valid, impl=cfg.attn_impl,
+        quantize=cfg.quantize_tower,
     )
 
     # Class-query attention row under block k's attention weights.
@@ -234,6 +235,7 @@ def _forward_with_token_pruning(p, cfg: CLIPConfig, x: jnp.ndarray, kv_valid):
     x, _ = layers.transformer_forward(
         x, back, cfg.vision_heads,
         act=cfg.act, ln_eps=cfg.ln_eps, impl=cfg.attn_impl,
+        quantize=cfg.quantize_tower,
     )
     # top_k is ordered by score; the class token (inf) lands at position 0.
     return x

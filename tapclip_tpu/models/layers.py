@@ -207,20 +207,29 @@ def block_forward(
             if _pick_attn_block_b(B_, T_, W_, 8) == 1:
                 use_fused_block = False
 
-    if use_fused_block:
-        if quantize:
-            # int8 W8A8 qkv/out-proj (eval-only, like the int8 MLP below).
-            from tapclip_tpu.ops.int8_attn import int8_attn_block
+    quantize_attn = (
+        quantize
+        and attn_to_idx is None
+        and not causal
+        and (kv_valid_len is None or isinstance(kv_valid_len, int))
+    )
+    if quantize_attn:
+        # int8 W8A8 qkv/out-proj (eval-only, like the int8 MLP below).
+        # Routed INDEPENDENTLY of use_fused_block so quantize_tower numerics
+        # are identical across platforms and batch shapes: off-TPU (and in
+        # interpret mode) int8_attn_block runs its deterministic XLA model.
+        from tapclip_tpu.ops.int8_attn import int8_attn_block
 
-            x = int8_attn_block(
-                x, p["ln_1"], p["attn"], n_heads, valid_len=kv_valid_len, eps=ln_eps
-            )
-        else:
-            from tapclip_tpu.ops.fused_mha import fused_attn_block
+        x = int8_attn_block(
+            x, p["ln_1"], p["attn"], n_heads, valid_len=kv_valid_len, eps=ln_eps
+        )
+        aux = None
+    elif use_fused_block:
+        from tapclip_tpu.ops.fused_mha import fused_attn_block
 
-            x = fused_attn_block(
-                x, p["ln_1"], p["attn"], n_heads, valid_len=kv_valid_len, eps=ln_eps
-            )
+        x = fused_attn_block(
+            x, p["ln_1"], p["attn"], n_heads, valid_len=kv_valid_len, eps=ln_eps
+        )
         aux = None
     else:
         h, aux = attn_forward(

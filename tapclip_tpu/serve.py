@@ -161,17 +161,11 @@ class PredictService:
         is image tower + one logits GEMM. (Image-conditioned prompt configs
         are the exception and bypass this cache.)"""
         if self._text_cache is None:
-            from tapclip_tpu.models.model_wrapper import (
-                text_features_with_attribution,
-            )
-
             m = self.model
-            feats, _ = text_features_with_attribution(
+            feats, _ = _cached_text_fn(m.clip_cfg, m.prompt_cfg)(
                 m.clip_params,
                 m.trainable["ctx"],
                 m.prompt_learner.bank,
-                m.clip_cfg,
-                m.prompt_cfg,
                 m.trainable["adjustor"],
             )
             self._text_cache = feats
@@ -201,21 +195,13 @@ class PredictService:
                 if self.model.prompt_cfg.image_conditioned:
                     out = self.model(jnp.asarray(x))
                 else:
-                    from tapclip_tpu.models import clip as clip_model
-
                     m = self.model
-                    text = self._cached_text_feats()
-                    img = clip_model.l2_normalize(
-                        clip_model.encode_image(
-                            m.clip_params, m.clip_cfg, jnp.asarray(x)
-                        )
-                    )
-                    scale = jnp.exp(m.trainable["logit_scale"])
-                    logits = scale * img.astype(jnp.float32) @ (
-                        text.astype(jnp.float32).T
-                    )
-                    logits = jnp.where(
-                        m.prompt_learner.bank.class_mask[None], logits, -1e30
+                    logits = _cached_predict_fn(m.clip_cfg)(
+                        m.clip_params,
+                        self._cached_text_feats(),
+                        m.trainable["logit_scale"],
+                        m.prompt_learner.bank.class_mask,
+                        jnp.asarray(x),
                     )
                     out = {"logits": logits[:, : m.n_cls]}
                 names = list(self.model.class_names)
@@ -239,6 +225,47 @@ class PredictService:
                 done.set()
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_text_fn(clip_cfg, prompt_cfg):
+    """Jitted text/attribution pass for the serving text cache."""
+    import jax
+
+    from tapclip_tpu.models.model_wrapper import text_features_with_attribution
+
+    @jax.jit
+    def text(clip_params, ctx, bank, adjustor):
+        return text_features_with_attribution(
+            clip_params, ctx, bank, clip_cfg, prompt_cfg, adjustor
+        )
+
+    return text
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_predict_fn(clip_cfg):
+    """ONE jitted executable for the serving hot path: image tower + logits
+    against precomputed text features. Eager composition here would dispatch
+    the ~12-block tower op by op (ruinous on tunneled devices)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tapclip_tpu.models import clip as clip_model
+
+    @jax.jit
+    def predict(clip_params, text_feats, logit_scale, class_mask, images):
+        img = clip_model.l2_normalize(
+            clip_model.encode_image(clip_params, clip_cfg, images)
+        )
+        scale = jnp.exp(logit_scale)
+        logits = scale * img.astype(jnp.float32) @ text_feats.astype(jnp.float32).T
+        return jnp.where(class_mask[None], logits, -1e30)
+
+    return predict
+
+
 def _softmax(x: np.ndarray) -> np.ndarray:
     e = np.exp(x - x.max(axis=-1, keepdims=True))
     return e / e.sum(axis=-1, keepdims=True)
@@ -257,7 +284,10 @@ def decode_image_payload(payload: Dict[str, Any], image_size: int) -> np.ndarray
         return np.asarray(pre(img), np.float32)
     if "pixels" in payload:
         arr = np.asarray(payload["pixels"])
-        if arr.dtype == np.uint8 or arr.max() > 2.0:
+        # Integer payloads are ALWAYS 0-255 (JSON ints arrive as int64, so a
+        # dtype check — not a max() heuristic, which would misread an
+        # all-dark image whose values happen to sit <= 2 — decides).
+        if np.issubdtype(arr.dtype, np.integer) or arr.max() > 2.0:
             arr = arr.astype(np.float32) / 255.0
         if arr.shape != (image_size, image_size, 3):
             raise ValueError(

@@ -173,6 +173,8 @@ class CheckpointManager:
 
         self._lock = threading.Lock()
         self._records = []
+        # every path this manager has ever recorded (sweep only touches these)
+        self._known = set()
         self._load_index()
         self._pool = None
         self._pending = []
@@ -212,6 +214,7 @@ class CheckpointManager:
             self._records.append(
                 (int(step), path, None if metric is None else float(metric))
             )
+            self._known.add(path)
         if self._pool is None:
             self._write_and_sweep(*args)
         else:
@@ -257,7 +260,10 @@ class CheckpointManager:
     # -- internals ----------------------------------------------------------
 
     def _kept(self):
-        last = {r[1] for r in sorted(self._records)[-self.keep_last_n:]} \
+        # Sort by step only: the metric slot mixes None and floats (a
+        # re-save of the same step without a metric must not TypeError).
+        by_step = sorted(self._records, key=lambda r: r[0])
+        last = {r[1] for r in by_step[-self.keep_last_n:]} \
             if self.keep_last_n > 0 else set()
         scored = sorted(
             (r for r in self._records if r[2] is not None),
@@ -285,13 +291,14 @@ class CheckpointManager:
         with self._lock:
             keep = self._kept()
             self._records = [r for r in self._records if r[1] in keep]
-        for name in os.listdir(self.directory):
-            p = os.path.join(self.directory, name)
-            if (
-                name.startswith("step_")
-                and os.path.isdir(p)
-                and p not in keep
-            ):
+            known = set(self._known)
+        # Delete ONLY checkpoints this manager has recorded (this session or
+        # via the index). A step_* directory it has never heard of — index
+        # lost to a crash between the Orbax write and _save_index, or a
+        # reused directory with foreign checkpoints — is left alone: a leaked
+        # directory is recoverable, a deleted resume point is not.
+        for p in known - keep:
+            if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
 
     def _save_index(self):
@@ -310,3 +317,4 @@ class CheckpointManager:
                     for r in json.load(f)
                     if os.path.isdir(r["path"])
                 ]
+            self._known.update(r[1] for r in self._records)

@@ -213,3 +213,34 @@ def test_manager_index_survives_restart(model, tmp_path):
     assert not os.path.isdir(os.path.join(d, "step_00000002"))
     assert os.path.isdir(os.path.join(d, "step_00000003"))
     assert os.path.isdir(os.path.join(d, "step_00000004"))
+
+
+def test_manager_never_deletes_unknown_checkpoints(model, tmp_path):
+    """Regression: the retention sweep must not rm-rf step_* directories the
+    manager has no record of (lost index, foreign checkpoints)."""
+    from tapclip_tpu.utils.checkpoint import CheckpointManager
+
+    d = tmp_path / "ckpts"
+    foreign = d / "step_00000500"
+    foreign.mkdir(parents=True)
+    (foreign / "marker.txt").write_text("precious resume point")
+
+    mgr = CheckpointManager(str(d), keep_last_n=1)
+    _mgr_save(mgr, model, 1)
+    _mgr_save(mgr, model, 2)  # sweeps step 1
+    mgr.close()
+    assert foreign.is_dir() and (foreign / "marker.txt").exists()
+    assert not (d / "step_00000001").exists()
+
+
+def test_manager_same_step_resave_mixed_metric(model, tmp_path):
+    """Regression: re-saving a step without a metric after one with a metric
+    must not TypeError in the retention sort (None vs float)."""
+    from tapclip_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), keep_last_n=2, keep_best_n=1)
+    _mgr_save(mgr, model, 5, metric=0.8)
+    _mgr_save(mgr, model, 5)  # same step, no metric
+    _mgr_save(mgr, model, 6, metric=0.9)
+    mgr.close()
+    assert mgr.best_path is not None

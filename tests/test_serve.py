@@ -187,3 +187,17 @@ def test_serving_image_conditioned_model(tiny_cfg, tiny_params, tiny_prompt_cfg)
         assert abs(sum(out["probs"].values()) - 1.0) < 1e-3
     finally:
         svc.close()
+
+
+def test_decode_dark_integer_pixels(tiny_cfg):
+    """Regression: all-dark 0-255 integer payloads (max <= 2) must still be
+    scaled by 1/255, not treated as already-normalized floats."""
+    s = tiny_cfg.image_size
+    dark = np.full((s, s, 3), 2, np.int64)
+    px = decode_image_payload({"pixels": dark.tolist()}, s)
+    from tapclip_tpu.config import IMAGE_MEAN, IMAGE_STD
+
+    expected = (2 / 255.0 - np.asarray(IMAGE_MEAN, np.float32)) / np.asarray(
+        IMAGE_STD, np.float32
+    )
+    np.testing.assert_allclose(px[0, 0], expected, rtol=1e-5)
