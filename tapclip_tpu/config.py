@@ -67,9 +67,11 @@ class CLIPConfig:
     # (PAPERS.md); an approximation — eval-quality tradeoff is the user's.
     token_keep_ratio: float = 1.0
     token_prune_layer: int = 4
-    # int8 (W8A8, stochastic-rounding activations) frozen-tower MLP path for
-    # EVAL (ops/int8_mlp.py). Bounded accuracy delta for ~1.3x GEMM
-    # throughput; training must not route here (the int8 op has no VJP).
+    # int8 (W8A8, stochastic-rounding activations) frozen-tower path —
+    # MLP (ops/int8_mlp.py) + attention projections (ops/int8_attn.py).
+    # Valid for eval AND prompt-tune training (the frozen tower is off the
+    # autodiff path); full-tower pretraining must not enable it (no VJP).
+    # ViT towers only; the RN family raises NotImplementedError.
     quantize_tower: bool = False
 
     @property

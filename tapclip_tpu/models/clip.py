@@ -121,6 +121,13 @@ def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
     if cfg.vision_tower == "resnet":
         from tapclip_tpu.models.resnet import resnet_encode_image
 
+        if cfg.quantize_tower:
+            # int8 covers the transformer towers only; failing loudly beats
+            # a config whose quantization flag is a silent no-op.
+            raise NotImplementedError(
+                "quantize_tower is implemented for ViT towers only "
+                "(the RN-family tower is convolutional)"
+            )
         if images.dtype == jnp.uint8:
             from tapclip_tpu.data.preprocess import device_normalize
 

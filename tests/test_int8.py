@@ -161,3 +161,16 @@ def test_quantize_attn_applies_off_fused_path(rng):
     a_ref = _xla_int8_attn_reference(x, p["ln_1"], p["attn"], H, 16, 1e-5)
     assert float(jnp.max(jnp.abs(a_ref - a_plain))) > 0
     assert float(jnp.max(jnp.abs(quant - plain))) > 0
+
+
+def test_quantize_tower_rejected_for_resnet(rng):
+    """quantize_tower on a convolutional tower must fail loudly, not be a
+    silent no-op (same failure class as the token-pruning drop)."""
+    from tapclip_tpu.config import MODEL_PRESETS
+    from tapclip_tpu.models.resnet import init_resnet_params
+
+    cfg = MODEL_PRESETS["RN50"].replace(image_size=64, quantize_tower=True)
+    params = {"visual": init_resnet_params(jax.random.PRNGKey(0), cfg)}
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    with pytest.raises(NotImplementedError, match="ViT towers only"):
+        C.encode_image(params, cfg, imgs)
