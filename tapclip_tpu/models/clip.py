@@ -128,6 +128,11 @@ def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
                 "quantize_tower is implemented for ViT towers only "
                 "(the RN-family tower is convolutional)"
             )
+        if cfg.token_keep_ratio < 1.0:
+            raise NotImplementedError(
+                "token_keep_ratio applies to ViT towers only "
+                "(the RN-family tower has no token sequence to prune)"
+            )
         if images.dtype == jnp.uint8:
             from tapclip_tpu.data.preprocess import device_normalize
 

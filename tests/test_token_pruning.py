@@ -54,3 +54,20 @@ def test_full_model_with_pruning(tiny_cfg, tiny_params, tiny_prompt_cfg, imgs):
     out = m(np.asarray(imgs), np.asarray([0, 1, 0]))
     assert out["logits"].shape == (3, 2)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_token_pruning_rejected_for_resnet():
+    """token_keep_ratio on a convolutional tower must fail loudly (no token
+    sequence to prune), not be a silent no-op."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from tapclip_tpu.config import MODEL_PRESETS
+    from tapclip_tpu.models import clip as C
+    from tapclip_tpu.models.resnet import init_resnet_params
+
+    cfg = MODEL_PRESETS["RN50"].replace(image_size=64, token_keep_ratio=0.5)
+    params = {"visual": init_resnet_params(jax.random.PRNGKey(0), cfg)}
+    with pytest.raises(NotImplementedError, match="ViT towers only"):
+        C.encode_image(params, cfg, jnp.zeros((1, 64, 64, 3), jnp.float32))
