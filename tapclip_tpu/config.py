@@ -73,6 +73,11 @@ class CLIPConfig:
     # autodiff path); full-tower pretraining must not enable it (no VJP).
     # ViT towers only; the RN family raises NotImplementedError.
     quantize_tower: bool = False
+    # Force the deterministic (round-to-nearest) int8 model everywhere, on
+    # every platform: reproducible production scoring at some throughput
+    # cost (the stochastic-rounding Pallas kernels are bypassed). Only
+    # meaningful with quantize_tower=True.
+    int8_deterministic: bool = False
 
     @property
     def grid_size(self) -> int:

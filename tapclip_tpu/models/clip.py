@@ -179,6 +179,7 @@ def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
             kv_valid_len=kv_valid,
             impl=cfg.attn_impl,
             quantize=cfg.quantize_tower,
+        quantize_deterministic=cfg.int8_deterministic,
         )
     x = layers.layer_norm(x, p["ln_post"], cfg.ln_eps)
     pooled = x[:, 0]
@@ -205,6 +206,7 @@ def _forward_with_token_pruning(p, cfg: CLIPConfig, x: jnp.ndarray, kv_valid):
         x, front, cfg.vision_heads,
         act=cfg.act, ln_eps=cfg.ln_eps, kv_valid_len=kv_valid, impl=cfg.attn_impl,
         quantize=cfg.quantize_tower,
+        quantize_deterministic=cfg.int8_deterministic,
     )
 
     # Class-query attention row under block k's attention weights.
@@ -248,6 +250,7 @@ def _forward_with_token_pruning(p, cfg: CLIPConfig, x: jnp.ndarray, kv_valid):
         x, back, cfg.vision_heads,
         act=cfg.act, ln_eps=cfg.ln_eps, impl=cfg.attn_impl,
         quantize=cfg.quantize_tower,
+        quantize_deterministic=cfg.int8_deterministic,
     )
     # top_k is ordered by score; the class token (inf) lands at position 0.
     return x

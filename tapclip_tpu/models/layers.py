@@ -182,6 +182,7 @@ def block_forward(
     attn_to_idx=None,
     impl: str = "auto",
     quantize: bool = False,
+    quantize_deterministic: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Pre-LN residual attention block (open_clip ResidualAttentionBlock)."""
     # "fused_split": XLA GEMMs for qkv/out-proj + the fused_mha kernel for
@@ -215,13 +216,18 @@ def block_forward(
     )
     if quantize_attn:
         # int8 W8A8 qkv/out-proj (eval-only, like the int8 MLP below).
-        # Routed INDEPENDENTLY of use_fused_block so quantize_tower numerics
-        # are identical across platforms and batch shapes: off-TPU (and in
-        # interpret mode) int8_attn_block runs its deterministic XLA model.
+        # Routed INDEPENDENTLY of use_fused_block (the fused-vs-split
+        # heuristic above never changes whether int8 runs). Numerics still
+        # differ by platform/shape: on TPU the Pallas kernel uses stochastic
+        # rounding for activations, while off-TPU — and for shapes the fused
+        # int8 block rejects (e.g. B*T % 32 != 0) — the deterministic XLA
+        # model runs instead. CLIPConfig.int8_deterministic forces the
+        # deterministic model everywhere (reproducible production scoring).
         from tapclip_tpu.ops.int8_attn import int8_attn_block
 
         x = int8_attn_block(
-            x, p["ln_1"], p["attn"], n_heads, valid_len=kv_valid_len, eps=ln_eps
+            x, p["ln_1"], p["attn"], n_heads, valid_len=kv_valid_len, eps=ln_eps,
+            deterministic=quantize_deterministic,
         )
         aux = None
     elif use_fused_block:
@@ -249,7 +255,13 @@ def block_forward(
         # training against quantization noise.
         from tapclip_tpu.ops.int8_mlp import int8_mlp_block
 
-        return int8_mlp_block(x, p["ln_2"], p["mlp"], eps=ln_eps), aux
+        return (
+            int8_mlp_block(
+                x, p["ln_2"], p["mlp"], eps=ln_eps,
+                deterministic=quantize_deterministic,
+            ),
+            aux,
+        )
 
     use_fused_mlp = False
     if act == "gelu" and impl in ("auto", "fused", "fused_split"):
@@ -277,6 +289,7 @@ def transformer_forward(
     attn_to_idx=None,
     impl: str = "auto",
     quantize: bool = False,
+    quantize_deterministic: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run stacked transformer blocks via ``lax.scan``.
 
@@ -294,6 +307,7 @@ def transformer_forward(
         kv_valid_len=kv_valid_len,
         impl=impl,
         quantize=quantize,
+        quantize_deterministic=quantize_deterministic,
     )
 
     def scan_step(carry, layer_params):

@@ -181,16 +181,19 @@ def int8_attn_block(
     seed: int = 0,
     block_b: int = 8,
     interpret: Optional[bool] = None,
+    deterministic: bool = False,
 ) -> jnp.ndarray:
     """``x + out_proj(attn(qkv(layer_norm(x))))`` with int8 projections;
-    eval-only (no custom VJP)."""
+    eval-only (no custom VJP). ``deterministic=True`` forces the
+    round-to-nearest XLA model everywhere (``CLIPConfig.int8_deterministic``)."""
     B, T, W = x.shape
     Dh = W // n_heads
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     valid = valid_len if valid_len is not None else T
     if (
-        not _HAS_PLTPU
+        deterministic
+        or not _HAS_PLTPU
         or interpret
         or W % 128
         or T % 8

@@ -132,9 +132,14 @@ def int8_mlp_block(
     seed: int = 0,
     row_tile: int = 256,
     interpret: Optional[bool] = None,
+    deterministic: bool = False,
 ) -> jnp.ndarray:
     """``x + mlp_int8(layer_norm(x))``; eval-only (no custom VJP — training
-    must not route here; ``block_forward`` gates on ``quantize_tower``)."""
+    must not route here; ``block_forward`` gates on ``quantize_tower``).
+
+    ``deterministic=True`` forces the round-to-nearest XLA model on every
+    platform (``CLIPConfig.int8_deterministic``): reproducible logits at the
+    cost of the stochastic-rounding kernel's throughput."""
     B, T, W = x.shape
     H = mlp_params["w_fc"].shape[-1]
     if interpret is None:
@@ -143,7 +148,15 @@ def int8_mlp_block(
     # int8 sublane tile is 32: shrink the row tile to a divisor of R.
     while row_tile >= 32 and R % row_tile:
         row_tile //= 2
-    if not _HAS_PLTPU or W % 128 or H % 128 or T % 8 or row_tile < 32 or interpret:
+    if (
+        deterministic
+        or not _HAS_PLTPU
+        or W % 128
+        or H % 128
+        or T % 8
+        or row_tile < 32
+        or interpret
+    ):
         # Interpret mode lacks the TPU PRNG; use the deterministic model.
         return _xla_int8_reference(x, ln_params, mlp_params, eps)
 

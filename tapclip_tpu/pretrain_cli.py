@@ -162,8 +162,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
         history.append(avg)
         log.info("[Epoch %d] contrastive loss: %.4f", epoch, avg)
         if args.save_every and epoch % args.save_every == 0:
+            # Epoch-suffixed dir; the previous snapshot is deleted only AFTER
+            # the new save finalizes, so a preemption mid-save (the event this
+            # feature defends against) always leaves one valid resume point.
+            new_snap = os.path.abspath(f"{snap_dir}_e{epoch:06d}")
             ocp.PyTreeCheckpointer().save(
-                os.path.abspath(snap_dir),
+                new_snap,
                 {
                     "params": jax.tree.map(np.asarray, params),
                     "opt_state": jax.tree.map(np.asarray, opt_state),
@@ -171,7 +175,14 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 },
                 force=True,
             )
-            log.info("pretrain snapshot at epoch %d -> %s", epoch, snap_dir)
+            import shutil
+
+            base = os.path.basename(snap_dir)
+            for d in sorted(os.listdir(paths["model_dir"])):
+                full = os.path.join(paths["model_dir"], d)
+                if d.startswith(base) and full != new_snap and os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+            log.info("pretrain snapshot at epoch %d -> %s", epoch, new_snap)
 
     ckpt = os.path.join(paths["model_dir"], "clip_pretrained")
     import orbax.checkpoint as ocp

@@ -377,6 +377,14 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--max-latency-ms", type=float, default=10.0)
     p.add_argument("--synthetic", action="store_true",
                    help="random-init weights (smoke/demo)")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the int8 W8A8 tower (ViT only)")
+    p.add_argument("--int8-deterministic", action="store_true",
+                   help="with --int8: round-to-nearest everywhere for "
+                        "reproducible scoring (bypasses the stochastic-"
+                        "rounding kernels; some throughput cost)")
+    p.add_argument("--token-keep-ratio", type=float, default=1.0,
+                   help="attention-aware token pruning ratio (1.0 = off)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -387,6 +395,11 @@ def main(argv: Optional[List[str]] = None):
         cfg = preset(args.preset).model
     else:
         cfg = MODEL_PRESETS[args.model]
+    if args.int8:
+        cfg = cfg.replace(quantize_tower=True,
+                          int8_deterministic=args.int8_deterministic)
+    if args.token_keep_ratio < 1.0:
+        cfg = cfg.replace(token_keep_ratio=args.token_keep_ratio)
     import jax
 
     if args.pretrained:

@@ -57,12 +57,16 @@ def adaptive_logits(
     margin: float,
     cheap_cfg=None,
     rescue_batch: Optional[int] = None,
+    mask=None,
 ) -> Tuple[np.ndarray, Dict[str, Any]]:
     """Two-path logits for one batch. Returns (logits [B, C], stats).
 
     ``cheap_cfg`` defaults to the model's config with ``token_keep_ratio=0.5``
     (pass your own to add ``quantize_tower=True`` etc.). ``rescue_batch``
     defaults to the input batch size (one spare executable shape).
+    ``mask`` (bool [B], optional) marks valid rows: padding rows are never
+    treated as hard (their margins are arbitrary), so ``rescue_frac`` is a
+    fraction of VALID samples and cannot exceed 1.
     """
     import jax.numpy as jnp
 
@@ -81,7 +85,10 @@ def adaptive_logits(
         cheap(model.clip_params, model.trainable, bank, images), np.float32
     )
 
-    hard = np.nonzero(_margins(logits) < margin)[0]
+    is_hard = _margins(logits) < margin
+    if mask is not None:
+        is_hard &= np.asarray(mask, bool)
+    hard = np.nonzero(is_hard)[0]
     n_hard = len(hard)
     if n_hard:
         run_full = _logits_fn(full_cfg, model.prompt_cfg)
@@ -96,8 +103,9 @@ def adaptive_logits(
                 np.float32,
             )
             logits[idx] = out[: len(idx)]
-    stats = {"n": B, "n_rescued": int(n_hard),
-             "rescue_frac": round(n_hard / B, 4)}
+    n_valid = int(np.asarray(mask, bool).sum()) if mask is not None else B
+    stats = {"n": n_valid, "n_rescued": int(n_hard),
+             "rescue_frac": round(n_hard / max(n_valid, 1), 4)}
     return logits, stats
 
 
@@ -110,7 +118,7 @@ def evaluate_adaptive(model, dataloader, *, margin: float,
 
     for images, labels, mask in background_iter(dataloader):
         logits, st = adaptive_logits(model, images, margin=margin,
-                                     cheap_cfg=cheap_cfg)
+                                     cheap_cfg=cheap_cfg, mask=mask)
         preds = logits[:, : model.n_cls].argmax(-1)
         keep = np.asarray(mask)
         labels = np.asarray(labels)

@@ -202,10 +202,16 @@ class CheckpointManager:
         path = os.path.join(self.directory, f"step_{step:08d}")
         # Host snapshot up front: correctness under async (the caller may
         # donate/overwrite the device buffers right after this returns).
-        trainable = jax.tree.map(np.asarray, trainable)
+        # np.array (not np.asarray): on the CPU backend np.asarray of a
+        # jax.Array can be a zero-copy view, which a later donated-buffer
+        # step could mutate while the queued write still reads it.
+        snap = lambda a: np.array(a)  # noqa: E731
+        trainable = jax.tree.map(snap, trainable)
         bank = _bank_as_dict(bank)
+        if bank is not None:
+            bank = {k: np.array(v) for k, v in bank.items()}
         if opt_state is not None:
-            opt_state = jax.tree.map(np.asarray, opt_state)
+            opt_state = jax.tree.map(snap, opt_state)
         meta = dict(extra_meta or {})
         if metric is not None:
             meta["metric"] = float(metric)

@@ -70,6 +70,20 @@ def _margin(row):
     return top2[1] - top2[0]
 
 
+def test_mask_excludes_padding_from_rescue(model, imgs):
+    """Padding rows (mask=False) are never 'hard': n_rescued counts valid
+    rows only and rescue_frac is a fraction of valid samples (<= 1)."""
+    mask = np.array([True] * 5 + [False] * 3)
+    logits, stats = adaptive_logits(model, imgs, margin=np.inf, mask=mask)
+    assert stats["n"] == 5
+    assert stats["n_rescued"] == 5  # only the valid rows
+    assert stats["rescue_frac"] == 1.0
+    # Valid rows still get full-path logits.
+    full = np.asarray(model(imgs)["logits"], np.float32)
+    np.testing.assert_allclose(logits[:5, : model.n_cls], full[:5],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_evaluate_adaptive_end_to_end(model, tiny_cfg, tmp_path):
     from tapclip_tpu.data.imagefolder import get_dataloaders
     from tapclip_tpu.data.synthetic import build_imagefolder

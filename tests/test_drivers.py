@@ -200,8 +200,12 @@ def test_pretrain_resume(tmp_path, domain_tree):
         common + ["--epochs", "1", "--save-every", "1",
                   "--output-root", str(tmp_path / "p1")]
     )
-    snap = os.path.join(os.path.dirname(out1["ckpt"]), "pretrain_snapshot")
-    assert os.path.isdir(snap)
+    # Epoch-suffixed snapshot dirs (preemption-safe: the old one is removed
+    # only after the new save finalizes); exactly one survives.
+    model_dir = os.path.dirname(out1["ckpt"])
+    snaps = [d for d in os.listdir(model_dir) if d.startswith("pretrain_snapshot")]
+    assert snaps == ["pretrain_snapshot_e000001"]
+    snap = os.path.join(model_dir, snaps[0])
     out2 = pretrain_cli.main(
         common + ["--epochs", "2", "--resume", snap,
                   "--output-root", str(tmp_path / "p2")]

@@ -163,6 +163,42 @@ def test_quantize_attn_applies_off_fused_path(rng):
     assert float(jnp.max(jnp.abs(quant - plain))) > 0
 
 
+def test_deterministic_knob_routes_to_xla_model(rng):
+    """deterministic=True must short-circuit BEFORE the Pallas path: here
+    every kernel precondition holds and interpret=False, so if the flag
+    were checked later the call would attempt a TPU kernel off-TPU and
+    fail. Output must equal the round-to-nearest XLA model exactly."""
+    from tapclip_tpu.models.layers import init_attn, init_layer_norm, init_mlp
+    from tapclip_tpu.ops.int8_attn import _xla_int8_attn_reference, int8_attn_block
+
+    W, H_mlp, heads = 128, 512, 4
+    x = jnp.asarray(rng.standard_normal((4, 8, W)), jnp.float32)
+    ln = init_layer_norm(W)
+    mlp = init_mlp(jax.random.PRNGKey(0), W, H_mlp)
+    out = int8_mlp_block(x, ln, mlp, interpret=False, deterministic=True)
+    ref = _xla_int8_reference(x, ln, mlp, 1e-5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    attn = init_attn(jax.random.PRNGKey(1), W)
+    out_a = int8_attn_block(x, ln, attn, heads, interpret=False,
+                            deterministic=True)
+    ref_a = _xla_int8_attn_reference(x, ln, attn, heads, x.shape[1], 1e-5)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(ref_a))
+
+
+def test_int8_deterministic_config_runs(tiny_cfg, tiny_params, rng):
+    """CLIPConfig.int8_deterministic threads through the tower and is
+    run-to-run reproducible."""
+    cfg = tiny_cfg.replace(quantize_tower=True, int8_deterministic=True)
+    imgs = jnp.asarray(
+        rng.standard_normal((2, tiny_cfg.image_size, tiny_cfg.image_size, 3)),
+        jnp.float32,
+    )
+    a = C.encode_image(tiny_params, cfg, imgs)
+    b = C.encode_image(tiny_params, cfg, imgs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_quantize_tower_rejected_for_resnet(rng):
     """quantize_tower on a convolutional tower must fail loudly, not be a
     silent no-op (same failure class as the token-pruning drop)."""
