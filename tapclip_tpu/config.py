@@ -78,6 +78,15 @@ class CLIPConfig:
     # cost (the stochastic-rounding Pallas kernels are bypassed). Only
     # meaningful with quantize_tower=True.
     int8_deterministic: bool = False
+    # Rematerialization (gradient checkpointing) for the transformer blocks,
+    # relevant only when the towers themselves are differentiated (full-tower
+    # pretraining; prompt tuning never differentiates them):
+    #   "none" — save all residuals (default; fastest at small batch),
+    #   "dots" — save matmul outputs, recompute elementwise/LN/softmax,
+    #   "full" — save only block inputs, recompute everything in backward.
+    # Trades ~1 extra forward of FLOPs ("full") for activation memory, which
+    # is what bounds the pretraining batch size.
+    remat: str = "none"
 
     @property
     def grid_size(self) -> int:

@@ -179,7 +179,8 @@ def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
             kv_valid_len=kv_valid,
             impl=cfg.attn_impl,
             quantize=cfg.quantize_tower,
-        quantize_deterministic=cfg.int8_deterministic,
+            quantize_deterministic=cfg.int8_deterministic,
+            remat=cfg.remat,
         )
     x = layers.layer_norm(x, p["ln_post"], cfg.ln_eps)
     pooled = x[:, 0]
@@ -284,6 +285,7 @@ def encode_text(params: Params, cfg: CLIPConfig, token_ids: jnp.ndarray) -> jnp.
         ln_eps=cfg.ln_eps,
         causal=True,
         impl=cfg.attn_impl,
+        remat=cfg.remat,
     )
     x = layers.layer_norm(x, p["ln_final"], cfg.ln_eps)
     eot = jnp.argmax(token_ids, axis=-1)  # EOT has the largest token id

@@ -290,12 +290,19 @@ def transformer_forward(
     impl: str = "auto",
     quantize: bool = False,
     quantize_deterministic: bool = False,
+    remat: str = "none",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run stacked transformer blocks via ``lax.scan``.
 
     The attribution aux output (attention-to-EOT column) is taken from the
     *last* block only — the reference hooks ``resblocks[-1].attn``
     (``clip_wrapper.py:39``).  The last layer therefore runs outside the scan.
+
+    ``remat`` ("none" | "dots" | "full") applies per-block gradient
+    checkpointing (``CLIPConfig.remat``): under grad, "full" saves only each
+    block's input and recomputes the block in the backward pass; "dots"
+    additionally saves matmul outputs.  Numerics are identical; only the
+    FLOPs/memory trade changes.
     """
     n_layers = jax.tree.leaves(blocks)[0].shape[0]
     body = functools.partial(
@@ -313,6 +320,16 @@ def transformer_forward(
     def scan_step(carry, layer_params):
         y, _ = body(carry, layer_params)
         return y, None
+
+    if remat == "dots":
+        scan_step = jax.checkpoint(
+            scan_step,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    elif remat == "full":
+        scan_step = jax.checkpoint(scan_step)
+    elif remat != "none":
+        raise ValueError(f"unknown remat policy {remat!r}")
 
     if attn_to_idx is None:
         # No aux needed: scan over ALL layers (one trace, smaller program).

@@ -47,6 +47,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    help="linear warmup steps (cosine schedule)")
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off)")
+    p.add_argument("--remat", default=None, choices=["none", "dots", "full"],
+                   help="per-block gradient checkpointing for the towers "
+                        "(CLIPConfig.remat): trade recompute FLOPs for "
+                        "activation memory so batch can scale")
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient accumulation: one optimizer update every K "
                         "micro-batches (K x the effective batch for the "
@@ -56,6 +60,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
     args = p.parse_args(argv)
     setup_platform(args.platform)
     cfg = apply_overrides(preset(args.preset), args)
+    if args.remat:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, model=cfg.model.replace(remat=args.remat))
 
     import jax
     import jax.numpy as jnp
