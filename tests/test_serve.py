@@ -72,6 +72,49 @@ def test_predict_batches_concurrent(service, tiny_cfg):
     )
 
 
+def test_sustained_concurrent_load(service, model, tiny_cfg):
+    """Closed-loop load (scripts/serve_bench.py shape): N client threads each
+    streaming requests back-to-back. Every response must be correct against
+    a direct model call, and the batcher must actually aggregate (mean
+    batch fill > 1 under concurrent load)."""
+    import jax.numpy as jnp
+
+    n_clients, per_client = 4, 6
+    base = service.stats()
+    results = {}
+    lock = threading.Lock()
+
+    def client(cid):
+        for r in range(per_client):
+            seed = 100 + cid * per_client + r
+            out = service.predict(_rand_pixels(tiny_cfg.image_size, seed=seed),
+                                  timeout=120)
+            with lock:
+                results[seed] = out
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=240)
+    assert len(results) == n_clients * per_client
+
+    stats = service.stats()
+    served = stats["requests"] - base["requests"]
+    batches = stats["batches"] - base["batches"]
+    assert served == n_clients * per_client
+    # 4 concurrent streams against batch_size=4 must aggregate: strictly
+    # fewer batches than requests.
+    assert batches < served, (batches, served)
+
+    # Correctness of every response vs a direct (unbatched) model call.
+    for seed in (100, 107, 115, 123):
+        direct = model(jnp.asarray(
+            _rand_pixels(tiny_cfg.image_size, seed=seed)[None]))
+        idx = int(np.asarray(direct["logits"]).argmax())
+        assert results[seed]["index"] == idx, seed
+
+
 def test_cached_text_path_matches_full_model(service, model, tiny_cfg):
     """The serving hot path (cached text feats + image tower + logits GEMM)
     must equal the full forward (image-independence identity)."""
