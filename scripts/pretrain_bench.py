@@ -6,6 +6,7 @@ matter.  Data generated on device; one jitted dispatch per timed step with
 donated (params, opt_state); single block at the end (tunnel protocol).
 
 Usage: python scripts/pretrain_bench.py [batch=128] [model=ViT-B-16] [steps=10]
+                                        [remat=none|dots|full]
 """
 
 import os
@@ -27,8 +28,9 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     name = sys.argv[2] if len(sys.argv) > 2 else "ViT-B-16"
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    cfg = MODEL_PRESETS[name].replace(dtype="bfloat16")
-    print(f"backend={jax.default_backend()} {name} bs={batch}")
+    remat = sys.argv[4] if len(sys.argv) > 4 else "none"
+    cfg = MODEL_PRESETS[name].replace(dtype="bfloat16", remat=remat)
+    print(f"backend={jax.default_backend()} {name} bs={batch} remat={remat}")
 
     params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
     opt = optax.adamw(1e-4, weight_decay=0.1)

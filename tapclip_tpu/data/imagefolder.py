@@ -290,7 +290,8 @@ def get_dataloaders(
             output_dtype=output_dtype,
         )
     elif verbose:
-        print("[dataset] num_shots=0 -> train set empty (zero-shot setting)")
+        print("⚠️ [dataset.py] num_shots=0 → train set will be "
+              "empty (zero-shot setting)")
     val_loader = Loader(
         split.val,
         batch_size,
@@ -301,11 +302,11 @@ def get_dataloaders(
         output_dtype=output_dtype,
     )
     if verbose:
-        # Mirrors the reference's sanity prints (dataset.py:66-69).
-        print("[dataset] raw->new label map:", split.label_map)
-        print("[dataset] total classes (prompt):", len(class_names))
+        # Byte-identical to the reference's sanity prints (dataset.py:66-69).
+        print("\U0001f50e Raw → New Label Map:", split.label_map)
+        print("✅ Total Classes (Prompt):", len(class_names))
         print(
-            "[dataset] train label distribution:",
+            "\U0001f9ea Train Label Distribution:",
             sorted({lb for _, lb in split.train}),
         )
     return train_loader, val_loader

@@ -17,13 +17,17 @@ Design notes (TPU-first):
   * Per-batch scalars (valid key length, attribution column index) ride in as
     scalar-prefetch operands in SMEM so one compiled kernel serves every
     class-prompt length.
-  * Backward: ``jax.custom_vjp`` with a dedicated Pallas backward kernel
-    (``_attn_bwd_kernel``) that recomputes the score tile from the saved
-    q/k/v and emits dq/dk/dv — the short-sequence single-block analogue of
-    the flash-attention two-kernel dq/dkv scheme.  The aux (attribution)
-    output is consumed under ``stop_gradient`` (the reference detaches it),
-    so its cotangent is structurally zero.  Only the blocked long-sequence
-    path (T > 2048, never hit by CLIP) falls back to XLA recompute.
+  * Backward: ``jax.custom_vjp`` with dedicated Pallas backward kernels.
+    Short sequences (padded T <= 2048) use the single-block kernel
+    (``_attn_bwd_kernel``), which recomputes the score tile from the saved
+    q/k/v and emits dq/dk/dv in one program.  Past the cap, the blockwise
+    FlashAttention-2-style scheme runs: an LSE recompute kernel
+    (``_blocked_lse_kernel``), a dK/dV kernel looping over query blocks
+    (``_blocked_bwd_dkv_kernel``), and a dQ kernel looping over key blocks
+    (``_blocked_bwd_dq_kernel``) — memory stays O(T·Dh + Qb·KVb) end to
+    end, so training never escapes to XLA at any sequence length.  The aux
+    (attribution) output is consumed under ``stop_gradient`` (the reference
+    detaches it), so its cotangent is structurally zero.
 """
 
 from __future__ import annotations
@@ -452,6 +456,288 @@ def _pallas_attention_bwd(
 
 
 # ---------------------------------------------------------------------------
+# Blockwise backward (FlashAttention-2 scheme) for the long-sequence path
+# ---------------------------------------------------------------------------
+
+
+def _blocked_lse_kernel(
+    valid_ref,  # SMEM [B] int32
+    q_ref,  # VMEM [1, 1, Qb, Dh]
+    k_ref,  # VMEM [1, 1, Tp, Dh] — full keys for this (b, h)
+    lse_ref,  # VMEM [1, H, Tp] f32, revisited block; program (b,h,qb) writes
+    # row h, columns [qb*Qb, (qb+1)*Qb)
+    *,
+    scale: float,
+    causal: bool,
+    q_block: int,
+    kv_block: int,
+):
+    """Recompute the log2-domain row logsumexp the forward normalized with.
+
+    ``lse2[i] = m2[i] + log2(l[i])`` where ``m2/l`` are the forward's online
+    max/sum over masked ``s2 = (q·kᵀ)·scale·log2(e)`` — so the backward's
+    ``p = exp2(s2 - lse2)`` reproduces the forward's probabilities exactly.
+    One extra q·kᵀ sweep (~1/5 of the backward's FLOPs) instead of saving
+    the [B, H, Tp] tensor from the forward.
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi_blk = pl.program_id(2)
+    valid = valid_ref[b]
+
+    q = q_ref[0, 0].astype(jnp.float32) * (scale * _LOG2E)  # [Qb, Dh]
+    Tp = k_ref.shape[2]
+    Qb = q.shape[0]
+    n_kv = Tp // kv_block
+    q_start = qi_blk * q_block
+    q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (Qb, kv_block), 0)
+
+    neg = jnp.float32(-1e30)
+    m0 = jnp.full((Qb, 1), neg, jnp.float32)
+    l0 = jnp.zeros((Qb, 1), jnp.float32)
+
+    def body(i, carry):
+        m, l = carry
+        k_chunk = k_ref[0, 0, pl.ds(i * kv_block, kv_block), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_chunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        k_ids = i * kv_block + jax.lax.broadcasted_iota(
+            jnp.int32, (Qb, kv_block), 1
+        )
+        mask = k_ids < valid
+        if causal:
+            mask = jnp.logical_and(mask, k_ids <= q_ids)
+        s = jnp.where(mask, s, neg)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        l_new = l * jnp.exp2(m - m_new) + jnp.sum(
+            jnp.exp2(s - m_new), axis=-1, keepdims=True
+        )
+        return m_new, l_new
+
+    m, l = jax.lax.fori_loop(0, n_kv, body, (m0, l0))
+    lse = m + jnp.log2(jnp.maximum(l, 1e-30))
+    lse_ref[0, h, pl.ds(q_start, Qb)] = lse[:, 0]
+
+
+def _blocked_bwd_dkv_kernel(
+    valid_ref,  # SMEM [B] int32
+    q_ref,  # VMEM [1, 1, Tp, Dh] — full queries for this (b, h)
+    do_ref,  # VMEM [1, 1, Tp, Dh] — full output cotangent
+    k_ref,  # VMEM [1, 1, KVb, Dh] — this program's key block
+    v_ref,  # VMEM [1, 1, KVb, Dh]
+    lse_ref,  # VMEM [1, H, Tp] f32
+    delta_ref,  # VMEM [1, H, Tp] f32 — rowsum(dO ∘ O)
+    dk_ref,  # VMEM [1, 1, KVb, Dh]
+    dv_ref,
+    *,
+    scale: float,
+    causal: bool,
+    q_block: int,
+    kv_block: int,
+):
+    """dK/dV for one key block: loop over query blocks, f32 accumulators.
+
+    Padded/invalid query rows need no mask: their cotangent (and delta) are
+    zero-padded by the caller, so p·(dp − delta) vanishes row-wise.
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    jb = pl.program_id(2)
+    valid = valid_ref[b]
+
+    k = k_ref[0, 0].astype(jnp.float32)  # [KVb, Dh]
+    v = v_ref[0, 0].astype(jnp.float32)
+    Tp = q_ref.shape[2]
+    Dh = k.shape[1]
+    n_q = Tp // q_block
+    k_start = jb * kv_block
+    k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (q_block, kv_block), 1)
+
+    def body(i, carry):
+        dk, dv = carry
+        q_i = q_ref[0, 0, pl.ds(i * q_block, q_block), :].astype(jnp.float32)
+        do_i = do_ref[0, 0, pl.ds(i * q_block, q_block), :].astype(jnp.float32)
+        lse_i = lse_ref[0, h, pl.ds(i * q_block, q_block)][:, None]
+        delta_i = delta_ref[0, h, pl.ds(i * q_block, q_block)][:, None]
+        s2 = jax.lax.dot_general(
+            q_i, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * _LOG2E)
+        mask = k_ids < valid
+        if causal:
+            q_ids = i * q_block + jax.lax.broadcasted_iota(
+                jnp.int32, (q_block, kv_block), 0
+            )
+            mask = jnp.logical_and(mask, k_ids <= q_ids)
+        p = jnp.where(mask, jnp.exp2(s2 - lse_i), 0.0)  # [Qb, KVb]
+        dv = dv + jax.lax.dot_general(
+            p, do_i, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do_i, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_i) * scale
+        dk = dk + jax.lax.dot_general(
+            ds, q_i, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    z = jnp.zeros((kv_block, Dh), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_q, body, (z, z))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _blocked_bwd_dq_kernel(
+    valid_ref,  # SMEM [B] int32
+    q_ref,  # VMEM [1, 1, Qb, Dh] — this program's query block
+    do_ref,  # VMEM [1, 1, Qb, Dh]
+    k_ref,  # VMEM [1, 1, Tp, Dh] — full keys
+    v_ref,  # VMEM [1, 1, Tp, Dh]
+    lse_ref,  # VMEM [1, H, Tp] f32
+    delta_ref,  # VMEM [1, H, Tp] f32
+    dq_ref,  # VMEM [1, 1, Qb, Dh]
+    *,
+    scale: float,
+    causal: bool,
+    q_block: int,
+    kv_block: int,
+):
+    """dQ for one query block: loop over key blocks, f32 accumulator."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi_blk = pl.program_id(2)
+    valid = valid_ref[b]
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [Qb, Dh]
+    do = do_ref[0, 0].astype(jnp.float32)
+    Tp = k_ref.shape[2]
+    Qb, Dh = q.shape
+    n_kv = Tp // kv_block
+    q_start = qi_blk * q_block
+    lse_i = lse_ref[0, h, pl.ds(q_start, Qb)][:, None]
+    delta_i = delta_ref[0, h, pl.ds(q_start, Qb)][:, None]
+    q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (Qb, kv_block), 0)
+
+    def body(j, dq):
+        k_chunk = k_ref[0, 0, pl.ds(j * kv_block, kv_block), :].astype(jnp.float32)
+        v_chunk = v_ref[0, 0, pl.ds(j * kv_block, kv_block), :].astype(jnp.float32)
+        s2 = jax.lax.dot_general(
+            q, k_chunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * _LOG2E)
+        k_ids = j * kv_block + jax.lax.broadcasted_iota(
+            jnp.int32, (Qb, kv_block), 1
+        )
+        mask = k_ids < valid
+        if causal:
+            mask = jnp.logical_and(mask, k_ids <= q_ids)
+        p = jnp.where(mask, jnp.exp2(s2 - lse_i), 0.0)
+        dp = jax.lax.dot_general(
+            do, v_chunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_i) * scale
+        return dq + jax.lax.dot_general(
+            ds, k_chunk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, n_kv, body, jnp.zeros((Qb, Dh), jnp.float32))
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _pallas_attention_bwd_blocked(
+    q: jnp.ndarray,  # [B, H, T, Dh]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    g: jnp.ndarray,  # [B, H, T, Dh] cotangent of the output
+    out: jnp.ndarray,  # [B, H, T, Dh] saved forward output (for delta)
+    valid: jnp.ndarray,  # [B] int32
+    *,
+    causal: bool,
+    interpret: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Blockwise attention backward past the single-block cap.
+
+    Three Pallas dispatches (LSE recompute, dK/dV, dQ); ``delta =
+    rowsum(dO ∘ O)`` is one cheap memory-bound XLA pass.
+    """
+    B, H, T, Dh = q.shape
+    kv_block = _KV_BLOCK
+    q_block = min(_Q_BLOCK, _round_up(max(T, 8), _LANE))
+    Tp = _round_up(max(T, 8), max(q_block, kv_block))
+    pad = [(0, 0), (0, 0), (0, Tp - T), (0, 0)]
+    qp, kp, vp, gp = (jnp.pad(t, pad) for t in (q, k, v, g))
+    n_q = Tp // q_block
+    n_kv = Tp // kv_block
+    scale = Dh ** -0.5
+    valid = valid.astype(jnp.int32)
+
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # [B, H, T]
+    delta = jnp.pad(delta, [(0, 0), (0, 0), (0, Tp - T)])
+
+    kw = dict(scale=scale, causal=causal, q_block=q_block, kv_block=kv_block)
+    qspec = pl.BlockSpec((1, 1, q_block, Dh), lambda b, h, i, *_: (b, h, i, 0))
+    full = pl.BlockSpec((1, 1, Tp, Dh), lambda b, h, i, *_: (b, h, 0, 0))
+    rows = pl.BlockSpec((1, H, Tp), lambda b, h, i, *_: (b, 0, 0))
+    kvspec = pl.BlockSpec((1, 1, kv_block, Dh), lambda b, h, j, *_: (b, h, j, 0))
+
+    lse = pl.pallas_call(
+        functools.partial(_blocked_lse_kernel, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, n_q),
+            in_specs=[qspec, full],
+            out_specs=rows,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Tp * Tp * Dh,
+            bytes_accessed=2 * B * H * Tp * Dh * q.dtype.itemsize,
+            transcendentals=B * H * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(valid, qp, kp)
+
+    shape_kv = jax.ShapeDtypeStruct((B, H, Tp, Dh), q.dtype)
+    dk, dv = pl.pallas_call(
+        functools.partial(_blocked_bwd_dkv_kernel, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, n_kv),
+            in_specs=[full, full, kvspec, kvspec, rows, rows],
+            out_specs=(kvspec, kvspec),
+        ),
+        out_shape=(shape_kv, shape_kv),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * B * H * Tp * Tp * Dh,
+            bytes_accessed=6 * B * H * Tp * Dh * q.dtype.itemsize,
+            transcendentals=B * H * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(valid, qp, gp, kp, vp, lse, delta)
+
+    dq = pl.pallas_call(
+        functools.partial(_blocked_bwd_dq_kernel, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, n_q),
+            in_specs=[qspec, qspec, full, full, rows, rows],
+            out_specs=qspec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, Dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * Tp * Tp * Dh,
+            bytes_accessed=5 * B * H * Tp * Dh * q.dtype.itemsize,
+            transcendentals=B * H * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(valid, qp, gp, kp, vp, lse, delta)
+
+    return dq[:, :, :T], dk[:, :, :T], dv[:, :, :T]
+
+
+# ---------------------------------------------------------------------------
 # Differentiable public entry point
 # ---------------------------------------------------------------------------
 
@@ -470,11 +756,15 @@ def _fused_attention_core(q, k, v, valid, eot, causal, with_aux, interpret):
 
 def _core_fwd(q, k, v, valid, eot, causal, with_aux, interpret):
     res = _fused_attention_core(q, k, v, valid, eot, causal, with_aux, interpret)
-    return res, (q, k, v, valid, eot)
+    # The blocked backward needs the forward output (delta = rowsum(dO ∘ O));
+    # saving it costs nothing there (it is live anyway) and is skipped on the
+    # single-block path.
+    blocked = _round_up(max(q.shape[2], 8), _LANE) > _MAX_SINGLE_BLOCK_T
+    return res, (q, k, v, valid, eot, res[0] if blocked else None)
 
 
 def _core_bwd(causal, with_aux, interpret, residuals, cts):
-    q, k, v, valid, eot = residuals
+    q, k, v, valid, eot, out = residuals
     d_out, d_aux = cts
     del d_aux, eot
     # The aux output is consumed under stop_gradient in the model (the
@@ -486,17 +776,11 @@ def _core_bwd(causal, with_aux, interpret, residuals, cts):
             q, k, v, d_out, valid, causal=causal, interpret=interpret
         )
         return dq, dk, dv, None, None
-    # Blocked path (T beyond the single-block cap, never hit by CLIP
-    # sequence lengths): recompute-through-XLA gradient.
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: attention_reference(
-            q_, k_, v_, causal=causal, kv_valid_len=valid
-        )[0],
-        q,
-        k,
-        v,
+    # Blockwise FlashAttention-2 backward past the single-block cap:
+    # O(T·Dh + Qb·KVb) memory, no XLA escape at any sequence length.
+    dq, dk, dv = _pallas_attention_bwd_blocked(
+        q, k, v, d_out, out, valid, causal=causal, interpret=interpret
     )
-    dq, dk, dv = vjp(d_out)
     return dq, dk, dv, None, None
 
 

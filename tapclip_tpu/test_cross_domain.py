@@ -72,7 +72,7 @@ def evaluate_grid(
     for num_shots in shots_list:
         shot_type = f"{num_shots}-shot" if num_shots > 0 else "Zero-Shot"
         for domain in domains:
-            log.info("[%s] evaluating on %s domain...", shot_type, domain)
+            log.info("\n\U0001f30d [%s] Testing on %s domain...", shot_type, domain)
             if restore_fn is not None:
                 restore_fn(model)  # fresh state per cell (test_cross_domain2.py:71-81)
             split = few_shot_split(indexes[domain], class_names, num_shots, seed=seed)
@@ -144,7 +144,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
     csv_path = save_results_csv(
         results, os.path.join(paths["csv_dir"], "cross_domain_results.csv")
     )
-    log.info("results saved to %s", csv_path)
+    log.info("✅ Results saved to %s", csv_path)
     plot_path = save_cross_domain_bar(
         results,
         os.path.join(paths["plot_dir"], "cross_domain_accuracy_bar.png"),
@@ -152,7 +152,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
         # (test_cross_domain.py:110; the fine-tune driver uses 0-100).
         ylim=(80, 100),
     )
-    log.info("plot saved to %s", plot_path)
+    log.info("✅ Plot saved to %s", plot_path)
     return {"results": results, "csv": csv_path, "plot": plot_path}
 
 

@@ -83,7 +83,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
         title=f"Cross-Domain Accuracy [{cfg.version}]",
         ylim=(0, 100),
     )
-    log.info("results: %s | plot: %s", csv_path, plot_path)
+    log.info("✅ Results saved to %s", csv_path)
+    log.info("✅ Plot saved to %s", plot_path)
     return {"results": results, "csv": csv_path, "plot": plot_path}
 
 

@@ -198,10 +198,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
     # Log trainable parameters (train.py:69-72).
     import jax
 
-    n_train = sum(x.size for x in jax.tree.leaves(
-        {k: v for k, v in model.trainable.items() if k == "ctx"}))
-    log.info("Trainable parameters: ctx bank %s (%d values)",
-             tuple(model.trainable["ctx"].shape), n_train)
+    log.info("\U0001f527 Trainable Parameters:")
+    for i, name in enumerate(model.class_names):
+        # One line per class-context row, matching the reference's per-param
+        # listing of context_bank entries (train.py:69-72).
+        log.info(" - prompt_learner.context_bank.%s | shape: %s",
+                 name, tuple(model.trainable["ctx"].shape[1:]))
 
     data_root = maybe_synthetic_root(cfg, args.synthetic_data)
     train_loader, val_loader = get_dataloaders(
@@ -280,13 +282,13 @@ def main(argv: Optional[List[str]] = None) -> dict:
         step=(int(result.final_state.step) if result.final_state else result.epochs_run),
         extra_meta={"best_acc": result.best_acc, "preset": args.preset},
     )
-    log.info("model saved: %s", ckpt_path)
+    log.info("\U0001f4e6 Model saved: %s", ckpt_path)
 
     plot_path = os.path.join(
         paths["plot_dir"], f"{cfg.version}_acc_curve_acc{result.best_acc:.2f}.png"
     )
     save_accuracy_curve(result.acc_history, result.per_class_history, plot_path)
-    log.info("accuracy plot saved to %s", plot_path)
+    log.info("\U0001f4ca Accuracy plot saved to %s", plot_path)
 
     # Attribution chart for the trained prompts (interpretability artifact).
     from tapclip_tpu.models.model_wrapper import text_features_with_attribution

@@ -311,13 +311,20 @@ def fit_prompt_model(
             for i, name in enumerate(model.class_names):
                 per_class_hist[name].append(per_class.get(i, 0.0))
             if verbose:
+                # Reference's per-epoch log lines, format-identical
+                # (train.py:109-119); the attribution-entropy line is this
+                # framework's extension (the reference computes it never).
+                log.info("[Epoch %d] \U0001f3cb️ Avg Train Loss: %.4f",
+                         epoch, avg_loss)
+                log.info("[Epoch %d] \U0001f9ea Val Accuracy: %.2f%%",
+                         epoch, acc)
                 log.info(
-                    "[Epoch %d] avg train loss: %.4f | val acc: %.2f%% | attr entropy: %.4f",
+                    "[Epoch %d] \U0001f4ca Per-Class Accuracy: %s",
                     epoch,
-                    avg_loss,
-                    acc,
-                    ent_hist[-1],
+                    {n: per_class.get(i, 0.0)
+                     for i, n in enumerate(model.class_names)},
                 )
+                log.info("[Epoch %d] attr entropy: %.4f", epoch, ent_hist[-1])
             if track_best:
                 if acc > best_acc:
                     best_acc = acc
@@ -328,7 +335,8 @@ def fit_prompt_model(
                     if patience_ctr == train_cfg.patience:
                         stop = True
         elif verbose:
-            log.info("[Epoch %d] avg train loss: %.4f", epoch, avg_loss)
+            log.info("[Epoch %d] \U0001f3cb️ Avg Train Loss: %.4f",
+                     epoch, avg_loss)
 
         if checkpoint_cb is not None and checkpoint_every > 0 and (
             epoch % checkpoint_every == 0 or stop

@@ -53,8 +53,10 @@ def evaluate_accuracy(model, dataloader, device=None, verbose: bool = True) -> f
     correct, total, pcc, pct = _accumulate(model, dataloader)
     acc = 100.0 * correct / total if total > 0 else 0.0
     if verbose:
-        print(f"Overall Accuracy: {acc:.2f}%")
-        print("Per-Class Accuracy:")
+        # Byte-identical to the reference's stdout (eval_metrics.py:31-38),
+        # emoji prefixes included.
+        print(f"\U0001f3af Overall Accuracy: {acc:.2f}%")
+        print("\U0001f4ca Per-Class Accuracy:")
         for cls in sorted(pct.keys()):
             t, c = pct[cls], pcc[cls]
             a = 100.0 * c / t if t > 0 else 0.0

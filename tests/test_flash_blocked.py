@@ -81,3 +81,59 @@ def test_long_sequence_dispatch(rng):
     out_r, aux_r = attention_reference(q, k, v, attn_to_idx=T - 1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(aux), np.asarray(aux_r), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_blocked_backward_matches_xla(rng, causal):
+    """Past the single-block cap, the blockwise FA2-style Pallas backward
+    (LSE recompute + dkv + dq kernels) must match XLA autodiff through the
+    reference attention — the last XLA training escape is gone."""
+    from tapclip_tpu.ops.flash_attention import fused_attention
+
+    T = 2100  # > _MAX_SINGLE_BLOCK_T -> blocked fwd AND bwd
+    q, k, v = _qkv(rng, 2, 2, T, 16)
+    valid = jnp.asarray([T, 1531], jnp.int32)
+    g_out = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+
+    def pallas_loss(q_, k_, v_):
+        out, _ = fused_attention(
+            q_, k_, v_, causal=causal, kv_valid_len=valid, interpret=True
+        )
+        return jnp.vdot(out, g_out)
+
+    def xla_loss(q_, k_, v_):
+        out, _ = attention_reference(
+            q_, k_, v_, causal=causal, kv_valid_len=valid
+        )
+        return jnp.vdot(out, g_out)
+
+    gp = jax.grad(pallas_loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(xla_loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gp, gr):
+        # Query rows past `valid` of batch 1 differ only in never-consumed
+        # positions for dq (reference computes them identically); compare all.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=name
+        )
+
+
+def test_blocked_backward_variable_eot_aux_stopgrad(rng):
+    """The aux output's cotangent is structurally zero on the blocked path
+    too: differentiating a function of the OUTPUT while aux is computed
+    must equal differentiating without aux."""
+    from tapclip_tpu.ops.flash_attention import fused_attention
+
+    T = 2100
+    q, k, v = _qkv(rng, 1, 2, T, 16)
+
+    def with_aux_loss(q_):
+        out, aux = fused_attention(q_, k, v, attn_to_idx=T - 1, interpret=True)
+        return jnp.sum(out ** 2)
+
+    def no_aux_loss(q_):
+        out, _ = fused_attention(q_, k, v, interpret=True)
+        return jnp.sum(out ** 2)
+
+    ga = jax.grad(with_aux_loss)(q)
+    gb = jax.grad(no_aux_loss)(q)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-5, atol=1e-6)
