@@ -107,8 +107,11 @@ def make_pretrain_step(
     # kept engaged end-to-end: the attention cores have dedicated Pallas
     # backward kernels (fused_mha/_mha_bwd_kernel, flash_attention/
     # _attn_bwd_kernel), and the block-fusion wrappers recompute through the
-    # split composition that reuses those cores — checkpoint-style recompute
-    # for the GEMMs, kernel gradients for the attention math.
+    # split composition that reuses those cores. NOTE a measured negative
+    # result (round 3): routing training to attn_impl="fused_split" so XLA
+    # saves qkv/mha activations instead of recomputing them was SLOWER
+    # (180.8 vs 175.7 ms at ViT-B/16 bs=128) — the recompute is not the
+    # backward's bottleneck; saved-activation HBM round trips cost as much.
 
     def loss_fn(params, images, token_ids):
         img = clip_model.encode_image(params, cfg, images)
