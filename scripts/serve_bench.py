@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_setting(model, batch_size, max_latency_ms, n_requests):
+def run_setting(model, batch_size, max_latency_ms, n_requests, dtype="uint8"):
     from tapclip_tpu.serve import PredictService
 
     service = PredictService(
@@ -34,9 +34,15 @@ def run_setting(model, batch_size, max_latency_ms, n_requests):
     size = model.clip_cfg.image_size
     rng = np.random.default_rng(0)
 
+    def gen_img(r):
+        if dtype == "uint8":
+            # Raw uint8 client payloads: normalization happens on device
+            # (4x less host->device transfer — the production HTTP path).
+            return r.integers(0, 256, (size, size, 3)).astype(np.uint8)
+        return r.standard_normal((size, size, 3)).astype(np.float32)
+
     # Warm/compile with a full batch of distinct images.
-    warm = [rng.standard_normal((size, size, 3)).astype(np.float32)
-            for _ in range(batch_size)]
+    warm = [gen_img(rng) for _ in range(batch_size)]
     threads = [threading.Thread(target=service.predict, args=(w,)) for w in warm]
     for t in threads:
         t.start()
@@ -54,7 +60,7 @@ def run_setting(model, batch_size, max_latency_ms, n_requests):
         r = np.random.default_rng(1000 + cid)
         mine = []
         for _ in range(per_client):
-            px = r.standard_normal((size, size, 3)).astype(np.float32)
+            px = gen_img(r)
             t0 = time.perf_counter()
             try:
                 service.predict(px, timeout=120.0)
@@ -102,8 +108,10 @@ def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "ViT-B-16"
     n_requests = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     settings = sys.argv[3] if len(sys.argv) > 3 else "8:10,32:25,64:50"
+    dtype = sys.argv[4] if len(sys.argv) > 4 else "uint8"
     cfg = MODEL_PRESETS[name].replace(dtype="bfloat16")
-    print(f"backend={jax.default_backend()} {name} requests={n_requests}")
+    print(f"backend={jax.default_backend()} {name} requests={n_requests} "
+          f"payload={dtype}")
 
     params = clip_model.init_clip_params(jax.random.PRNGKey(0), cfg)
     model = FullModel(
@@ -114,7 +122,7 @@ def main():
           f"{'p99':>8} | {'fill':>5} {'batch_ms':>8}")
     for pair in settings.split(","):
         bs, ml = pair.split(":")
-        r = run_setting(model, int(bs), float(ml), n_requests)
+        r = run_setting(model, int(bs), float(ml), n_requests, dtype)
         print(f"{r['batch_size']:>5} {r['max_latency_ms']:>6.0f} | "
               f"{r['img_per_sec']:>8.1f} {r['p50_ms']:>7.1f}ms "
               f"{r['p90_ms']:>7.1f}ms {r['p99_ms']:>7.1f}ms | "

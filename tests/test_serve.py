@@ -72,6 +72,34 @@ def test_predict_batches_concurrent(service, tiny_cfg):
     )
 
 
+def test_uint8_transport_matches_f32(service, model, tiny_cfg):
+    """Raw-uint8 payloads (normalized on device) must predict identically to
+    the host-normalized f32 path — the 4x-less-transfer serving mode."""
+    from tapclip_tpu.config import IMAGE_MEAN, IMAGE_STD
+    from tapclip_tpu.serve import decode_image_payload
+
+    size = tiny_cfg.image_size
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 256, (size, size, 3)).astype(np.uint8)
+
+    # decode: keep_uint8 passes raw bytes through; default normalizes.
+    u8 = decode_image_payload({"pixels": raw.tolist()}, size, keep_uint8=True)
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8, raw)
+    f32 = decode_image_payload({"pixels": raw.tolist()}, size)
+    assert f32.dtype == np.float32
+
+    out_u8 = service.predict(u8)
+    out_f32 = service.predict(f32)
+    assert out_u8["index"] == out_f32["index"]
+    for k in out_u8["probs"]:
+        assert abs(out_u8["probs"][k] - out_f32["probs"][k]) < 1e-3
+
+    # explain() accepts uint8 too
+    ex = service.explain(u8)
+    assert ex["index"] == out_u8["index"]
+
+
 def test_sustained_concurrent_load(service, model, tiny_cfg):
     """Closed-loop load (scripts/serve_bench.py shape): N client threads each
     streaming requests back-to-back. Every response must be correct against
