@@ -136,8 +136,12 @@ def attn_forward(
         if _jax.default_backend() == "tpu":
             if attn_to_idx is not None:
                 resolved = "pallas"  # needs the attribution aux column
-            elif not causal and (kv_valid_len is None or isinstance(kv_valid_len, int)):
-                resolved = "fused"  # packed-QKV fast path (vision tower)
+            elif kv_valid_len is None or isinstance(kv_valid_len, int):
+                # Packed-QKV fast path; causal (text tower) included — the
+                # kernel masks k > q, and its dedicated backward avoids the
+                # [B, H, T, T] probability tensor XLA's autodiff saves to
+                # HBM (the dominant text-side cost in full-tower training).
+                resolved = "fused"
             else:
                 resolved = "xla"
         else:
@@ -146,7 +150,7 @@ def attn_forward(
     if resolved == "fused":
         from tapclip_tpu.ops.fused_mha import fused_mha
 
-        out = fused_mha(qkv, n_heads, valid_len=kv_valid_len)
+        out = fused_mha(qkv, n_heads, valid_len=kv_valid_len, causal=causal)
         return dense(out, p["w_out"], p["b_out"]), None
 
     q, k, v = jnp.split(qkv, 3, axis=-1)

@@ -55,11 +55,15 @@ def _mha_kernel(
     width: int,
     valid: int,
     scale: float,
+    causal: bool = False,
 ):
     bB, Tp, _ = qkv_ref.shape
     Dh = width // n_heads
     ki = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
     key_mask = ki < valid
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
+        key_mask = jnp.logical_and(key_mask, ki <= qi)
     neg = jnp.float32(-1e30)
 
     # fori_loop over (batch-in-block, head-group) — an unrolled Python loop
@@ -122,6 +126,7 @@ def _mha_bwd_kernel(
     width: int,
     valid: int,
     scale: float,
+    causal: bool = False,
 ):
     """Packed-QKV attention backward: recompute scores, emit packed dqkv.
 
@@ -138,6 +143,9 @@ def _mha_bwd_kernel(
     Dh = width // n_heads
     ki = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
     key_mask = ki < valid
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
+        key_mask = jnp.logical_and(key_mask, ki <= qi)
     neg = jnp.float32(-1e30)
 
     heads_per_group = max(1, 128 // Dh)
@@ -202,6 +210,7 @@ def _fused_mha_bwd_impl(
     valid: int,
     block_b: int,
     interpret: Optional[bool],
+    causal: bool = False,
 ) -> jnp.ndarray:
     B, T, threeW = qkv.shape
     W = threeW // 3
@@ -225,7 +234,8 @@ def _fused_mha_bwd_impl(
         bB -= 1
 
     kernel = functools.partial(
-        _mha_bwd_kernel, n_heads=n_heads, width=W, valid=valid, scale=Dh ** -0.5
+        _mha_bwd_kernel, n_heads=n_heads, width=W, valid=valid,
+        scale=Dh ** -0.5, causal=causal,
     )
     dqkv = pl.pallas_call(
         kernel,
@@ -246,7 +256,8 @@ def _fused_mha_bwd_impl(
     return dqkv[:, :T, :]
 
 
-def _xla_reference(qkv: jnp.ndarray, n_heads: int, valid: Optional[int] = None) -> jnp.ndarray:
+def _xla_reference(qkv: jnp.ndarray, n_heads: int, valid: Optional[int] = None,
+                   causal: bool = False) -> jnp.ndarray:
     """Same math in plain XLA (used for the backward pass)."""
     from tapclip_tpu.ops.attention import attention_reference
 
@@ -258,21 +269,25 @@ def _xla_reference(qkv: jnp.ndarray, n_heads: int, valid: Optional[int] = None) 
         return t.reshape(B, T, n_heads, W // n_heads).transpose(0, 2, 1, 3)
 
     kv_valid = None if (valid is None or valid == T) else valid
-    out, _ = attention_reference(heads(q), heads(k), heads(v), kv_valid_len=kv_valid)
+    out, _ = attention_reference(
+        heads(q), heads(k), heads(v), kv_valid_len=kv_valid, causal=causal
+    )
     return out.transpose(0, 2, 1, 3).reshape(B, T, W)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _fused_mha_vjp(qkv, n_heads, valid, block_b, interpret):
-    return _fused_mha_fwd_impl(qkv, n_heads, valid, block_b, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _fused_mha_vjp(qkv, n_heads, valid, block_b, interpret, causal):
+    return _fused_mha_fwd_impl(qkv, n_heads, valid, block_b, interpret, causal)
 
 
-def _fused_mha_fwd(qkv, n_heads, valid, block_b, interpret):
-    return _fused_mha_vjp(qkv, n_heads, valid, block_b, interpret), qkv
+def _fused_mha_fwd(qkv, n_heads, valid, block_b, interpret, causal):
+    return _fused_mha_vjp(qkv, n_heads, valid, block_b, interpret, causal), qkv
 
 
-def _fused_mha_bwd(n_heads, valid, block_b, interpret, qkv, g):
-    return (_fused_mha_bwd_impl(qkv, g, n_heads, valid, block_b, interpret),)
+def _fused_mha_bwd(n_heads, valid, block_b, interpret, causal, qkv, g):
+    return (
+        _fused_mha_bwd_impl(qkv, g, n_heads, valid, block_b, interpret, causal),
+    )
 
 
 _fused_mha_vjp.defvjp(_fused_mha_fwd, _fused_mha_bwd)
@@ -285,6 +300,7 @@ def fused_mha(
     valid_len: Optional[int] = None,
     block_b: int = 4,
     interpret: Optional[bool] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Packed-QKV multi-head self attention -> ``[B, T, W]``.
 
@@ -300,7 +316,7 @@ def fused_mha(
     heads_per_group = max(1, 128 // Dh)
     valid = valid_len if valid_len is not None else T
     if n_heads % heads_per_group != 0:
-        return _xla_reference(qkv, n_heads, valid)
+        return _xla_reference(qkv, n_heads, valid, causal)
     # VMEM-fit the batch block: double-buffered qkv-in + out blocks plus the
     # per-head f32 score tile.
     Tp = _round_up(T, 8)
@@ -311,7 +327,7 @@ def fused_mha(
         or bb * Tp * (3 * W * 2 * 2 + W * 2 * 2 + Tp * 8) > 13 * 2 ** 20
     ):
         bb -= 1
-    return _fused_mha_vjp(qkv, n_heads, valid, bb, interpret)
+    return _fused_mha_vjp(qkv, n_heads, valid, bb, interpret, causal)
 
 
 def _fused_mha_fwd_impl(
@@ -320,6 +336,7 @@ def _fused_mha_fwd_impl(
     valid: Optional[int] = None,
     block_b: int = 4,
     interpret: Optional[bool] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     B, T, threeW = qkv.shape
     W = threeW // 3
@@ -337,7 +354,8 @@ def _fused_mha_fwd_impl(
         bB -= 1
 
     kernel = functools.partial(
-        _mha_kernel, n_heads=n_heads, width=W, valid=valid, scale=Dh ** -0.5
+        _mha_kernel, n_heads=n_heads, width=W, valid=valid,
+        scale=Dh ** -0.5, causal=causal,
     )
     out = pl.pallas_call(
         kernel,
@@ -457,6 +475,279 @@ def _attn_block_kernel(
     ).astype(o_ref.dtype)
 
 
+def _attn_block_bwd_kernel(
+    x_ref,  # VMEM [bB, Tp, W] saved residual input (pre-LN)
+    g_ref,  # VMEM [bB, Tp, W] output cotangent
+    gamma_ref,  # VMEM [1, W] f32
+    beta_ref,  # VMEM [1, W] f32
+    wqkv_ref,  # VMEM [W, 3W]
+    bqkv_ref,  # VMEM [1, 3W] f32
+    wout_ref,  # VMEM [W, W]
+    dx_ref,  # VMEM [bB, Tp, W] out — blocked over the batch grid
+    dgamma_ref,  # VMEM [1, W] f32 out — grid-resident accumulator
+    dbeta_ref,  # VMEM [1, W] f32 out
+    dwqkv_ref,  # VMEM [W, 3W] f32 out
+    dbqkv_ref,  # VMEM [1, 3W] f32 out
+    dwout_ref,  # VMEM [W, W] f32 out
+    dbout_ref,  # VMEM [1, W] f32 out
+    attn_s,  # VMEM scratch [bB, Tp, W] — recomputed attention output
+    dqkv_s,  # VMEM scratch [bB, Tp, 3W] — packed dqkv
+    *,
+    n_heads: int,
+    valid: int,
+    eps: float,
+):
+    """Dedicated attention half-block backward (the MLP backward's design
+    applied to attention): recompute LN + per-head-group qkv + probabilities
+    for the batch block entirely in VMEM, run the softmax-attention gradient
+    per head, then the projection/LN gradients — with grid-resident f32
+    weight-gradient accumulators. Versus the split-composition VJP this
+    avoids both the extra monolithic-forward recompute and every
+    [bB, T, *]-tensor HBM round trip between the stages."""
+    i = pl.program_id(0)
+    bB, Tp, W = x_ref.shape
+    Dh = W // n_heads
+    scale = Dh ** -0.5
+    ki = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    key_mask = ki < valid
+    neg = jnp.float32(-1e30)
+
+    x = x_ref[:]
+    dt = x.dtype
+    # --- recompute LN (matches _attn_block_kernel exactly) ---
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    n = (x32 - mean) * rstd  # normalised, pre-affine
+    y = (n * gamma_ref[0] + beta_ref[0]).astype(dt)
+    y2 = y.reshape(bB * Tp, W)
+
+    g32 = g_ref[:].astype(jnp.float32)
+    gc = g32.astype(dt)
+    g2 = gc.reshape(bB * Tp, W)
+
+    heads_per_group = max(1, 128 // Dh)
+    n_groups = n_heads // heads_per_group
+    group_w = heads_per_group * Dh
+
+    def datt_group(off):
+        # d(attention output)[:, off:off+gw] = g @ w_out[off:off+gw, :]ᵀ —
+        # computed per head group (ref slice on the sublane dim; a full
+        # [bB, Tp, W] value cannot be dynamically sliced inside Mosaic, and
+        # interleaving the GEMM with the attention math keeps the MXU fed,
+        # mirroring the forward kernel's proj_group design).
+        return jax.lax.dot_general(
+            g2, wout_ref[pl.ds(off, group_w), :],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ).reshape(bB, Tp, group_w)
+
+    def proj_group(col_off):
+        g_ = jax.lax.dot_general(
+            y2,
+            wqkv_ref[:, pl.ds(col_off, group_w)],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (g_ + bqkv_ref[0, pl.ds(col_off, group_w)]).reshape(bB, Tp, group_w)
+
+    def one_head(q, k, v, gh):
+        # q, k, v [bB, Tp, Dh] f32; gh [bB, Tp, Dh] f32 cotangent of o.
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(key_mask[None], s * (scale * _LOG2E), neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp2(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [bB, Tq, Tk] f32
+        pc = p.astype(dt)
+        o = jax.lax.dot_general(
+            pc, v.astype(dt), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bB, Tq, Dh]
+        ghc = gh.astype(dt)
+        dv = jax.lax.dot_general(
+            pc, ghc, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bB, Tk, Dh]
+        dp = jax.lax.dot_general(
+            gh, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bB, Tq, Tk]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        return o, dq, dk, dv
+
+    def body(grp, carry):
+        off = pl.multiple_of(grp * group_w, group_w)
+        qg = proj_group(off)
+        kg = proj_group(W + off)
+        vg = proj_group(2 * W + off)
+        gg = datt_group(off)
+        os_, dqs, dks, dvs = [], [], [], []
+        for h in range(heads_per_group):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            o, dq, dk, dv = one_head(qg[:, :, sl], kg[:, :, sl], vg[:, :, sl],
+                                     gg[:, :, sl])
+            os_.append(o)
+            dqs.append(dq)
+            dks.append(dk)
+            dvs.append(dv)
+        attn_s[:, :, pl.ds(off, group_w)] = jnp.concatenate(os_, -1).astype(
+            attn_s.dtype
+        )
+        dqkv_s[:, :, pl.ds(off, group_w)] = jnp.concatenate(dqs, -1).astype(
+            dqkv_s.dtype
+        )
+        dqkv_s[:, :, pl.ds(W + off, group_w)] = jnp.concatenate(dks, -1).astype(
+            dqkv_s.dtype
+        )
+        dqkv_s[:, :, pl.ds(2 * W + off, group_w)] = jnp.concatenate(
+            dvs, -1
+        ).astype(dqkv_s.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+    # --- projection gradients ---
+    dwout_part = jax.lax.dot_general(  # [W, W] = attn_outᵀ @ g
+        attn_s[:].reshape(bB * Tp, W), g2,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dqkv2 = dqkv_s[:].reshape(bB * Tp, 3 * W)
+    dwqkv_part = jax.lax.dot_general(  # [W, 3W] = yᵀ @ dqkv
+        y2, dqkv2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dy = jax.lax.dot_general(  # [R, W] = dqkv @ w_qkvᵀ
+        dqkv2, wqkv_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(bB, Tp, W)
+
+    # --- LayerNorm backward (affine params + input) ---
+    n3 = n
+    dgamma_part = jnp.sum(dy * n3, axis=(0, 1), keepdims=True)[0]
+    dbeta_part = jnp.sum(dy, axis=(0, 1), keepdims=True)[0]
+    dn = dy * gamma_ref[0]
+    dx_ln = rstd * (
+        dn
+        - jnp.mean(dn, axis=-1, keepdims=True)
+        - n3 * jnp.mean(dn * n3, axis=-1, keepdims=True)
+    )
+    dx_ref[:] = (g32 + dx_ln).astype(dx_ref.dtype)
+
+    dbqkv_part = jnp.sum(dqkv2.astype(jnp.float32), axis=0, keepdims=True)
+    dbout_part = jnp.sum(g2.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        dgamma_ref[:] = dgamma_part
+        dbeta_ref[:] = dbeta_part
+        dwqkv_ref[:] = dwqkv_part
+        dbqkv_ref[:] = dbqkv_part
+        dwout_ref[:] = dwout_part
+        dbout_ref[:] = dbout_part
+
+    @pl.when(i > 0)
+    def _():
+        dgamma_ref[:] += dgamma_part
+        dbeta_ref[:] += dbeta_part
+        dwqkv_ref[:] += dwqkv_part
+        dbqkv_ref[:] += dbqkv_part
+        dwout_ref[:] += dwout_part
+        dbout_ref[:] += dbout_part
+
+
+_ATTN_BWD_VMEM_BUDGET = 56 * 2 ** 20
+
+
+def _attn_block_bwd_fits(bB: int, Tp: int, W: int) -> bool:
+    """VMEM footprint of the dedicated backward: weights + f32 accumulators
+    + the block tensors (x/g/dx bf16, n/datt/dy f32, attn/dqkv scratch) +
+    three live [Tp, Tp]-per-batch-row f32 score tiles."""
+    weights = 4 * W * W * 2 + 4 * W * W * 4  # wqkv+wout bf16, dwqkv+dwout f32
+    per_row = Tp * (3 * W * 2 + 3 * W * 4 + 4 * W * 2 + 3 * Tp * 4)
+    return weights + bB * per_row <= _ATTN_BWD_VMEM_BUDGET
+
+
+def _attn_block_bwd_impl(
+    x, gamma, beta, w_qkv, b_qkv, w_out, g, n_heads, valid, eps, block_b,
+    interpret,
+):
+    from jax.experimental.pallas import tpu as pltpu_local
+
+    B, Tp, W = x.shape
+    dtype = x.dtype
+    bB = min(block_b, B)
+    while bB > 1 and (B % bB or not _attn_block_bwd_fits(bB, Tp, W)):
+        bB -= 1
+    while B % bB:
+        bB -= 1
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _attn_block_bwd_kernel, n_heads=n_heads, valid=valid, eps=eps
+        ),
+        grid=(B // bB,),
+        in_specs=[
+            pl.BlockSpec((bB, Tp, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bB, Tp, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+            pl.BlockSpec((W, 3 * W), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * W), lambda i: (0, 0)),
+            pl.BlockSpec((W, W), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bB, Tp, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+            pl.BlockSpec((W, 3 * W), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * W), lambda i: (0, 0)),
+            pl.BlockSpec((W, W), lambda i: (0, 0)),
+            pl.BlockSpec((1, W), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, W), dtype),
+            jax.ShapeDtypeStruct((1, W), jnp.float32),
+            jax.ShapeDtypeStruct((1, W), jnp.float32),
+            jax.ShapeDtypeStruct((W, 3 * W), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * W), jnp.float32),
+            jax.ShapeDtypeStruct((W, W), jnp.float32),
+            jax.ShapeDtypeStruct((1, W), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu_local.VMEM((bB, Tp, W), dtype),
+            pltpu_local.VMEM((bB, Tp, 3 * W), dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (2 * B * Tp * W * 4 * W) + 5 * 2 * B * n_heads * Tp * Tp * (W // n_heads),
+            bytes_accessed=3 * B * Tp * W * dtype.itemsize + 8 * W * W * 4,
+            transcendentals=B * n_heads * Tp * Tp,
+        ),
+        compiler_params=pltpu_local.CompilerParams(
+            vmem_limit_bytes=96 * 2 ** 20
+        ),
+        interpret=interpret,
+    )(
+        x,
+        g,
+        gamma.astype(jnp.float32).reshape(1, W),
+        beta.astype(jnp.float32).reshape(1, W),
+        w_qkv.astype(dtype),
+        b_qkv.astype(jnp.float32).reshape(1, 3 * W),
+        w_out.astype(dtype),
+    )
+    dx, dgamma, dbeta, dwqkv, dbqkv, dwout, dbout = jax.lax.optimization_barrier(
+        outs
+    )
+    return dx, dgamma, dbeta, dwqkv, dbqkv, dwout, dbout
+
+
 def _attn_block_xla(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps):
     from tapclip_tpu.models import layers
 
@@ -503,6 +794,32 @@ def _attn_block_split(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid
 
 def _attn_block_bwd(n_heads, valid, eps, block_b, interpret, res, g):
     x, gamma, beta, w_qkv, b_qkv, w_out, b_out = res
+    B, T, W = x.shape
+    Dh = W // n_heads
+    heads_per_group = max(1, 128 // Dh)
+    use_kernel = (
+        _HAS_PLTPU
+        and n_heads % heads_per_group == 0
+        and W % 128 == 0
+        and T % 8 == 0
+        and _attn_block_bwd_fits(1, T, W)
+    )
+    if use_kernel:
+        dx, dgamma, dbeta, dwqkv, dbqkv, dwout, dbout = _attn_block_bwd_impl(
+            x, gamma, beta, w_qkv, b_qkv, w_out, g, n_heads, valid, eps,
+            block_b, interpret,
+        )
+        return (
+            dx,
+            dgamma.reshape(gamma.shape).astype(gamma.dtype),
+            dbeta.reshape(beta.shape).astype(beta.dtype),
+            dwqkv.astype(w_qkv.dtype),
+            dbqkv.reshape(b_qkv.shape).astype(b_qkv.dtype),
+            dwout.astype(w_out.dtype),
+            dbout.reshape(b_out.shape).astype(b_out.dtype),
+        )
+    # Fallback: differentiate through the split composition (XLA GEMMs +
+    # the fused_mha core's dedicated backward).
     _, vjp = jax.vjp(
         lambda *a: _attn_block_split(*a, n_heads, valid, eps),
         x, gamma, beta, w_qkv, b_qkv, w_out, b_out,

@@ -120,6 +120,39 @@ def test_fused_attn_block_grad(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
 
 
+def test_fused_attn_block_grad_multi_grid(rng):
+    """Dedicated backward kernel with grid > 1: the grid-resident f32
+    weight-grad accumulators must sum correctly across batch blocks, with
+    padded keys masked."""
+    B, T, W, H = 16, 24, 128, 2  # Dh=64 -> head groups of 2; grid = 2 blocks
+    x = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    from tapclip_tpu.models.layers import init_attn, init_layer_norm
+
+    ln = init_layer_norm(W)
+    attn = init_attn(jax.random.PRNGKey(5), W)
+    wl = _loss_weights(rng, (B, T, W))
+    valid = 19
+
+    def kernel_loss(x, ln, attn):
+        return jnp.sum(
+            fused_attn_block(x, ln, attn, H, valid_len=valid, interpret=True)
+            * wl
+        )
+
+    def ref_loss(x, ln, attn):
+        out = _attn_block_xla(
+            x, ln["scale"], ln["bias"], attn["w_qkv"], attn["b_qkv"],
+            attn["w_out"], attn["b_out"], H, valid, 1e-5,
+        )
+        return jnp.sum(out * wl)
+
+    gk = jax.grad(kernel_loss, argnums=(0, 1, 2))(x, ln, attn)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(x, ln, attn)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4)
+
+
 def test_text_pass_grads_pallas_vs_xla(tiny_cfg, tiny_prompt_cfg, tiny_params, rng):
     """Full differentiated text pass (attribution -> adjust -> encode):
     pallas impl (interpret) vs xla impl, grads wrt the trainable pytree."""
