@@ -277,6 +277,16 @@ def encode_text(params: Params, cfg: CLIPConfig, token_ids: jnp.ndarray) -> jnp.
     dtype = cfg.compute_dtype
     x = embed_tokens(params, cfg, token_ids).astype(dtype)
     x = x + p["positional_embedding"].astype(dtype)[None]
+    # Pad once to a sublane multiple at the tower level (kv_valid masks the
+    # pad keys; pad QUERY rows are causal-masked junk that is sliced off
+    # before pooling) instead of letting the fused attention core pad/unpad
+    # [B, T, 3W] inside every block.
+    T = x.shape[1]
+    Tp = (T + 7) // 8 * 8
+    kv_valid = None
+    if Tp != T:
+        x = jnp.pad(x, [(0, 0), (0, Tp - T), (0, 0)])
+        kv_valid = T
     x, _ = layers.transformer_forward(
         x,
         p["blocks"],
@@ -284,9 +294,12 @@ def encode_text(params: Params, cfg: CLIPConfig, token_ids: jnp.ndarray) -> jnp.
         act=cfg.act,
         ln_eps=cfg.ln_eps,
         causal=True,
+        kv_valid_len=kv_valid,
         impl=cfg.attn_impl,
         remat=cfg.remat,
     )
+    if Tp != T:
+        x = x[:, :T]
     x = layers.layer_norm(x, p["ln_final"], cfg.ln_eps)
     eot = jnp.argmax(token_ids, axis=-1)  # EOT has the largest token id
     pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]

@@ -199,6 +199,12 @@ def block_forward(
         and not causal
         and (kv_valid_len is None or isinstance(kv_valid_len, int))
     ):
+        # Causal blocks deliberately stay OFF the monolithic kernel: at text
+        # geometry (T=80, W=512) it measured 3.5x slower than the XLA
+        # GEMM composition (1.31 vs 0.37 ms/block on v5e) — small [T, T]
+        # tiles starve the MXU. The causal path routes through attn_forward
+        # below, where the packed-QKV fused_mha CORE (with its dedicated
+        # causal backward) still carries the attention math.
         import jax as _jax
 
         use_fused_block = _jax.default_backend() == "tpu"
@@ -238,7 +244,8 @@ def block_forward(
         from tapclip_tpu.ops.fused_mha import fused_attn_block
 
         x = fused_attn_block(
-            x, p["ln_1"], p["attn"], n_heads, valid_len=kv_valid_len, eps=ln_eps
+            x, p["ln_1"], p["attn"], n_heads, valid_len=kv_valid_len,
+            eps=ln_eps, causal=causal,
         )
         aux = None
     else:

@@ -392,6 +392,7 @@ def _attn_block_kernel(
     n_heads: int,
     valid: int,
     eps: float,
+    causal: bool = False,
 ):
     """Per head-group the q/k/v projections are computed as column slices of
     the qkv GEMM inside the group loop (instead of one monolithic GEMM into a
@@ -403,6 +404,9 @@ def _attn_block_kernel(
     scale = Dh ** -0.5
     ki = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
     key_mask = ki < valid
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
+        key_mask = jnp.logical_and(key_mask, ki <= qi)
     neg = jnp.float32(-1e30)
 
     x = x_ref[:]
@@ -496,6 +500,7 @@ def _attn_block_bwd_kernel(
     n_heads: int,
     valid: int,
     eps: float,
+    causal: bool = False,
 ):
     """Dedicated attention half-block backward (the MLP backward's design
     applied to attention): recompute LN + per-head-group qkv + probabilities
@@ -510,6 +515,9 @@ def _attn_block_bwd_kernel(
     scale = Dh ** -0.5
     ki = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
     key_mask = ki < valid
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
+        key_mask = jnp.logical_and(key_mask, ki <= qi)
     neg = jnp.float32(-1e30)
 
     x = x_ref[:]
@@ -676,7 +684,7 @@ def _attn_block_bwd_fits(bB: int, Tp: int, W: int) -> bool:
 
 def _attn_block_bwd_impl(
     x, gamma, beta, w_qkv, b_qkv, w_out, g, n_heads, valid, eps, block_b,
-    interpret,
+    interpret, causal=False,
 ):
     from jax.experimental.pallas import tpu as pltpu_local
 
@@ -690,7 +698,8 @@ def _attn_block_bwd_impl(
 
     outs = pl.pallas_call(
         functools.partial(
-            _attn_block_bwd_kernel, n_heads=n_heads, valid=valid, eps=eps
+            _attn_block_bwd_kernel, n_heads=n_heads, valid=valid, eps=eps,
+            causal=causal,
         ),
         grid=(B // bB,),
         in_specs=[
@@ -748,7 +757,7 @@ def _attn_block_bwd_impl(
     return dx, dgamma, dbeta, dwqkv, dbqkv, dwout, dbout
 
 
-def _attn_block_xla(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps):
+def _attn_block_xla(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, causal=False):
     from tapclip_tpu.models import layers
 
     p_ln = {"scale": gamma, "bias": beta}
@@ -756,26 +765,27 @@ def _attn_block_xla(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, 
     T = x.shape[1]
     kv = None if valid == T else valid
     h, _ = layers.attn_forward(
-        layers.layer_norm(x, p_ln, eps), p_attn, n_heads, kv_valid_len=kv, impl="xla"
+        layers.layer_norm(x, p_ln, eps), p_attn, n_heads, kv_valid_len=kv,
+        impl="xla", causal=causal,
     )
     return x + h
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
-def _attn_block_vjp(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _attn_block_vjp(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret, causal):
     return _attn_block_fwd_impl(
-        x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret
+        x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret, causal
     )
 
 
-def _attn_block_fwd(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret):
+def _attn_block_fwd(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret, causal):
     out = _attn_block_vjp(
-        x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret
+        x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret, causal
     )
     return out, (x, gamma, beta, w_qkv, b_qkv, w_out, b_out)
 
 
-def _attn_block_split(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps):
+def _attn_block_split(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, causal=False):
     """LN -> QKV GEMM -> fused_mha kernel -> out-proj GEMM -> +residual.
 
     The gradient path for the monolithic forward kernel: XLA handles the
@@ -788,11 +798,11 @@ def _attn_block_split(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid
 
     y = layers.layer_norm(x, {"scale": gamma, "bias": beta}, eps)
     qkv = layers.dense(y, w_qkv, b_qkv)
-    out = fused_mha(qkv, n_heads, valid_len=valid)
+    out = fused_mha(qkv, n_heads, valid_len=valid, causal=causal)
     return x + layers.dense(out, w_out, b_out)
 
 
-def _attn_block_bwd(n_heads, valid, eps, block_b, interpret, res, g):
+def _attn_block_bwd(n_heads, valid, eps, block_b, interpret, causal, res, g):
     x, gamma, beta, w_qkv, b_qkv, w_out, b_out = res
     B, T, W = x.shape
     Dh = W // n_heads
@@ -807,7 +817,7 @@ def _attn_block_bwd(n_heads, valid, eps, block_b, interpret, res, g):
     if use_kernel:
         dx, dgamma, dbeta, dwqkv, dbqkv, dwout, dbout = _attn_block_bwd_impl(
             x, gamma, beta, w_qkv, b_qkv, w_out, g, n_heads, valid, eps,
-            block_b, interpret,
+            block_b, interpret, causal,
         )
         return (
             dx,
@@ -821,7 +831,7 @@ def _attn_block_bwd(n_heads, valid, eps, block_b, interpret, res, g):
     # Fallback: differentiate through the split composition (XLA GEMMs +
     # the fused_mha core's dedicated backward).
     _, vjp = jax.vjp(
-        lambda *a: _attn_block_split(*a, n_heads, valid, eps),
+        lambda *a: _attn_block_split(*a, n_heads, valid, eps, causal),
         x, gamma, beta, w_qkv, b_qkv, w_out, b_out,
     )
     return vjp(g)
@@ -840,6 +850,7 @@ def fused_attn_block(
     eps: float = 1e-5,
     block_b: Optional[int] = None,
     interpret: Optional[bool] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """``x + out_proj(mha(qkv_proj(layer_norm(x))))`` in one kernel."""
     B, T, W = x.shape
@@ -857,13 +868,14 @@ def fused_attn_block(
             x, ln_params["scale"], ln_params["bias"],
             attn_params["w_qkv"], attn_params["b_qkv"],
             attn_params["w_out"], attn_params["b_out"], n_heads, valid, eps,
+            causal,
         )
     block_b = _pick_attn_block_b(B, T, W, block_b)
     return _attn_block_vjp(
         x, ln_params["scale"], ln_params["bias"],
         attn_params["w_qkv"], attn_params["b_qkv"],
         attn_params["w_out"], attn_params["b_out"],
-        n_heads, valid, eps, block_b, interpret,
+        n_heads, valid, eps, block_b, interpret, causal,
     )
 
 
@@ -891,7 +903,7 @@ def _pick_attn_block_b(B: int, T: int, W: int, preferred: int,
     return 1
 
 
-def _attn_block_fwd_impl(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret):
+def _attn_block_fwd_impl(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret, causal=False):
     from jax.experimental.pallas import tpu as pltpu_local
 
     B, T, W = x.shape
@@ -900,7 +912,7 @@ def _attn_block_fwd_impl(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, va
     while B % bB:
         bB -= 1
     kernel = functools.partial(
-        _attn_block_kernel, n_heads=n_heads, valid=valid, eps=eps
+        _attn_block_kernel, n_heads=n_heads, valid=valid, eps=eps, causal=causal
     )
     return pl.pallas_call(
         kernel,

@@ -188,3 +188,37 @@ def test_text_pass_grads_pallas_vs_xla(tiny_cfg, tiny_prompt_cfg, tiny_params, r
     g_xla = jax.grad(loss)(trainable, "xla")
     for a, b in zip(jax.tree.leaves(g_pallas), jax.tree.leaves(g_xla)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_fused_attn_block_causal_grad(rng):
+    """Monolithic block kernel + dedicated backward with the causal mask
+    (text-tower training path)."""
+    B, T, W, H = 4, 24, 128, 2
+    x = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    from tapclip_tpu.models.layers import init_attn, init_layer_norm
+
+    ln = init_layer_norm(W)
+    attn = init_attn(jax.random.PRNGKey(7), W)
+    wl = _loss_weights(rng, (B, T, W))
+
+    def kernel_loss(x, ln, attn):
+        return jnp.sum(
+            fused_attn_block(x, ln, attn, H, causal=True, interpret=True) * wl
+        )
+
+    def ref_loss(x, ln, attn):
+        out = _attn_block_xla(
+            x, ln["scale"], ln["bias"], attn["w_qkv"], attn["b_qkv"],
+            attn["w_out"], attn["b_out"], H, T, 1e-5, causal=True,
+        )
+        return jnp.sum(out * wl)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(kernel_loss)(x, ln, attn)),
+        np.asarray(ref_loss(x, ln, attn)), rtol=5e-5,
+    )
+    gk = jax.grad(kernel_loss, argnums=(0, 1, 2))(x, ln, attn)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(x, ln, attn)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4)
