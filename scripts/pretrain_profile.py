@@ -27,35 +27,7 @@ from tapclip_tpu.models import clip as C
 from tapclip_tpu.pretrain import contrastive_loss_local
 
 
-_SUM = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-
-
-def slope_time(fn, params, inputs, steps):
-    """fn(params, x) over distinct inputs; s/step via two-chain slope.
-
-    params must be an ARGUMENT (closed-over trees are baked into the program
-    as literals — a 600 MB upload trips the remote compile service's request
-    limit). Every dispatch uses a never-seen input (relay-cache rule), and
-    each chain drains through float() — on the tunnel, block_until_ready
-    can return early even for non-donated outputs (observed: 0 ms "slope"
-    for a 30 ms forward); a scalar readback cannot.
-    """
-    assert len(inputs) >= 3 * steps + 1, "need 3*steps+1 distinct inputs"
-    out = fn(params, inputs[-1])
-    float(_SUM(jax.tree.leaves(out)[0]))
-
-    def chain(n, off):
-        t0 = time.perf_counter()
-        o = None
-        for i in range(n):
-            o = fn(params, inputs[off + i])
-        float(_SUM(jax.tree.leaves(o)[0]))  # hard drain (readback RTT
-        # is constant and cancels in the two-chain slope)
-        return time.perf_counter() - t0
-
-    t1 = chain(steps, 0)
-    t2 = chain(2 * steps, steps)  # inputs[steps:3*steps] — no reuse
-    return (t2 - t1) / steps
+from scripts._bench_util import slope_time
 
 
 def main():

@@ -26,24 +26,7 @@ from tapclip_tpu.config import MODEL_PRESETS
 from tapclip_tpu.models import clip as C
 import tapclip_tpu.models.layers as L
 
-_SUM = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-
-
-def slope(fn, args_list, steps):
-    out = fn(*args_list[-1])
-    float(_SUM(jax.tree.leaves(out)[0]))
-
-    def chain(n, off):
-        t0 = time.perf_counter()
-        o = None
-        for i in range(n):
-            o = fn(*args_list[off + i])
-        float(_SUM(jax.tree.leaves(o)[0]))
-        return time.perf_counter() - t0
-
-    t1 = chain(steps, 0)
-    t2 = chain(2 * steps, steps)
-    return (t2 - t1) / steps
+from scripts._bench_util import slope_time_args as slope
 
 
 def main():

@@ -41,13 +41,27 @@ def run_setting(model, batch_size, max_latency_ms, n_requests, dtype="uint8"):
             return r.integers(0, 256, (size, size, 3)).astype(np.uint8)
         return r.standard_normal((size, size, 3)).astype(np.float32)
 
-    # Warm/compile with a full batch of distinct images.
+    # Warm/compile with a full batch of distinct images. Cold compiles on
+    # the tunneled chip can exceed 10 minutes, so the warm phase gets a
+    # generous timeout and any failure is surfaced (a silent warm failure
+    # would cascade into every client timing out).
     warm = [gen_img(rng) for _ in range(batch_size)]
-    threads = [threading.Thread(target=service.predict, args=(w,)) for w in warm]
+    warm_errors = []
+
+    def warm_one(w):
+        try:
+            service.predict(w, timeout=900.0)
+        except Exception as e:  # noqa: BLE001
+            warm_errors.append(repr(e))
+
+    threads = [threading.Thread(target=warm_one, args=(w,)) for w in warm]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
+    if warm_errors:
+        service.close()
+        raise RuntimeError(f"warmup failed: {warm_errors[0]}")
 
     # Closed loop: 2x batch_size clients, each sends its share back-to-back.
     n_clients = 2 * batch_size

@@ -187,7 +187,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
 
             base = os.path.basename(snap_dir)
             for d in sorted(os.listdir(paths["model_dir"])):
-                full = os.path.join(paths["model_dir"], d)
+                # abspath BOTH sides: with a relative --output-root the
+                # unnormalized join would never equal new_snap and the
+                # sweep would delete the snapshot it just wrote.
+                full = os.path.abspath(os.path.join(paths["model_dir"], d))
                 if d.startswith(base) and full != new_snap and os.path.isdir(full):
                     shutil.rmtree(full, ignore_errors=True)
             log.info("pretrain snapshot at epoch %d -> %s", epoch, new_snap)

@@ -200,14 +200,12 @@ class PredictService:
             for i, p in enumerate(pixels):
                 x[i] = p
         else:
-            from tapclip_tpu.config import IMAGE_MEAN, IMAGE_STD
+            from tapclip_tpu.data.preprocess import normalize
 
-            mean = np.asarray(IMAGE_MEAN, np.float32)
-            std = np.asarray(IMAGE_STD, np.float32)
             x = np.zeros((B, size, size, 3), np.float32)
             for i, p in enumerate(pixels):
                 if p.dtype == np.uint8:
-                    x[i] = (p.astype(np.float32) / 255.0 - mean) / std
+                    x[i] = normalize(p.astype(np.float32) / 255.0)
                 else:
                     x[i] = p
         try:
