@@ -57,10 +57,25 @@ class PredictService:
         *,
         batch_size: int = 8,
         max_latency_ms: float = 10.0,
+        mesh=None,
     ):
+        """``mesh``: an optional ``jax.sharding.Mesh`` with a ``data`` axis —
+        every served batch is sharded over it (params replicated, logits
+        gathered by XLA), scaling serving throughput across chips with the
+        same single jitted executable. ``batch_size`` must divide evenly."""
         self.model = model
         self.batch_size = batch_size
         self.max_latency_ms = max_latency_ms
+        self.mesh = mesh
+        if mesh is not None:
+            from tapclip_tpu.parallel.mesh import DATA_AXIS
+
+            dp = mesh.shape.get(DATA_AXIS, 1)
+            if batch_size % dp:
+                raise ValueError(
+                    f"batch_size {batch_size} must be divisible by the "
+                    f"mesh's data axis ({dp})"
+                )
         self._queue: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()  # model mutation (add_class) vs predict
         self._text_cache = None
@@ -184,6 +199,7 @@ class PredictService:
         }
 
     def _run_batch(self, batch):
+        import jax
         import jax.numpy as jnp
 
         t_start = time.monotonic()
@@ -214,12 +230,26 @@ class PredictService:
                     out = self.model(jnp.asarray(x))
                 else:
                     m = self.model
+                    xb = jnp.asarray(x)
+                    if self.mesh is not None:
+                        # Shard the served batch over the data axis; the
+                        # (replicated) weights and text features stay put and
+                        # XLA gathers the per-shard logits — one executable,
+                        # N-chip image-tower throughput.
+                        from jax.sharding import NamedSharding
+                        from jax.sharding import PartitionSpec as P
+
+                        from tapclip_tpu.parallel.mesh import DATA_AXIS
+
+                        xb = jax.device_put(
+                            xb, NamedSharding(self.mesh, P(DATA_AXIS))
+                        )
                     logits = _cached_predict_fn(m.clip_cfg)(
                         m.clip_params,
                         self._cached_text_feats(),
                         m.trainable["logit_scale"],
                         m.prompt_learner.bank.class_mask,
-                        jnp.asarray(x),
+                        xb,
                     )
                     out = {"logits": logits[:, : m.n_cls]}
                 names = list(self.model.class_names)
@@ -424,6 +454,9 @@ def main(argv: Optional[List[str]] = None):
                         "rounding kernels; some throughput cost)")
     p.add_argument("--token-keep-ratio", type=float, default=1.0,
                    help="attention-aware token pruning ratio (1.0 = off)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard every served batch over a data-parallel mesh "
+                        "of this many devices (0 = single device)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -465,8 +498,13 @@ def main(argv: Optional[List[str]] = None):
                 model.trainable, logit_scale=jnp.asarray(tree["logit_scale"])
             )
 
+    mesh = None
+    if args.dp > 1:
+        from tapclip_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp, tp=1)
     service = PredictService(model, batch_size=args.batch_size,
-                             max_latency_ms=args.max_latency_ms)
+                             max_latency_ms=args.max_latency_ms, mesh=mesh)
     server = make_http_server(service, args.host, args.port)
     log.info("serving %s with %d classes on http://%s:%d (batch=%d, "
              "max_latency=%.0fms)", cfg.name, len(args.classes), args.host,

@@ -72,6 +72,45 @@ def test_predict_batches_concurrent(service, tiny_cfg):
     )
 
 
+def test_sharded_serving_matches_single_device(model, tiny_cfg):
+    """A PredictService over a data-parallel mesh serves identical
+    predictions to the single-device service (virtual 8-device CPU mesh)."""
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    from tapclip_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=8, tp=1)
+    svc = PredictService(model, batch_size=8, max_latency_ms=5.0, mesh=mesh)
+    try:
+        px = [_rand_pixels(tiny_cfg.image_size, seed=50 + i) for i in range(8)]
+        results = {}
+
+        def call(i):
+            results[i] = svc.predict(px[i], timeout=300)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(results) == 8
+        import jax.numpy as jnp
+
+        for i in range(8):
+            direct = model(jnp.asarray(px[i][None]))
+            idx = int(np.asarray(direct["logits"]).argmax())
+            assert results[i]["index"] == idx, i
+    finally:
+        svc.close()
+
+    # batch size must divide the data axis
+    with pytest.raises(ValueError, match="divisible"):
+        PredictService(model, batch_size=6, mesh=mesh).close()
+
+
 def test_uint8_transport_matches_f32(service, model, tiny_cfg):
     """Raw-uint8 payloads (normalized on device) must predict identically to
     the host-normalized f32 path — the 4x-less-transfer serving mode."""
