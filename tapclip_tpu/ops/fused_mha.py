@@ -15,11 +15,16 @@ Grid: ``(B / bB,)`` batch blocks; heads iterated as a static Python loop in
 the kernel (each head's matmuls hit the MXU back to back).  Sequence length
 is padded to a sublane multiple by the caller; padded keys are masked.
 
-No causal/aux support — that general kernel (per-batch masks, EOT aux
+Causal masking is supported (static flag; the text tower routes here).
+No aux support — the aux-bearing kernel (per-batch masks, EOT attribution
 column) lives in ``flash_attention.py``.  Fully differentiable: the custom
 VJP saves the packed qkv and runs a dedicated Pallas backward kernel
 (``_mha_bwd_kernel``) that recomputes the score tiles in VMEM and emits the
 packed dqkv — training never round-trips ``[B, H, T, T]`` through HBM either.
+The monolithic half-block (``fused_attn_block``) likewise has a dedicated
+backward (``_attn_block_bwd_kernel``: in-VMEM LN/qkv/probability recompute,
+grid-resident f32 weight-gradient accumulators), with the split composition
+as its fallback when the VMEM footprint does not fit.
 """
 
 from __future__ import annotations

@@ -2,9 +2,10 @@
 
 Training keeps the fused kernels engaged end-to-end (no XLA escape):
 ``fused_mha`` and ``flash_attention``'s core have dedicated Pallas backward
-kernels, and the block-fusion wrappers recompute through the split
-composition that reuses those cores.  These tests pin their gradients to
-``jax.grad`` through the plain-XLA reference implementations.
+kernels, the monolithic attention half-block has its own dedicated backward
+(``_attn_block_bwd_kernel``, split-composition fallback when VMEM-tight),
+and the MLP half-block has ``_mlp_bwd_kernel``.  These tests pin their
+gradients to ``jax.grad`` through the plain-XLA reference implementations.
 """
 
 import jax
