@@ -111,6 +111,43 @@ def test_sharded_serving_matches_single_device(model, tiny_cfg):
         PredictService(model, batch_size=6, mesh=mesh).close()
 
 
+def test_sharded_serving_uint8_transport(model, tiny_cfg):
+    """Sharded serving composes with the raw-uint8 transport: a uint8 batch
+    device_put with a data sharding predicts like the direct model."""
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from tapclip_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=8, tp=1)
+    svc = PredictService(model, batch_size=8, max_latency_ms=5.0, mesh=mesh)
+    try:
+        rng = np.random.default_rng(9)
+        raws = [rng.integers(0, 256, (tiny_cfg.image_size,) * 2 + (3,))
+                .astype(np.uint8) for _ in range(8)]
+        results = {}
+
+        def call(i):
+            results[i] = svc.predict(raws[i], timeout=300)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(results) == 8
+        for i in (0, 7):
+            direct = model(jnp.asarray(raws[i][None]))
+            idx = int(np.asarray(direct["logits"]).argmax())
+            assert results[i]["index"] == idx, i
+    finally:
+        svc.close()
+
+
 def test_uint8_transport_matches_f32(service, model, tiny_cfg):
     """Raw-uint8 payloads (normalized on device) must predict identically to
     the host-normalized f32 path — the 4x-less-transfer serving mode."""
