@@ -125,6 +125,9 @@ VIT_L_14 = CLIPConfig(
     text_heads=12,
     embed_dim=768,
 )
+# The high-resolution fine-tune OpenAI ships alongside ViT-L/14: identical
+# towers, 336px input (24x24 patch grid + cls = 577 tokens -> Tp=584).
+VIT_L_14_336 = VIT_L_14.replace(name="ViT-L-14-336", image_size=336)
 
 RN50 = CLIPConfig(
     name="RN50",
@@ -162,6 +165,16 @@ RN50x16 = CLIPConfig(
     text_width=768,
     text_heads=12,
 )
+RN50x64 = CLIPConfig(
+    name="RN50x64",
+    vision_tower="resnet",
+    vision_width=128,
+    resnet_layers=(3, 15, 36, 10),
+    image_size=448,
+    embed_dim=1024,
+    text_width=1024,
+    text_heads=16,
+)
 
 # A tiny config for unit tests / multichip dry runs (fast init + compile).
 TINY_TEST = CLIPConfig(
@@ -184,10 +197,12 @@ MODEL_PRESETS = {
     "ViT-B-32": VIT_B_32,
     "ViT-B-16": VIT_B_16,
     "ViT-L-14": VIT_L_14,
+    "ViT-L-14-336": VIT_L_14_336,
     "RN50": RN50,
     "RN101": RN101,
     "RN50x4": RN50x4,
     "RN50x16": RN50x16,
+    "RN50x64": RN50x64,
     "tiny-test": TINY_TEST,
 }
 

@@ -15,6 +15,10 @@ is a first-class, TPU-native training step:
 
 This trains the towers themselves (unlike prompt tuning, which freezes
 them), so it is the path for from-scratch or continued CLIP training.
+
+Also provides the SigLIP pairwise sigmoid objective (Zhai et al. 2023),
+whose sharded form is a ``ppermute`` ring over the ``data`` axis — no
+logit all-gather, O(B_local^2) logit memory per chip at any global batch.
 """
 
 from __future__ import annotations
@@ -91,17 +95,111 @@ def contrastive_loss_global(
     return fn(img_feats, txt_feats, logit_scale)
 
 
+def siglip_loss_local(
+    img_feats: jnp.ndarray,
+    txt_feats: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    logit_bias: jnp.ndarray,
+) -> jnp.ndarray:
+    """Single-device SigLIP pairwise sigmoid loss (Zhai et al. 2023).
+
+    Every (image, text) pair is an independent binary problem:
+    ``-1/B * sum_ij log sigmoid(z_ij * (t * img_i . txt_j + b))`` with
+    ``z = +1`` on the diagonal and ``-1`` off it.  No softmax row coupling,
+    so the sharded form below needs no logit all-gather.
+    """
+    img = clip_model.l2_normalize(img_feats).astype(jnp.float32)
+    txt = clip_model.l2_normalize(txt_feats).astype(jnp.float32)
+    n = img.shape[0]
+    logits = jnp.exp(logit_scale) * img @ txt.T + logit_bias
+    z = 2.0 * jnp.eye(n, dtype=jnp.float32) - 1.0
+    return -jnp.sum(jax.nn.log_sigmoid(z * logits)) / n
+
+
+def siglip_loss_global(
+    img_feats: jnp.ndarray,
+    txt_feats: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    logit_bias: jnp.ndarray,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Global-batch SigLIP loss via a ppermute ring (the paper's "chunked"
+    implementation, TPU-native): instead of all-gathering features, each
+    chip keeps its image shard resident and the text shards rotate around
+    the ``data`` axis ring — D-1 ``ppermute`` steps, each overlapping a
+    [B_local, B_local] logit block.  Peak memory is one text shard + one
+    local logit block per chip regardless of global batch; every pair is
+    visited exactly once (positives only on the un-rotated step), so the
+    result equals the single-device loss on the gathered batch (asserted
+    in tests/test_siglip.py, values and gradients)."""
+    n_dev = mesh.shape[DATA_AXIS]
+    ring = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def per_chip(img_local, txt_local, scale, bias):
+        img = clip_model.l2_normalize(img_local).astype(jnp.float32)
+        txt = clip_model.l2_normalize(txt_local).astype(jnp.float32)
+        n_local = img.shape[0]
+        s = jnp.exp(scale)
+
+        def block_loss(txt_chunk, z):
+            logits = s * img @ txt_chunk.T + bias
+            return -jnp.sum(jax.nn.log_sigmoid(z * logits))
+
+        # step 0: own chunk — positives on the diagonal
+        z0 = 2.0 * jnp.eye(n_local, dtype=jnp.float32) - 1.0
+        loss0 = block_loss(txt, z0)
+
+        def body(carry, _):
+            txt_c, acc = carry
+            txt_c = jax.lax.ppermute(txt_c, DATA_AXIS, ring)
+            acc = acc + block_loss(txt_c, jnp.float32(-1.0))
+            return (txt_c, acc), None
+
+        (_, loss_sum), _ = jax.lax.scan(
+            body, (txt, loss0), None, length=n_dev - 1
+        )
+        total = jax.lax.psum(loss_sum, DATA_AXIS)
+        n_global = jax.lax.psum(jnp.asarray(n_local, jnp.float32), DATA_AXIS)
+        return total / n_global
+
+    fn = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(img_feats, txt_feats, logit_scale, logit_bias)
+
+
+def add_siglip_params(params: dict, init_bias: float = -10.0) -> dict:
+    """Return a copy of ``params`` with the SigLIP ``logit_bias`` added
+    (paper init: b' = -10, so training starts near the all-negatives
+    prior).  A pre-existing bias is preserved (checkpoint resume)."""
+    if "logit_bias" in params:
+        return dict(params)
+    return dict(params, logit_bias=jnp.asarray(init_bias, jnp.float32))
+
+
 def make_pretrain_step(
     cfg: CLIPConfig,
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
+    loss: str = "infonce",
 ) -> Callable:
     """Jitted CLIP pretraining step over (images, token_ids).
 
     Trains the full param tree (towers + projections + logit_scale).  With a
     mesh, the contrastive negatives span the global batch via ICI
-    all_gather; without one, the single-device loss is used.
+    collectives (all_gather for InfoNCE, a ppermute ring for SigLIP);
+    without one, the single-device loss is used.
+
+    ``loss``: "infonce" (default, the CLIP objective) or "siglip" (pairwise
+    sigmoid; requires ``logit_bias`` in the param tree — see
+    ``add_siglip_params``).
     """
+    if loss not in ("infonce", "siglip"):
+        raise ValueError(f"unknown loss {loss!r}: use 'infonce' or 'siglip'")
 
     # Pretraining differentiates the TOWERS themselves. The fused kernels are
     # kept engaged end-to-end: the attention cores have dedicated Pallas
@@ -117,11 +215,15 @@ def make_pretrain_step(
         img = clip_model.encode_image(params, cfg, images)
         txt = clip_model.encode_text(params, cfg, token_ids)
         scale = params["logit_scale"]
-        if mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1:
-            loss = contrastive_loss_global(img, txt, scale, mesh)
-        else:
-            loss = contrastive_loss_local(img, txt, scale)
-        return loss
+        sharded = mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1
+        if loss == "siglip":
+            bias = params["logit_bias"]
+            if sharded:
+                return siglip_loss_global(img, txt, scale, bias, mesh)
+            return siglip_loss_local(img, txt, scale, bias)
+        if sharded:
+            return contrastive_loss_global(img, txt, scale, mesh)
+        return contrastive_loss_local(img, txt, scale)
 
     # Donate params + optimizer state: the step consumes and replaces them,
     # so XLA can update in place — without donation two full copies of

@@ -51,6 +51,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    help="per-block gradient checkpointing for the towers "
                         "(CLIPConfig.remat): trade recompute FLOPs for "
                         "activation memory so batch can scale")
+    p.add_argument("--loss", default="infonce", choices=["infonce", "siglip"],
+                   help="contrastive objective: softmax InfoNCE or the "
+                        "SigLIP pairwise sigmoid (ppermute-ring sharded)")
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient accumulation: one optimizer update every K "
                         "micro-batches (K x the effective batch for the "
@@ -72,7 +75,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
     from tapclip_tpu.data.imagefolder import ImageFolderIndex, Loader
     from tapclip_tpu.parallel.mesh import make_mesh
     from tapclip_tpu.parallel.sharding import replicate, shard_batch, shard_params
-    from tapclip_tpu.pretrain import make_pretrain_step
+    from tapclip_tpu.pretrain import add_siglip_params, make_pretrain_step
     from tapclip_tpu.utils.checkpoint import save_prompt_checkpoint
     from tapclip_tpu.utils.logging_utils import generate_output_paths, setup_logging
     from tapclip_tpu.zero_shot import class_name_to_text
@@ -130,7 +133,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
         # One real update every K micro-batches; the MultiSteps state carries
         # the f32 gradient accumulator and survives --save-every snapshots.
         optimizer = optax.MultiSteps(optimizer, every_k_schedule=args.accum_steps)
-    step = make_pretrain_step(cfg.model, optimizer, mesh=mesh)
+    if args.loss == "siglip":
+        params = add_siglip_params(params)
+    step = make_pretrain_step(cfg.model, optimizer, mesh=mesh, loss=args.loss)
     opt_state = optimizer.init(params)
     start_epoch = 1
     if args.resume:

@@ -233,3 +233,24 @@ def test_attribution_aux_matches_torch_attn_weights(torch_model, jax_params, rng
     _, w = blocks[-1].attn(y, y, y, need_weights=True, average_attn_weights=True)
     theirs = w[:, :, 8].detach().numpy()  # [B, T] column to last position
     np.testing.assert_allclose(np.asarray(aux), theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_vit_l_336_preset(rng):
+    """ViT-L/14@336px (the high-res fine-tune OpenAI ships): same towers as
+    ViT-L/14, 336px input -> 577 vision tokens.  Forward smoke runs at the
+    real resolution with a depth-2 tower (24 layers is CPU-prohibitive;
+    layer geometry is resolution-independent)."""
+    from tapclip_tpu.config import MODEL_PRESETS
+    from tapclip_tpu.models import clip as C
+
+    cfg = MODEL_PRESETS["ViT-L-14-336"]
+    assert cfg.image_size == 336 and cfg.patch_size == 14
+    assert cfg.vision_seq_len == 24 * 24 + 1 == 577
+    assert (cfg.vision_width, cfg.vision_layers, cfg.embed_dim) == (1024, 24, 768)
+
+    small = cfg.replace(vision_layers=2, text_layers=2)
+    params = C.init_clip_params(jax.random.PRNGKey(0), small)
+    imgs = jnp.asarray(rng.standard_normal((1, 336, 336, 3)), jnp.float32)
+    feats = C.encode_image(params, small, imgs)
+    assert feats.shape == (1, small.embed_dim)
+    assert bool(jnp.isfinite(feats).all())

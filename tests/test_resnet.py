@@ -242,6 +242,7 @@ def test_rn50_scaled_presets(rng):
     for name, stages, width, embed in [
         ("RN50x4", (4, 6, 10, 6), 80, 640),
         ("RN50x16", (6, 8, 18, 8), 96, 768),
+        ("RN50x64", (3, 15, 36, 10), 128, 1024),
     ]:
         cfg = MODEL_PRESETS[name]
         assert cfg.vision_tower == "resnet"
