@@ -6,7 +6,7 @@ matter.  Data generated on device; one jitted dispatch per timed step with
 donated (params, opt_state); single block at the end (tunnel protocol).
 
 Usage: python scripts/pretrain_bench.py [batch=128] [model=ViT-B-16] [steps=10]
-                                        [remat=none|dots|full]
+                                        [remat=none|dots|full] [loss=infonce|siglip]
 """
 
 import os
@@ -21,7 +21,7 @@ import optax
 
 from tapclip_tpu.config import MODEL_PRESETS
 from tapclip_tpu.models import clip as C
-from tapclip_tpu.pretrain import make_pretrain_step
+from tapclip_tpu.pretrain import add_siglip_params, make_pretrain_step
 
 
 def main():
@@ -29,13 +29,16 @@ def main():
     name = sys.argv[2] if len(sys.argv) > 2 else "ViT-B-16"
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     remat = sys.argv[4] if len(sys.argv) > 4 else "none"
+    loss = sys.argv[5] if len(sys.argv) > 5 else "infonce"
     cfg = MODEL_PRESETS[name].replace(dtype="bfloat16", remat=remat)
-    print(f"backend={jax.default_backend()} {name} bs={batch} remat={remat}")
+    print(f"backend={jax.default_backend()} {name} bs={batch} remat={remat} loss={loss}")
 
     params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    if loss == "siglip":
+        params = add_siglip_params(params)
     opt = optax.adamw(1e-4, weight_decay=0.1)
     opt_state = opt.init(params)
-    step = make_pretrain_step(cfg, opt)
+    step = make_pretrain_step(cfg, opt, loss=loss)
 
     gen = jax.jit(
         lambda k: (

@@ -78,6 +78,61 @@ def _stack_blocks(blocks) -> Dict[str, Any]:
     return jax.tree.map(lambda *xs: np.stack(xs), *blocks)
 
 
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel with a=-0.75 (PyTorch's bicubic)."""
+    x = np.abs(x)
+    return np.where(
+        x <= 1.0,
+        (a + 2.0) * x ** 3 - (a + 3.0) * x ** 2 + 1.0,
+        np.where(x < 2.0, a * (x ** 3 - 5.0 * x ** 2 + 8.0 * x - 4.0), 0.0),
+    )
+
+
+def _resize_axis_cubic(arr: np.ndarray, out_size: int, axis: int) -> np.ndarray:
+    """1-D cubic resample along ``axis`` with half-pixel centers
+    (``align_corners=False``) and border-clamped taps — the semantics of
+    ``F.interpolate(mode='bicubic', align_corners=False, antialias=False)``
+    applied separably."""
+    in_size = arr.shape[axis]
+    if in_size == out_size:
+        return arr
+    arr = np.moveaxis(np.asarray(arr, np.float64), axis, 0)
+    scale = in_size / out_size
+    coords = (np.arange(out_size) + 0.5) * scale - 0.5
+    base = np.floor(coords).astype(np.int64)
+    acc = np.zeros((out_size,) + arr.shape[1:], np.float64)
+    for tap in (-1, 0, 1, 2):
+        idx = np.clip(base + tap, 0, in_size - 1)
+        w = _cubic_kernel(coords - (base + tap))
+        acc += w.reshape((out_size,) + (1,) * (arr.ndim - 1)) * arr[idx]
+    return np.moveaxis(acc, 0, axis)
+
+
+def resize_pos_embed(pos: np.ndarray, target_len: int) -> np.ndarray:
+    """open_clip ``resize_pos_embed``: adapt a ``[1 + g*g, W]`` vision
+    positional embedding to a new grid (``target_len = 1 + g'*g'``) — the
+    class-token row is kept, the grid rows are bicubic-resampled as a
+    ``[g, g, W]`` image (torch bicubic a=-0.75, half-pixel centers; pinned
+    against ``F.interpolate`` in tests/test_convert_script.py).  Used when
+    loading checkpoints at a different resolution than they were trained at
+    (e.g. ViT-L/14 224px weights into the ViT-L-14-336 preset)."""
+    if pos.shape[0] == target_len:
+        return _f32(pos)
+    g_in = int(round((pos.shape[0] - 1) ** 0.5))
+    g_out = int(round((target_len - 1) ** 0.5))
+    if g_in * g_in + 1 != pos.shape[0] or g_out * g_out + 1 != target_len:
+        raise ValueError(
+            f"cannot resize pos embed {pos.shape[0]} -> {target_len}: "
+            "both must be 1 + square-grid"
+        )
+    cls_row, grid = pos[:1], pos[1:].reshape(g_in, g_in, -1)
+    grid = _resize_axis_cubic(grid, g_out, 0)
+    grid = _resize_axis_cubic(grid, g_out, 1)
+    return np.concatenate(
+        [_f32(cls_row), grid.reshape(g_out * g_out, -1).astype(np.float32)]
+    )
+
+
 def _convert_conv(w: np.ndarray) -> Dict[str, np.ndarray]:
     """torch conv [O, I, kh, kw] -> HWIO (NHWC convolution layout)."""
     return {"w": _f32(w).transpose(2, 3, 1, 0)}
@@ -126,7 +181,12 @@ def _convert_resnet_visual(sd: Dict[str, np.ndarray], cfg: CLIPConfig) -> Dict[s
             for b in range(n_blocks)
         ]
     v["attnpool"] = {
-        "positional_embedding": _f32(sd["visual.attnpool.positional_embedding"]),
+        # attnpool grid = (image_size // 32)^2 + 1; resampled when loading a
+        # checkpoint trained at another resolution.
+        "positional_embedding": resize_pos_embed(
+            _f32(sd["visual.attnpool.positional_embedding"]),
+            (cfg.image_size // 32) ** 2 + 1,
+        ),
         **{
             f"{n}_proj": {
                 "w": _f32(sd[f"visual.attnpool.{n}_proj.weight"]),
@@ -182,7 +242,9 @@ def convert_openclip_state_dict(
         "visual": {
             "patch_embed": {"w": patch_w},
             "class_embedding": _f32(sd["visual.class_embedding"]),
-            "positional_embedding": _f32(sd["visual.positional_embedding"]),
+            "positional_embedding": resize_pos_embed(
+                _f32(sd["visual.positional_embedding"]), cfg.vision_seq_len
+            ),
             "ln_pre": {
                 "scale": _f32(sd["visual.ln_pre.weight"]),
                 "bias": _f32(sd["visual.ln_pre.bias"]),

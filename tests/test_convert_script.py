@@ -96,3 +96,48 @@ def test_prompt_convert_script_legacy_layout(tmp_path, rng):
         np.testing.assert_allclose(
             np.asarray(tree["ctx_by_name"][name]), legacy_ctx[i], rtol=1e-6, atol=1e-6
         )
+
+
+def test_resize_pos_embed_matches_torch_bicubic(rng):
+    """The grid resample is pinned against PyTorch's own bicubic
+    (a=-0.75, align_corners=False, no antialias) — the exact op open_clip's
+    resize_pos_embed applies when loading weights at a new resolution."""
+    import torch.nn.functional as F
+
+    from tapclip_tpu.utils.torch_convert import resize_pos_embed
+
+    W = 12
+    for g_in, g_out in [(7, 9), (14, 24), (9, 5)]:
+        pos = rng.standard_normal((1 + g_in * g_in, W)).astype(np.float32)
+        got = resize_pos_embed(pos, 1 + g_out * g_out)
+        assert got.shape == (1 + g_out * g_out, W)
+        np.testing.assert_array_equal(got[0], pos[0])  # cls row untouched
+        ref = F.interpolate(
+            torch.from_numpy(pos[1:].reshape(g_in, g_in, W).transpose(2, 0, 1)[None]).double(),
+            size=(g_out, g_out), mode="bicubic", align_corners=False,
+        )[0].numpy().transpose(1, 2, 0).reshape(g_out * g_out, W)
+        np.testing.assert_allclose(got[1:], ref, rtol=1e-5, atol=1e-5)
+    # same size: exact passthrough
+    pos = rng.standard_normal((50, W)).astype(np.float32)
+    np.testing.assert_array_equal(resize_pos_embed(pos, 50), pos)
+    with pytest.raises(ValueError, match="square-grid"):
+        resize_pos_embed(pos, 48)
+
+
+def test_convert_at_higher_resolution(torch_model, rng):
+    """224-style weights load into a larger-resolution config: the vision
+    pos-emb is resampled to the new grid and the tower runs."""
+    from tapclip_tpu.utils.torch_convert import convert_openclip_state_dict
+
+    big = CFG.replace(image_size=CFG.image_size * 2)  # grid g -> 2g
+    params = jax.tree.map(
+        jnp.asarray,
+        convert_openclip_state_dict(torch_model.openclip_state_dict(), big),
+    )
+    assert params["visual"]["positional_embedding"].shape[0] == big.vision_seq_len
+    imgs = jnp.asarray(
+        rng.standard_normal((2, big.image_size, big.image_size, 3)), jnp.float32
+    )
+    feats = C.encode_image(params, big, imgs)
+    assert feats.shape == (2, big.embed_dim)
+    assert bool(jnp.isfinite(feats).all())
