@@ -112,15 +112,33 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, patch * patch * C)
 
 
-def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.ndarray:
+def encode_image(
+    params: Params,
+    cfg: CLIPConfig,
+    images: jnp.ndarray,
+    *,
+    transformer_fn=None,
+    act_sharding=None,
+) -> jnp.ndarray:
     """Images ``[B, H, W, 3]`` (preprocessed) -> features ``[B, embed_dim]``.
 
     Matches open_clip ``VisionTransformer.forward`` + projection; the caller
     L2-normalizes (as ``model_wrapper.py:41`` does).
+
+    ``transformer_fn`` overrides the block-stack runner (default
+    ``layers.transformer_forward``) — used by pipeline parallelism
+    (``parallel/pipeline.py::make_pipeline_transformer_fn``) so the embed /
+    pool glue lives only here.  ``act_sharding`` pins the inter-block
+    activation layout (sequence parallelism, see ``transformer_forward``).
     """
     if cfg.vision_tower == "resnet":
         from tapclip_tpu.models.resnet import resnet_encode_image
 
+        if transformer_fn is not None:
+            raise NotImplementedError(
+                "pipeline parallelism applies to transformer towers only "
+                "(the RN-family tower has no stacked block axis to stage)"
+            )
         if cfg.quantize_tower:
             # int8 covers the transformer towers only; failing loudly beats
             # a config whose quantization flag is a silent no-op.
@@ -168,9 +186,15 @@ def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
         kv_valid = T
 
     if cfg.token_keep_ratio < 1.0 and cfg.token_prune_layer < cfg.vision_layers:
+        if transformer_fn is not None:
+            raise NotImplementedError(
+                "token pruning is not supported with a transformer_fn "
+                "override (pipeline parallelism targets the training path)"
+            )
         x = _forward_with_token_pruning(p, cfg, x, kv_valid)
     else:
-        x, _ = layers.transformer_forward(
+        run = transformer_fn or layers.transformer_forward
+        x, _ = run(
             x,
             p["blocks"],
             cfg.vision_heads,
@@ -181,6 +205,7 @@ def encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.nd
             quantize=cfg.quantize_tower,
             quantize_deterministic=cfg.int8_deterministic,
             remat=cfg.remat,
+            act_sharding=act_sharding,
         )
     x = layers.layer_norm(x, p["ln_post"], cfg.ln_eps)
     pooled = x[:, 0]
@@ -271,8 +296,18 @@ def embed_tokens(params: Params, cfg: CLIPConfig, token_ids: jnp.ndarray) -> jnp
     return params["text"]["token_embedding"][token_ids]
 
 
-def encode_text(params: Params, cfg: CLIPConfig, token_ids: jnp.ndarray) -> jnp.ndarray:
-    """Proper CLIP text encoding: pos emb + causal mask + ln_final + EOT pool."""
+def encode_text(
+    params: Params,
+    cfg: CLIPConfig,
+    token_ids: jnp.ndarray,
+    *,
+    transformer_fn=None,
+    act_sharding=None,
+) -> jnp.ndarray:
+    """Proper CLIP text encoding: pos emb + causal mask + ln_final + EOT pool.
+
+    ``transformer_fn`` / ``act_sharding``: see :func:`encode_image`.
+    """
     p = params["text"]
     dtype = cfg.compute_dtype
     x = embed_tokens(params, cfg, token_ids).astype(dtype)
@@ -287,7 +322,8 @@ def encode_text(params: Params, cfg: CLIPConfig, token_ids: jnp.ndarray) -> jnp.
     if Tp != T:
         x = jnp.pad(x, [(0, 0), (0, Tp - T), (0, 0)])
         kv_valid = T
-    x, _ = layers.transformer_forward(
+    run = transformer_fn or layers.transformer_forward
+    x, _ = run(
         x,
         p["blocks"],
         cfg.text_heads,
@@ -297,6 +333,7 @@ def encode_text(params: Params, cfg: CLIPConfig, token_ids: jnp.ndarray) -> jnp.
         kv_valid_len=kv_valid,
         impl=cfg.attn_impl,
         remat=cfg.remat,
+        act_sharding=act_sharding,
     )
     if Tp != T:
         x = x[:, :T]

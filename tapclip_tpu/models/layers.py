@@ -302,6 +302,7 @@ def transformer_forward(
     quantize: bool = False,
     quantize_deterministic: bool = False,
     remat: str = "none",
+    act_sharding=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run stacked transformer blocks via ``lax.scan``.
 
@@ -314,6 +315,14 @@ def transformer_forward(
     block's input and recomputes the block in the backward pass; "dots"
     additionally saves matmul outputs.  Numerics are identical; only the
     FLOPs/memory trade changes.
+
+    ``act_sharding`` (a ``NamedSharding``, typically ``[B, T, W]`` ->
+    ``P("data", "model", None)``) pins the *inter-block activation* layout —
+    Megatron-style sequence parallelism: under tensor parallelism GSPMD then
+    keeps layernorm/residual/elementwise work sharded along T over the
+    ``model`` axis and splits each block's TP all-reduce into
+    reduce-scatter + all-gather pairs at the block boundaries.  Numerically
+    a no-op (it is only a layout constraint).
     """
     n_layers = jax.tree.leaves(blocks)[0].shape[0]
     body = functools.partial(
@@ -329,6 +338,8 @@ def transformer_forward(
     )
 
     def scan_step(carry, layer_params):
+        if act_sharding is not None:
+            carry = jax.lax.with_sharding_constraint(carry, act_sharding)
         y, _ = body(carry, layer_params)
         return y, None
 

@@ -24,26 +24,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(
     dp: int = -1,
     tp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    pp: int = 1,
 ) -> Mesh:
-    """Build a ``(data, model)`` mesh. ``dp=-1`` uses all remaining devices."""
+    """Build a ``(data, model)`` mesh — or ``(data, pipe, model)`` when
+    ``pp > 1``.  ``dp=-1`` uses all remaining devices.
+
+    Axis order encodes ICI locality on a real slice: ``model`` (tensor
+    parallel, per-layer all-reduces — the chattiest) innermost, ``pipe``
+    (one activation ppermute per tick) next, ``data`` (one gradient
+    reduction per step) outermost.  ``pp == 1`` keeps the legacy 2-axis
+    mesh so existing shape lookups and tests are unchanged.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if tp <= 0:
         tp = 1
+    if pp <= 0:
+        pp = 1
     if dp == -1:
-        if n % tp != 0:
-            raise ValueError(f"{n} devices not divisible by tp={tp}")
-        dp = n // tp
-    if dp * tp > n:
-        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}")
-    grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+        if n % (tp * pp) != 0:
+            raise ValueError(f"{n} devices not divisible by tp*pp={tp * pp}")
+        dp = n // (tp * pp)
+    if dp * tp * pp > n:
+        raise ValueError(
+            f"mesh {dp}x{pp}x{tp} needs {dp * tp * pp} devices, have {n}"
+        )
+    if pp == 1:
+        grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    grid = np.asarray(devices[: dp * pp * tp]).reshape(dp, pp, tp)
+    return Mesh(grid, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
 
 
 def single_device_mesh() -> Mesh:

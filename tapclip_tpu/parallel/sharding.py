@@ -22,24 +22,32 @@ from typing import Any, Dict
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tapclip_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from tapclip_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS
 
 
-def _spec_for_path(path: str, tp: bool) -> P:
-    if not tp:
+def _spec_for_path(path: str, tp: bool, pp: bool = False) -> P:
+    # Pipeline parallelism: the stacked-leaf layer axis ([L, ...], leading)
+    # of the transformer block pytrees shards over "pipe" — each stage holds
+    # L/S contiguous layers (parallel/pipeline.py). Composes with the
+    # Megatron TP columns/rows below on the trailing dims.
+    layer_ax = PIPE_AXIS if (pp and "blocks/" in path) else None
+    m = MODEL_AXIS if tp else None
+    if layer_ax is None and m is None:
         return P()
     if path.endswith("attn/w_qkv"):
-        return P(None, None, MODEL_AXIS)
+        return P(layer_ax, None, m)
     if path.endswith("attn/b_qkv"):
-        return P(None, MODEL_AXIS)
+        return P(layer_ax, m)
     if path.endswith("attn/w_out"):
-        return P(None, MODEL_AXIS, None)
+        return P(layer_ax, m, None)
     if path.endswith("mlp/w_fc"):
-        return P(None, None, MODEL_AXIS)
+        return P(layer_ax, None, m)
     if path.endswith("mlp/b_fc"):
-        return P(None, MODEL_AXIS)
+        return P(layer_ax, m)
     if path.endswith("mlp/w_proj"):
-        return P(None, MODEL_AXIS, None)
+        return P(layer_ax, m, None)
+    if layer_ax is not None:
+        return P(layer_ax)  # ln scales/biases, attn/mlp output biases
     return P()
 
 
@@ -58,8 +66,9 @@ def _path_str(path) -> str:
 def clip_param_specs(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """PartitionSpec pytree for the CLIP param tree."""
     tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    pp = mesh.shape.get(PIPE_AXIS, 1) > 1
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _spec_for_path(_path_str(path), tp), params
+        lambda path, leaf: _spec_for_path(_path_str(path), tp, pp), params
     )
 
 

@@ -186,6 +186,8 @@ def make_pretrain_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     loss: str = "infonce",
+    pp_microbatches: int = 0,
+    seq_parallel: bool = False,
 ) -> Callable:
     """Jitted CLIP pretraining step over (images, token_ids).
 
@@ -197,9 +199,49 @@ def make_pretrain_step(
     ``loss``: "infonce" (default, the CLIP objective) or "siglip" (pairwise
     sigmoid; requires ``logit_bias`` in the param tree — see
     ``add_siglip_params``).
+
+    Parallelism knobs beyond data parallelism:
+
+    * **pipeline** — when ``mesh`` has a ``"pipe"`` axis of size > 1, both
+      towers' block stacks run the GPipe schedule
+      (``parallel/pipeline.py``); ``pp_microbatches`` sets the microbatch
+      count (default ``2 * n_stages``).  Requires both towers' layer counts
+      divisible by the stage count and the *per-data-shard* batch divisible
+      by the microbatch count.
+    * **sequence parallel** — ``seq_parallel=True`` (needs a ``"model"``
+      axis > 1) pins inter-block activations to
+      ``P("data", "model", None)``: Megatron-SP via GSPMD layout
+      constraints (see ``layers.transformer_forward``).  Numerically a
+      no-op; layout only.
     """
     if loss not in ("infonce", "siglip"):
         raise ValueError(f"unknown loss {loss!r}: use 'infonce' or 'siglip'")
+
+    from tapclip_tpu.parallel.mesh import MODEL_AXIS, PIPE_AXIS
+
+    pp = mesh.shape.get(PIPE_AXIS, 1) if mesh is not None else 1
+    transformer_fn = None
+    if pp > 1:
+        from tapclip_tpu.parallel.pipeline import (
+            check_pipeline_geometry, make_pipeline_transformer_fn,
+        )
+
+        for n_layers in (cfg.vision_layers, cfg.text_layers):
+            check_pipeline_geometry(n_layers, pp, batch=1, n_microbatches=1)
+        n_micro = pp_microbatches or 2 * pp
+        transformer_fn = make_pipeline_transformer_fn(
+            mesh, n_micro, remat=cfg.remat if cfg.remat != "none" else "full"
+        )
+
+    act_sharding = None
+    if seq_parallel:
+        if mesh is None or mesh.shape.get(MODEL_AXIS, 1) <= 1:
+            raise ValueError(
+                "seq_parallel needs a mesh with a 'model' axis > 1"
+            )
+        from jax.sharding import NamedSharding
+
+        act_sharding = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
 
     # Pretraining differentiates the TOWERS themselves. The fused kernels are
     # kept engaged end-to-end: the attention cores have dedicated Pallas
@@ -212,8 +254,14 @@ def make_pretrain_step(
     # backward's bottleneck; saved-activation HBM round trips cost as much.
 
     def loss_fn(params, images, token_ids):
-        img = clip_model.encode_image(params, cfg, images)
-        txt = clip_model.encode_text(params, cfg, token_ids)
+        img = clip_model.encode_image(
+            params, cfg, images,
+            transformer_fn=transformer_fn, act_sharding=act_sharding,
+        )
+        txt = clip_model.encode_text(
+            params, cfg, token_ids,
+            transformer_fn=transformer_fn, act_sharding=act_sharding,
+        )
         scale = params["logit_scale"]
         sharded = mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1
         if loss == "siglip":
