@@ -87,6 +87,20 @@ class CLIPConfig:
     # Trades ~1 extra forward of FLOPs ("full") for activation memory, which
     # is what bounds the pretraining batch size.
     remat: str = "none"
+    # Mixture-of-experts MLPs for the transformer towers (LIMoE-style CLIP
+    # scaling; models/moe.py). 0 = dense (default). When > 0, every block's
+    # MLP becomes a Switch-style top-1-routed expert bank with static
+    # per-sequence capacity — expert weights shard over the "model" mesh
+    # axis (expert parallelism). ViT towers only.
+    moe_experts: int = 0
+    # Static per-group token capacity multiplier: each expert accepts up to
+    # ceil(T/E * factor) tokens per sequence (rounded to a sublane multiple);
+    # overflow tokens pass through the residual unchanged (standard Switch
+    # semantics, keeps every shape static for XLA).
+    moe_capacity_factor: float = 1.25
+    # Weight on the Switch load-balancing auxiliary loss added by the
+    # pretraining step (prompt tuning freezes the towers and ignores it).
+    moe_aux_weight: float = 0.01
 
     @property
     def grid_size(self) -> int:

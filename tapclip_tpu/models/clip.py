@@ -52,12 +52,25 @@ def _init_clip_params_jit(key: jax.Array, cfg: CLIPConfig) -> Params:
     if cfg.vision_tower == "resnet":
         from tapclip_tpu.models.resnet import init_resnet_params
 
+        if cfg.moe_experts > 0:
+            raise NotImplementedError(
+                "moe_experts applies to ViT towers only "
+                "(the RN-family tower has no per-block MLP bank)"
+            )
         visual = init_resnet_params(kv, cfg)
         return {
             "visual": visual,
             "text": _init_text_params(kt, ke, kpe, ktp, cfg),
             "logit_scale": jnp.asarray(jnp.log(1.0 / 0.07), jnp.float32),
         }
+    if cfg.moe_experts > 0:
+        from tapclip_tpu.models.moe import init_moe_blocks
+
+        init_tower_blocks = functools.partial(
+            init_moe_blocks, n_experts=cfg.moe_experts
+        )
+    else:
+        init_tower_blocks = layers.init_blocks
     visual = {
         "patch_embed": {
             "w": jax.random.normal(kp, (patch_dim, vw), jnp.float32) * (vw ** -0.5)
@@ -67,7 +80,7 @@ def _init_clip_params_jit(key: jax.Array, cfg: CLIPConfig) -> Params:
             jax.random.normal(kpe, (cfg.vision_seq_len, vw), jnp.float32) * (vw ** -0.5)
         ),
         "ln_pre": layers.init_layer_norm(vw),
-        "blocks": layers.init_blocks(kv, cfg.vision_layers, vw, cfg.mlp_ratio),
+        "blocks": init_tower_blocks(kv, cfg.vision_layers, vw, mlp_ratio=cfg.mlp_ratio),
         "ln_post": layers.init_layer_norm(vw),
         "proj": jax.random.normal(kvp, (vw, cfg.embed_dim), jnp.float32) * (vw ** -0.5),
     }
@@ -82,12 +95,20 @@ def _init_clip_params_jit(key: jax.Array, cfg: CLIPConfig) -> Params:
 
 def _init_text_params(kt, ke, kpe, ktp, cfg: CLIPConfig) -> Params:
     tw = cfg.text_width
+    if cfg.moe_experts > 0:
+        from tapclip_tpu.models.moe import init_moe_blocks
+
+        init_tower_blocks = functools.partial(
+            init_moe_blocks, n_experts=cfg.moe_experts
+        )
+    else:
+        init_tower_blocks = layers.init_blocks
     return {
         "token_embedding": jax.random.normal(ke, (cfg.vocab_size, tw), jnp.float32) * 0.02,
         "positional_embedding": (
             jax.random.normal(kpe, (cfg.context_length, tw), jnp.float32) * 0.01
         ),
-        "blocks": layers.init_blocks(kt, cfg.text_layers, tw, cfg.mlp_ratio),
+        "blocks": init_tower_blocks(kt, cfg.text_layers, tw, mlp_ratio=cfg.mlp_ratio),
         "ln_final": layers.init_layer_norm(tw),
         "text_projection": jax.random.normal(ktp, (tw, cfg.embed_dim), jnp.float32)
         * (tw ** -0.5),
@@ -97,6 +118,23 @@ def _init_text_params(kt, ke, kpe, ktp, cfg: CLIPConfig) -> Params:
 # ---------------------------------------------------------------------------
 # Vision tower
 # ---------------------------------------------------------------------------
+
+
+def _pick_transformer_fn(cfg: CLIPConfig, transformer_fn):
+    """Resolve the block-stack runner: explicit override (pipeline
+    parallelism) > MoE routing (``cfg.moe_experts``) > the sequential scan."""
+    if cfg.moe_experts > 0:
+        if transformer_fn is not None:
+            raise NotImplementedError(
+                "pipeline parallelism over MoE towers is not supported "
+                "(expert + pipeline sharding do not compose yet)"
+            )
+        from tapclip_tpu.models.moe import moe_transformer_forward
+
+        return functools.partial(
+            moe_transformer_forward, capacity_factor=cfg.moe_capacity_factor
+        )
+    return transformer_fn or layers.transformer_forward
 
 
 def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -119,6 +157,7 @@ def encode_image(
     *,
     transformer_fn=None,
     act_sharding=None,
+    moe_loss_out=None,
 ) -> jnp.ndarray:
     """Images ``[B, H, W, 3]`` (preprocessed) -> features ``[B, embed_dim]``.
 
@@ -186,15 +225,15 @@ def encode_image(
         kv_valid = T
 
     if cfg.token_keep_ratio < 1.0 and cfg.token_prune_layer < cfg.vision_layers:
-        if transformer_fn is not None:
+        if transformer_fn is not None or cfg.moe_experts > 0:
             raise NotImplementedError(
                 "token pruning is not supported with a transformer_fn "
-                "override (pipeline parallelism targets the training path)"
+                "override or MoE towers (it targets the dense eval path)"
             )
         x = _forward_with_token_pruning(p, cfg, x, kv_valid)
     else:
-        run = transformer_fn or layers.transformer_forward
-        x, _ = run(
+        run = _pick_transformer_fn(cfg, transformer_fn)
+        x, tower_aux = run(
             x,
             p["blocks"],
             cfg.vision_heads,
@@ -207,6 +246,8 @@ def encode_image(
             remat=cfg.remat,
             act_sharding=act_sharding,
         )
+        if cfg.moe_experts > 0 and moe_loss_out is not None:
+            moe_loss_out.append(tower_aux)  # layer-summed load-balance loss
     x = layers.layer_norm(x, p["ln_post"], cfg.ln_eps)
     pooled = x[:, 0]
     return jnp.dot(
@@ -303,10 +344,12 @@ def encode_text(
     *,
     transformer_fn=None,
     act_sharding=None,
+    moe_loss_out=None,
 ) -> jnp.ndarray:
     """Proper CLIP text encoding: pos emb + causal mask + ln_final + EOT pool.
 
-    ``transformer_fn`` / ``act_sharding``: see :func:`encode_image`.
+    ``transformer_fn`` / ``act_sharding`` / ``moe_loss_out``: see
+    :func:`encode_image`.
     """
     p = params["text"]
     dtype = cfg.compute_dtype
@@ -322,8 +365,8 @@ def encode_text(
     if Tp != T:
         x = jnp.pad(x, [(0, 0), (0, Tp - T), (0, 0)])
         kv_valid = T
-    run = transformer_fn or layers.transformer_forward
-    x, _ = run(
+    run = _pick_transformer_fn(cfg, transformer_fn)
+    x, tower_aux = run(
         x,
         p["blocks"],
         cfg.text_heads,
@@ -335,6 +378,8 @@ def encode_text(
         remat=cfg.remat,
         act_sharding=act_sharding,
     )
+    if cfg.moe_experts > 0 and moe_loss_out is not None:
+        moe_loss_out.append(tower_aux)
     if Tp != T:
         x = x[:, :T]
     x = layers.layer_norm(x, p["ln_final"], cfg.ln_eps)
@@ -394,7 +439,8 @@ def text_forward_embeds(
     else:
         raise ValueError(f"unknown text mode {mode!r}")
 
-    x, aux = layers.transformer_forward(
+    run = _pick_transformer_fn(cfg, None)
+    x, aux = run(
         x,
         p["blocks"],
         cfg.text_heads,
@@ -405,6 +451,8 @@ def text_forward_embeds(
         attn_to_idx=attn_to_idx,
         impl=impl if impl is not None else cfg.attn_impl,
     )
+    if cfg.moe_experts > 0:
+        aux = None  # second output is the lb loss, not attribution aux
     if x.shape[1] != T:
         x = x[:, :T]
         if aux is not None:

@@ -34,6 +34,18 @@ def _spec_for_path(path: str, tp: bool, pp: bool = False) -> P:
     m = MODEL_AXIS if tp else None
     if layer_ax is None and m is None:
         return P()
+    # Expert parallelism (models/moe.py): the expert axis (dim 1 of the
+    # stacked [L, E, ...] leaves) shards over "model" — each shard owns an
+    # expert subset, its GEMMs run local, and XLA reduces the combine
+    # einsum over ICI (same mechanism as the Megatron TP rows below).
+    # The router stays replicated (it is [W, E], KBs).
+    if "/moe/" in path:
+        if path.endswith("router/w"):
+            return P(layer_ax) if layer_ax else P()
+        n_trailing = {"w_fc": 2, "w_proj": 2, "b_fc": 1, "b_proj": 1}[
+            path.rsplit("/", 1)[-1]
+        ]
+        return P(layer_ax, m, *([None] * n_trailing))
     if path.endswith("attn/w_qkv"):
         return P(layer_ax, None, m)
     if path.endswith("attn/b_qkv"):

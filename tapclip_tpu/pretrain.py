@@ -254,24 +254,34 @@ def make_pretrain_step(
     # backward's bottleneck; saved-activation HBM round trips cost as much.
 
     def loss_fn(params, images, token_ids):
+        moe_losses = []
         img = clip_model.encode_image(
             params, cfg, images,
             transformer_fn=transformer_fn, act_sharding=act_sharding,
+            moe_loss_out=moe_losses,
         )
         txt = clip_model.encode_text(
             params, cfg, token_ids,
             transformer_fn=transformer_fn, act_sharding=act_sharding,
+            moe_loss_out=moe_losses,
         )
         scale = params["logit_scale"]
         sharded = mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1
         if loss == "siglip":
             bias = params["logit_bias"]
             if sharded:
-                return siglip_loss_global(img, txt, scale, bias, mesh)
-            return siglip_loss_local(img, txt, scale, bias)
-        if sharded:
-            return contrastive_loss_global(img, txt, scale, mesh)
-        return contrastive_loss_local(img, txt, scale)
+                total = siglip_loss_global(img, txt, scale, bias, mesh)
+            else:
+                total = siglip_loss_local(img, txt, scale, bias)
+        elif sharded:
+            total = contrastive_loss_global(img, txt, scale, mesh)
+        else:
+            total = contrastive_loss_local(img, txt, scale)
+        if moe_losses:
+            # Switch load balance over both towers' layers (moe.py); keeps
+            # expert assignment near-uniform so the static capacity holds.
+            total = total + cfg.moe_aux_weight * sum(moe_losses)
+        return total
 
     # Donate params + optimizer state: the step consumes and replaces them,
     # so XLA can update in place — without donation two full copies of
