@@ -49,6 +49,7 @@ def main():
     attn_impl = os.environ.get("BENCH_ATTN_IMPL", "auto")
     keep_ratio = float(os.environ.get("BENCH_KEEP_RATIO", "1.0"))
     quantize = os.environ.get("BENCH_QUANT", "0") == "1"  # int8 frozen tower
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))  # block-scan unroll
 
     backend = jax.default_backend()
     if backend != "tpu":
@@ -63,7 +64,7 @@ def main():
     # side), so the VJP-less int8 ops are off the autodiff path.
     cfg = MODEL_PRESETS[model_name].replace(
         dtype=dtype, attn_impl=attn_impl, token_keep_ratio=keep_ratio,
-        quantize_tower=quantize,
+        quantize_tower=quantize, scan_unroll=unroll,
     )
     pcfg = PromptConfig()
     print(f"[bench] {model_name} {dtype} batch={batch} steps={steps} mode={mode} "

@@ -7,6 +7,7 @@ donated (params, opt_state); single block at the end (tunnel protocol).
 
 Usage: python scripts/pretrain_bench.py [batch=128] [model=ViT-B-16] [steps=10]
                                         [remat=none|dots|full] [loss=infonce|siglip]
+                                        [unroll=1]
 """
 
 import os
@@ -30,8 +31,12 @@ def main():
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     remat = sys.argv[4] if len(sys.argv) > 4 else "none"
     loss = sys.argv[5] if len(sys.argv) > 5 else "infonce"
-    cfg = MODEL_PRESETS[name].replace(dtype="bfloat16", remat=remat)
-    print(f"backend={jax.default_backend()} {name} bs={batch} remat={remat} loss={loss}")
+    unroll = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    cfg = MODEL_PRESETS[name].replace(
+        dtype="bfloat16", remat=remat, scan_unroll=unroll
+    )
+    print(f"backend={jax.default_backend()} {name} bs={batch} remat={remat} "
+          f"loss={loss} unroll={unroll}")
 
     params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
     if loss == "siglip":

@@ -245,6 +245,7 @@ def encode_image(
             quantize_deterministic=cfg.int8_deterministic,
             remat=cfg.remat,
             act_sharding=act_sharding,
+            unroll=cfg.scan_unroll,
         )
         if cfg.moe_experts > 0 and moe_loss_out is not None:
             moe_loss_out.append(tower_aux)  # layer-summed load-balance loss
@@ -377,6 +378,7 @@ def encode_text(
         impl=cfg.attn_impl,
         remat=cfg.remat,
         act_sharding=act_sharding,
+        unroll=cfg.scan_unroll,
     )
     if cfg.moe_experts > 0 and moe_loss_out is not None:
         moe_loss_out.append(tower_aux)

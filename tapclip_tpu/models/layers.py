@@ -303,6 +303,7 @@ def transformer_forward(
     quantize_deterministic: bool = False,
     remat: str = "none",
     act_sharding=None,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run stacked transformer blocks via ``lax.scan``.
 
@@ -325,6 +326,7 @@ def transformer_forward(
     a no-op (it is only a layout constraint).
     """
     n_layers = jax.tree.leaves(blocks)[0].shape[0]
+    unroll = max(1, min(unroll, n_layers))
     body = functools.partial(
         block_forward,
         n_heads=n_heads,
@@ -355,12 +357,12 @@ def transformer_forward(
 
     if attn_to_idx is None:
         # No aux needed: scan over ALL layers (one trace, smaller program).
-        x, _ = jax.lax.scan(scan_step, x, blocks)
+        x, _ = jax.lax.scan(scan_step, x, blocks, unroll=unroll)
         return x, None
 
     if n_layers > 1:
         head_blocks = jax.tree.map(lambda a: a[:-1], blocks)
-        x, _ = jax.lax.scan(scan_step, x, head_blocks)
+        x, _ = jax.lax.scan(scan_step, x, head_blocks, unroll=unroll)
 
     last = jax.tree.map(lambda a: a[-1], blocks)
     x, aux = body(x, last, attn_to_idx=attn_to_idx)

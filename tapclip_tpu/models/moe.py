@@ -196,6 +196,7 @@ def moe_transformer_forward(
     remat: str = "none",
     act_sharding=None,
     capacity_factor: float = 1.25,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scan the stacked MoE blocks; returns (x, summed lb loss).
 
@@ -241,7 +242,13 @@ def moe_transformer_forward(
     elif remat != "none":
         raise ValueError(f"unknown remat policy {remat!r}")
 
+    n_layers = _num_layers_moe(blocks)
     (x, lb_sum), _ = jax.lax.scan(
-        scan_step, (x, jnp.zeros((), jnp.float32)), blocks
+        scan_step, (x, jnp.zeros((), jnp.float32)), blocks,
+        unroll=max(1, min(unroll, n_layers)),
     )
     return x, lb_sum
+
+
+def _num_layers_moe(blocks: Params) -> int:
+    return jax.tree.leaves(blocks)[0].shape[0]

@@ -86,6 +86,7 @@ def pipeline_transformer_forward(
     quantize: bool = False,
     quantize_deterministic: bool = False,
     remat: str = "full",
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, None]:
     """Drop-in for ``layers.transformer_forward`` over a ``pipe`` mesh axis.
 
@@ -156,7 +157,10 @@ def pipeline_transformer_forward(
         xs = jnp.concatenate([xs, pad], axis=0)  # [M+S-1, mb, T, W]
 
         def local_layers(h):
-            y, _ = jax.lax.scan(scan_step, h, blocks_local)
+            y, _ = jax.lax.scan(
+                scan_step, h, blocks_local,
+                unroll=max(1, min(unroll, n_layers // n_stages)),
+            )
             return y
 
         ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]

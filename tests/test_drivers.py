@@ -213,3 +213,31 @@ def test_pretrain_resume(tmp_path, domain_tree):
     # resumed run covers only the remaining epoch
     assert len(out2["loss_history"]) == 1
     assert os.path.isdir(out2["ckpt"])
+
+
+def test_pretrain_cli_parallelism_flags(tmp_path, domain_tree):
+    """--pp/--seq-parallel and --moe-experts reach the step builder end to
+    end (virtual 8-device mesh: dp=2 x pipe=2 x model=2, then EP)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tapclip_tpu import pretrain_cli
+
+    common = [
+        "--preset", "tiny",
+        "--data-root", os.path.join(domain_tree, "Real World"),
+        "--epochs", "1", "--batch-size", "8", "--lr", "1e-3",
+    ]
+    out = pretrain_cli.main(
+        common + ["--pp", "2", "--tp", "2", "--pp-microbatches", "4",
+                  "--seq-parallel", "--output-root", str(tmp_path / "pp")]
+    )
+    assert len(out["loss_history"]) == 1
+
+    out2 = pretrain_cli.main(
+        common + ["--tp", "2", "--moe-experts", "2",
+                  "--output-root", str(tmp_path / "moe")]
+    )
+    assert len(out2["loss_history"]) == 1

@@ -98,6 +98,37 @@ def test_remat_grads_match_none(tiny_cfg, rng, policy):
     )
 
 
+def test_scan_unroll_grads_match_rolled(tiny_cfg, rng):
+    """CLIPConfig.scan_unroll is a pure loop transform: values and gradients
+    must equal the rolled scan."""
+    params = C.init_clip_params(jax.random.PRNGKey(0), tiny_cfg)
+    images = jnp.asarray(
+        rng.standard_normal((4, tiny_cfg.image_size, tiny_cfg.image_size, 3)),
+        jnp.float32,
+    )
+    ids = jnp.asarray(
+        rng.integers(1, tiny_cfg.vocab_size - 2, (4, tiny_cfg.context_length)),
+        jnp.int32,
+    )
+
+    def loss(p, cfg):
+        from tapclip_tpu.pretrain import contrastive_loss_local
+
+        img = C.encode_image(p, cfg, images)
+        txt = C.encode_text(p, cfg, ids)
+        return contrastive_loss_local(img, txt, p["logit_scale"])
+
+    g0 = jax.grad(loss)(params, tiny_cfg)
+    g1 = jax.grad(loss)(params, tiny_cfg.replace(scan_unroll=8))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        g0,
+        g1,
+    )
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_pretrain_step_sharded(tiny_cfg, rng):
     cfg = tiny_cfg
