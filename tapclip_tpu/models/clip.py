@@ -275,6 +275,7 @@ def _forward_with_token_pruning(p, cfg: CLIPConfig, x: jnp.ndarray, kv_valid):
         act=cfg.act, ln_eps=cfg.ln_eps, kv_valid_len=kv_valid, impl=cfg.attn_impl,
         quantize=cfg.quantize_tower,
         quantize_deterministic=cfg.int8_deterministic,
+        unroll=cfg.scan_unroll,
     )
 
     # Class-query attention row under block k's attention weights.
@@ -319,6 +320,7 @@ def _forward_with_token_pruning(p, cfg: CLIPConfig, x: jnp.ndarray, kv_valid):
         act=cfg.act, ln_eps=cfg.ln_eps, impl=cfg.attn_impl,
         quantize=cfg.quantize_tower,
         quantize_deterministic=cfg.int8_deterministic,
+        unroll=cfg.scan_unroll,
     )
     # top_k is ordered by score; the class token (inf) lands at position 0.
     return x

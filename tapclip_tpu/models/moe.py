@@ -42,10 +42,15 @@ Params = Dict[str, Any]
 
 
 def expert_capacity(seq_len: int, n_experts: int, capacity_factor: float) -> int:
-    """Static per-group capacity: sublane-rounded, never beyond the group."""
+    """Static per-group capacity: sublane-rounded, never beyond the group.
+
+    The sublane rounding is a perf nicety (aligned [.., C, ..] dims); the
+    ``seq_len`` cap is exact — one expert can receive at most the whole
+    group, so slots past it are dead weight.
+    """
     c = int(-(-seq_len * capacity_factor // n_experts))  # ceil
     c = -(-c // 8) * 8  # round up to a sublane multiple
-    return min(max(c, 8), -(-seq_len // 8) * 8)
+    return max(min(c, seq_len), min(8, seq_len))
 
 
 def init_moe_mlp(key, width: int, hidden: int, n_experts: int) -> Params:
@@ -90,16 +95,24 @@ def moe_mlp_forward(
     act: str,
     *,
     capacity_factor: float = 1.25,
+    valid_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-1 MoE MLP over ``x [B, T, W]`` -> (out ``[B, T, W]``, lb loss).
 
     Dropped (over-capacity) tokens produce exactly zero output.  The
     returned load-balance term is the Switch ``E * sum_e f_e p_e`` averaged
     over the ``B`` groups.
+
+    ``valid_len`` (static): the towers pad T to a sublane multiple with
+    zero rows — those pads must not route (a zero row ties the softmax and
+    argmax picks expert 0, skewing ``f_0``, eating capacity, and biasing
+    the load-balance gradient).  Tokens at positions >= valid_len are
+    masked out of dispatch AND the f/p statistics, and produce zero output
+    (their residual passes through like a dropped token).
     """
     B, T, W = x.shape
     E = p["w_fc"].shape[0]
-    C = expert_capacity(T, E, capacity_factor)
+    C = expert_capacity(valid_len or T, E, capacity_factor)
     dtype = x.dtype
 
     logits = jnp.dot(
@@ -108,6 +121,12 @@ def moe_mlp_forward(
     probs = jax.nn.softmax(logits, axis=-1)
     expert = jnp.argmax(probs, axis=-1)  # [B, T]
     onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)  # [B, T, E]
+    n_valid = T
+    if valid_len is not None and valid_len < T:
+        valid = (jnp.arange(T) < valid_len).astype(jnp.float32)  # [T]
+        onehot = onehot * valid[None, :, None]
+        probs = probs * valid[None, :, None]  # for p_bar only (see below)
+        n_valid = valid_len
     gate = jnp.sum(probs * onehot, axis=-1)  # [B, T]
 
     # Position of each token within its expert's queue (0-based), per group.
@@ -139,9 +158,10 @@ def moe_mlp_forward(
         preferred_element_type=jnp.float32,
     ).astype(dtype)
 
-    # Switch load balance: f_e = routed fraction, p_e = mean router prob.
-    f = jnp.mean(onehot, axis=1)  # [B, E]
-    pbar = jnp.mean(probs, axis=1)  # [B, E]
+    # Switch load balance over VALID tokens only: f_e = routed fraction,
+    # p_e = mean router prob.
+    f = jnp.sum(onehot, axis=1) / n_valid  # [B, E]
+    pbar = jnp.sum(probs, axis=1) / n_valid  # [B, E]
     lb = E * jnp.mean(jnp.sum(f * pbar, axis=-1))
     return y, lb
 
@@ -176,6 +196,8 @@ def moe_block_forward(
         p["moe"],
         act,
         capacity_factor=capacity_factor,
+        # static tower-level pad length: keep pad rows out of routing
+        valid_len=kv_valid_len if isinstance(kv_valid_len, int) else None,
     )
     return x + y, lb
 

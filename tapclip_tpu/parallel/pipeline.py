@@ -87,6 +87,7 @@ def pipeline_transformer_forward(
     quantize_deterministic: bool = False,
     remat: str = "full",
     unroll: int = 1,
+    act_sharding=None,
 ) -> Tuple[jnp.ndarray, None]:
     """Drop-in for ``layers.transformer_forward`` over a ``pipe`` mesh axis.
 
@@ -125,6 +126,15 @@ def pipeline_transformer_forward(
     )
 
     def scan_step(carry, layer_params):
+        if act_sharding is not None:
+            # Megatron-SP layout constraint on the (auto) data/model axes —
+            # legal inside the manual-over-pipe region because the spec
+            # touches only auto axes (pinned by test_pipeline.py: the pp+sp
+            # step reproduces the dp-only loss). Pass the bare PartitionSpec:
+            # a NamedSharding would carry the all-Auto outer mesh, which
+            # mismatches the Manual-pipe context mesh in here.
+            spec = getattr(act_sharding, "spec", act_sharding)
+            carry = jax.lax.with_sharding_constraint(carry, spec)
         y, _ = body(carry, layer_params)
         return y, None
 
@@ -198,13 +208,13 @@ def make_pipeline_transformer_fn(
 
     def fn(x, blocks, n_heads, **kw):
         kw.pop("remat", None)  # pp has its own (per-tick) remat default
-        kw.pop("quantize", None)
+        if kw.pop("quantize", False):
+            # fail loudly, never silently un-quantize (same principle as the
+            # resnet guard in clip.py)
+            raise NotImplementedError(
+                "int8 quantization is not supported under pipeline parallelism"
+            )
         kw.pop("quantize_deterministic", None)
-        # Sequence-parallel layout constraints are a GSPMD-auto-mode feature;
-        # inside the manual-over-pipe region each stage already works on
-        # microbatch-sized tiles, so the constraint is dropped rather than
-        # threaded through the schedule.
-        kw.pop("act_sharding", None)
         return pipeline_transformer_forward(
             x, blocks, n_heads,
             mesh=mesh, n_microbatches=n_microbatches, remat=remat, **kw,

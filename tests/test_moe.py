@@ -28,11 +28,34 @@ MOE_CFG = TINY_TEST.replace(moe_experts=4)
 
 
 def test_expert_capacity():
-    # ceil(T/E * cf), sublane-rounded, capped at round8(T)
+    # ceil(T/E * cf), sublane-rounded, capped at the group size
     assert moe.expert_capacity(32, 4, 1.0) == 8
     assert moe.expert_capacity(32, 4, 1.3) == 16  # ceil(10.4) -> 11 -> 16
     assert moe.expert_capacity(8, 8, 1.0) == 8  # floor of 8
     assert moe.expert_capacity(16, 1, 4.0) == 16  # never beyond the group
+    assert moe.expert_capacity(12, 1, 4.0) == 12  # cap is exact, not rounded
+    assert moe.expert_capacity(5, 4, 1.25) == 5  # tiny groups stay <= T
+
+
+def test_pad_tokens_do_not_route(rng):
+    """Tower-level zero pads must not reach the router: they would tie the
+    softmax, argmax-route to expert 0, eat capacity, and bias f/p_bar."""
+    W, H, T, B, E, V = 16, 32, 16, 2, 4, 12
+    p = moe.init_moe_mlp(jax.random.PRNGKey(0), W, H, E)
+    p["router"]["w"] = jnp.zeros_like(p["router"]["w"])
+    x = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    x = x.at[:, V:].set(0.0)  # tower-style zero pad rows
+    y, lb = moe.moe_mlp_forward(x, p, "gelu", capacity_factor=1.0, valid_len=V)
+    # capacity computed over VALID tokens: ceil(12/4)=3 -> 8
+    C = moe.expert_capacity(V, E, 1.0)
+    assert C == 8
+    # pads produce exactly zero output and consume no capacity slots
+    np.testing.assert_array_equal(np.asarray(y[:, V:]), 0.0)
+    # all 12 valid tokens route to expert 0; only the first 8 fit
+    np.testing.assert_array_equal(np.asarray(y[:, C:V]), 0.0)
+    assert float(jnp.max(jnp.abs(y[:, :C]))) > 0.0
+    # lb statistics over valid tokens only: still exactly 1 at uniform probs
+    np.testing.assert_allclose(float(lb), 1.0, rtol=1e-6)
 
 
 def test_single_expert_equals_dense(rng):

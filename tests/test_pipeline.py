@@ -173,6 +173,59 @@ def test_pipeline_pretrain_step_matches_dp_only(rng):
     assert np.isfinite(float(m2["loss"]))
 
 
+def test_pipeline_with_seq_parallel_matches_dp_only(rng):
+    """SP composes with pp: the constraint is applied INSIDE the
+    manual-over-pipe region (auto axes only) and stays a numerical no-op."""
+    cfg = TINY_TEST
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    B = 16
+    images = jnp.asarray(
+        rng.standard_normal((B, cfg.image_size, cfg.image_size, 3)), jnp.float32
+    )
+    ids = jnp.asarray(
+        rng.integers(1, cfg.vocab_size - 2, (B, cfg.context_length)), jnp.int32
+    )
+    fresh = lambda: jax.tree.map(jnp.array, params)
+
+    mesh_ref = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+    step_ref = make_pretrain_step(cfg, opt, mesh=mesh_ref)
+    with mesh_ref:
+        _, _, m_ref = step_ref(
+            replicate(fresh(), mesh_ref),
+            replicate(opt.init(params), mesh_ref),
+            *shard_batch((images, ids), mesh_ref),
+        )
+
+    mesh_pp = make_mesh(dp=2, tp=2, pp=2)
+    step_pp = make_pretrain_step(
+        cfg, opt, mesh=mesh_pp, pp_microbatches=4, seq_parallel=True
+    )
+    with mesh_pp:
+        _, _, m_pp = step_pp(
+            shard_params(fresh(), mesh_pp),
+            replicate(opt.init(params), mesh_pp),
+            *shard_batch((images, ids), mesh_pp),
+        )
+    np.testing.assert_allclose(
+        float(m_pp["loss"]), float(m_ref["loss"]), rtol=1e-4
+    )
+
+
+def test_pipeline_quantize_fails_loudly(rng):
+    """quantize_tower under pp must raise, never silently un-quantize."""
+    from tapclip_tpu.parallel.pipeline import make_pipeline_transformer_fn
+
+    mesh = make_mesh(dp=2, tp=2, pp=2)
+    fn = make_pipeline_transformer_fn(mesh, n_microbatches=2)
+    blocks = __import__("tapclip_tpu.models.layers", fromlist=["x"]).init_blocks(
+        jax.random.PRNGKey(0), 2, 64
+    )
+    x = jnp.zeros((4, 8, 64), jnp.float32)
+    with pytest.raises(NotImplementedError, match="quantization"):
+        fn(x, blocks, 4, act="gelu", quantize=True)
+
+
 def test_seq_parallel_is_numerical_noop(rng):
     cfg = TINY_TEST
     params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
