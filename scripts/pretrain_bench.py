@@ -7,7 +7,7 @@ donated (params, opt_state); single block at the end (tunnel protocol).
 
 Usage: python scripts/pretrain_bench.py [batch=128] [model=ViT-B-16] [steps=10]
                                         [remat=none|dots|full] [loss=infonce|siglip]
-                                        [unroll=1]
+                                        [unroll=1] [moe_experts=0]
 """
 
 import os
@@ -32,11 +32,12 @@ def main():
     remat = sys.argv[4] if len(sys.argv) > 4 else "none"
     loss = sys.argv[5] if len(sys.argv) > 5 else "infonce"
     unroll = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    moe = int(sys.argv[7]) if len(sys.argv) > 7 else 0
     cfg = MODEL_PRESETS[name].replace(
-        dtype="bfloat16", remat=remat, scan_unroll=unroll
+        dtype="bfloat16", remat=remat, scan_unroll=unroll, moe_experts=moe
     )
     print(f"backend={jax.default_backend()} {name} bs={batch} remat={remat} "
-          f"loss={loss} unroll={unroll}")
+          f"loss={loss} unroll={unroll} moe={moe}")
 
     params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
     if loss == "siglip":

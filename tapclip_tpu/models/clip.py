@@ -455,7 +455,7 @@ def text_forward_embeds(
         attn_to_idx=attn_to_idx,
         impl=impl if impl is not None else cfg.attn_impl,
     )
-    if cfg.moe_experts > 0:
+    if cfg.moe_experts > 0 and attn_to_idx is None:
         aux = None  # second output is the lb loss, not attribution aux
     if x.shape[1] != T:
         x = x[:, :T]

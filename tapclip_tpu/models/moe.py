@@ -220,19 +220,22 @@ def moe_transformer_forward(
     capacity_factor: float = 1.25,
     unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Scan the stacked MoE blocks; returns (x, summed lb loss).
+    """Scan the stacked MoE blocks.
 
     Signature-compatible with ``layers.transformer_forward`` (the extra
-    kwargs are accepted and validated) so the tower encoders can route here;
-    the second return is the layer-summed load-balance loss instead of the
-    attribution aux (unsupported under MoE towers — prompt tuning uses the
-    dense towers).
+    kwargs are accepted and validated) so the tower encoders can route here.
+    The second return mirrors the dense tower's contract:
+
+    * ``attn_to_idx is None`` (pretraining / encoding): the layer-summed
+      load-balance loss (a scalar) — surfaced via the encoders'
+      ``moe_loss_out``;
+    * ``attn_to_idx`` given (the attribution pass of prompt tuning): the
+      last block's attention aux ``[B, T]``, exactly like
+      ``transformer_forward`` — so the full TAP-CLIP prompt-tuning pipeline
+      runs on MoE towers.  The lb loss is dropped here by design: prompt
+      tuning freezes the towers, so the router never trains and the aux
+      loss is moot.
     """
-    if attn_to_idx is not None:
-        raise NotImplementedError(
-            "attribution aux is not supported for MoE towers "
-            "(use dense towers for prompt tuning / attribution)"
-        )
     if quantize:
         raise NotImplementedError("int8 quantization of MoE towers")
 
@@ -265,11 +268,43 @@ def moe_transformer_forward(
         raise ValueError(f"unknown remat policy {remat!r}")
 
     n_layers = _num_layers_moe(blocks)
-    (x, lb_sum), _ = jax.lax.scan(
-        scan_step, (x, jnp.zeros((), jnp.float32)), blocks,
-        unroll=max(1, min(unroll, n_layers)),
+
+    if attn_to_idx is None:
+        (x, lb_sum), _ = jax.lax.scan(
+            scan_step, (x, jnp.zeros((), jnp.float32)), blocks,
+            unroll=max(1, min(unroll, n_layers)),
+        )
+        return x, lb_sum
+
+    # Attribution path (reference hooks resblocks[-1].attn,
+    # clip_wrapper.py:39): run the last block outside the scan with the aux
+    # column, mirroring layers.transformer_forward.
+    lb_sum = jnp.zeros((), jnp.float32)
+    if n_layers > 1:
+        head = jax.tree.map(lambda a: a[:-1], blocks)
+        (x, lb_sum), _ = jax.lax.scan(
+            scan_step, (x, lb_sum), head,
+            unroll=max(1, min(unroll, n_layers - 1)),
+        )
+    last = jax.tree.map(lambda a: a[-1], blocks)
+    h, aux = layers.attn_forward(
+        layers.layer_norm(x, last["ln_1"], ln_eps),
+        last["attn"],
+        n_heads,
+        causal=causal,
+        kv_valid_len=kv_valid_len,
+        attn_to_idx=attn_to_idx,
+        impl=impl,
     )
-    return x, lb_sum
+    x = x + h
+    y, _ = moe_mlp_forward(
+        layers.layer_norm(x, last["ln_2"], ln_eps),
+        last["moe"],
+        act,
+        capacity_factor=capacity_factor,
+        valid_len=kv_valid_len if isinstance(kv_valid_len, int) else None,
+    )
+    return x + y, aux
 
 
 def _num_layers_moe(blocks: Params) -> int:

@@ -203,15 +203,44 @@ def test_moe_ep_sharded_matches_single_device(rng):
 
 
 def test_moe_unsupported_paths_fail_loudly():
-    with pytest.raises(NotImplementedError, match="attribution"):
-        C.text_forward_embeds(
-            C.init_clip_params(jax.random.PRNGKey(0), MOE_CFG),
-            MOE_CFG,
-            jnp.zeros((2, 16, 64), jnp.float32),
-            attn_to_idx=jnp.zeros((2,), jnp.int32),
-        )
     with pytest.raises(NotImplementedError, match="ViT"):
         C.init_clip_params(
             jax.random.PRNGKey(0),
             MOE_CFG.replace(vision_tower="resnet", resnet_layers=(1, 1, 1, 1)),
         )
+
+
+def test_moe_prompt_tuning_full_pipeline(rng, tiny_prompt_cfg):
+    """The full TAP-CLIP prompt-tuning pipeline (attribution pass + adjust +
+    class-batched encode + CE loss + ctx gradient) runs on MoE towers."""
+    from tapclip_tpu.data.tokenizer import get_tokenizer
+    from tapclip_tpu.models.model_wrapper import (
+        full_model_forward,
+        init_trainable,
+    )
+    from tapclip_tpu.models.prompt_learner import PromptLearner
+
+    params = C.init_clip_params(jax.random.PRNGKey(0), MOE_CFG)
+    learner = PromptLearner(
+        ["A", "B", "C"], params, MOE_CFG, tiny_prompt_cfg,
+        get_tokenizer(context_length=MOE_CFG.context_length),
+    )
+    trainable = init_trainable(jax.random.PRNGKey(1), learner, tiny_prompt_cfg)
+    images = jnp.asarray(
+        rng.standard_normal((4, MOE_CFG.image_size, MOE_CFG.image_size, 3)),
+        jnp.float32,
+    )
+    labels = jnp.asarray(rng.integers(0, 3, 4), jnp.int32)
+
+    def loss_fn(ctx):
+        out = full_model_forward(
+            params, {**trainable, "ctx": ctx}, learner.bank, images, labels,
+            clip_cfg=MOE_CFG, prompt_cfg=tiny_prompt_cfg, with_loss=True,
+        )
+        return out["loss"], out
+
+    (loss, out), g = jax.value_and_grad(loss_fn, has_aux=True)(trainable["ctx"])
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(out["logits"])).all()
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0.0
