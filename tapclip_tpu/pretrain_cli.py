@@ -46,6 +46,13 @@ def main(argv: Optional[List[str]] = None) -> dict:
     p.add_argument("--seq-parallel", action="store_true",
                    help="Megatron-SP activation layout between blocks "
                         "(requires --tp > 1); numerically a no-op")
+    p.add_argument("--lora-rank", type=int, default=0,
+                   help="parameter-efficient fine-tuning: train rank-r LoRA "
+                        "adapters on the tower GEMMs instead of the full "
+                        "tree (peft.py); the final checkpoint is the MERGED "
+                        "weights, loadable via --pretrained everywhere")
+    p.add_argument("--lora-alpha", type=float, default=16.0,
+                   help="LoRA scaling (merged delta is alpha/r * A@B)")
     p.add_argument("--scan-unroll", type=int, default=0,
                    help="lax.scan unroll for the block stacks (0 = rolled; "
                         "n_layers = full unroll, measured ~4%% faster "
@@ -162,12 +169,34 @@ def main(argv: Optional[List[str]] = None) -> dict:
         optimizer = optax.MultiSteps(optimizer, every_k_schedule=args.accum_steps)
     if args.loss == "siglip":
         params = add_siglip_params(params)
-    step = make_pretrain_step(
-        cfg.model, optimizer, mesh=mesh, loss=args.loss,
-        pp_microbatches=args.pp_microbatches,
-        seq_parallel=args.seq_parallel,
-    )
-    opt_state = optimizer.init(params)
+    lora = None
+    if args.lora_rank > 0:
+        if args.pp > 1:
+            raise ValueError(
+                "--lora-rank does not compose with --pp yet "
+                "(the merged tree runs the sequential tower)"
+            )
+        from tapclip_tpu.peft import init_lora_params, make_lora_pretrain_step
+
+        lora = init_lora_params(
+            jax.random.PRNGKey(cfg.train.seed + 1), params, rank=args.lora_rank
+        )
+        step = make_lora_pretrain_step(
+            cfg.model, optimizer, mesh=mesh, loss=args.loss,
+            alpha=args.lora_alpha,
+        )
+        opt_state = optimizer.init(lora)
+        from tapclip_tpu.peft import lora_param_count
+
+        log.info("LoRA fine-tuning: rank %d, %d adapter params",
+                 args.lora_rank, lora_param_count(lora))
+    else:
+        step = make_pretrain_step(
+            cfg.model, optimizer, mesh=mesh, loss=args.loss,
+            pp_microbatches=args.pp_microbatches,
+            seq_parallel=args.seq_parallel,
+        )
+        opt_state = optimizer.init(params)
     start_epoch = 1
     if args.resume:
         import orbax.checkpoint as ocp
@@ -175,13 +204,18 @@ def main(argv: Optional[List[str]] = None) -> dict:
         from tapclip_tpu.trainer import _restore_opt_state
 
         snap = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.resume))
-        params = jax.tree.map(jnp.asarray, snap["params"])
+        if lora is not None:
+            lora = jax.tree.map(jnp.asarray, snap["params"])  # the LoRA tree
+        else:
+            params = jax.tree.map(jnp.asarray, snap["params"])
         opt_state = _restore_opt_state(opt_state, snap["opt_state"])
         start_epoch = int(snap.get("epoch", 0)) + 1
         log.info("resumed from %s (epoch %d)", args.resume, start_epoch - 1)
     if mesh is not None:
         params = shard_params(params, mesh)
         opt_state = replicate(opt_state, mesh)
+        if lora is not None:
+            lora = replicate(lora, mesh)  # KB-scale adapters: replicated
 
     from tapclip_tpu.data.prefetch import background_iter
 
@@ -198,7 +232,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
             batch = (jnp.asarray(images), jnp.asarray(ids))
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
-            params, opt_state, m = step(params, opt_state, *batch)
+            if lora is not None:
+                lora, opt_state, m = step(params, lora, opt_state, *batch)
+            else:
+                params, opt_state, m = step(params, opt_state, *batch)
             losses.append(m["loss"])
         # One batched readback for the whole epoch (a float() per element
         # would cost one ~125 ms host RTT per training step on the tunnel).
@@ -213,7 +250,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
             ocp.PyTreeCheckpointer().save(
                 new_snap,
                 {
-                    "params": jax.tree.map(np.asarray, params),
+                    # LoRA runs snapshot the (tiny) adapter tree; the frozen
+                    # base is reproducible from --pretrained/--preset.
+                    "params": jax.tree.map(
+                        np.asarray, params if lora is None else lora
+                    ),
                     "opt_state": jax.tree.map(np.asarray, opt_state),
                     "epoch": epoch,
                 },
@@ -234,6 +275,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
     ckpt = os.path.join(paths["model_dir"], "clip_pretrained")
     import orbax.checkpoint as ocp
 
+    if lora is not None:
+        # Save the MERGED tree: drop-in for --pretrained in every driver.
+        from tapclip_tpu.peft import merge_lora
+
+        params = merge_lora(params, lora, alpha=args.lora_alpha)
     ocp.PyTreeCheckpointer().save(
         os.path.abspath(ckpt), jax.tree.map(np.asarray, params), force=True
     )

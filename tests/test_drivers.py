@@ -241,3 +241,41 @@ def test_pretrain_cli_parallelism_flags(tmp_path, domain_tree):
                   "--output-root", str(tmp_path / "moe")]
     )
     assert len(out2["loss_history"]) == 1
+
+
+def test_pretrain_cli_lora(tmp_path, domain_tree):
+    """--lora-rank trains adapters only, snapshots/resumes the adapter tree,
+    and the final checkpoint is the MERGED tree, loadable as --pretrained."""
+    from tapclip_tpu import pretrain_cli, train
+
+    common = [
+        "--preset", "tiny",
+        "--data-root", os.path.join(domain_tree, "Real World"),
+        "--batch-size", "8", "--lr", "1e-3", "--lora-rank", "4",
+    ]
+    out = pretrain_cli.main(
+        common + ["--epochs", "1", "--save-every", "1",
+                  "--output-root", str(tmp_path / "l1")]
+    )
+    assert len(out["loss_history"]) == 1
+    model_dir = os.path.dirname(out["ckpt"])
+    snaps = [d for d in os.listdir(model_dir) if d.startswith("pretrain_snapshot")]
+    assert snaps == ["pretrain_snapshot_e000001"]
+    out2 = pretrain_cli.main(
+        common + ["--epochs", "2",
+                  "--resume", os.path.join(model_dir, snaps[0]),
+                  "--output-root", str(tmp_path / "l2")]
+    )
+    assert len(out2["loss_history"]) == 1
+    # merged checkpoint drops into the train driver
+    out3 = train.main(
+        [
+            "--preset", "tiny",
+            "--data-root", os.path.join(domain_tree, "Real World"),
+            "--classes", *CLASSES,
+            "--epochs", "1", "--num-shots", "2", "--batch-size", "8",
+            "--pretrained", out["ckpt"],
+            "--output-root", str(tmp_path / "tr"),
+        ]
+    )
+    assert out3["best_acc"] >= 0
