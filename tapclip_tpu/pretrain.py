@@ -297,3 +297,20 @@ def make_pretrain_step(
         return params, opt_state, {"loss": loss}
 
     return step
+
+
+def make_ema_update(decay: float) -> Callable:
+    """Jitted EMA tracker for pretraining (open_clip/BYOL-style model
+    averaging): ``ema = decay * ema + (1 - decay) * params``, donated so the
+    average updates in place (one extra param-tree resident, no transients).
+    Evaluate/serve from the EMA tree; train on the raw one."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def update(ema_params, params):
+        return jax.tree.map(
+            lambda e, p: (decay * e + (1.0 - decay) * p.astype(e.dtype)),
+            ema_params,
+            params,
+        )
+
+    return update

@@ -46,6 +46,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
     p.add_argument("--seq-parallel", action="store_true",
                    help="Megatron-SP activation layout between blocks "
                         "(requires --tp > 1); numerically a no-op")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="maintain an EMA of the full param tree (open_clip "
+                        "model averaging; e.g. 0.999); saved alongside the "
+                        "final checkpoint as clip_pretrained_ema. "
+                        "Full-tree runs only (ignored with --lora-rank)")
     p.add_argument("--lora-rank", type=int, default=0,
                    help="parameter-efficient fine-tuning: train rank-r LoRA "
                         "adapters on the tower GEMMs instead of the full "
@@ -221,6 +226,15 @@ def main(argv: Optional[List[str]] = None) -> dict:
 
     import orbax.checkpoint as ocp
 
+    ema_params = ema_update = None
+    if args.ema_decay > 0 and lora is None:
+        from tapclip_tpu.pretrain import make_ema_update
+
+        # jnp.copy: a real copy (donation-safe) that keeps device placement
+        ema_params = jax.tree.map(jnp.copy, params)
+        ema_update = make_ema_update(args.ema_decay)
+        log.info("EMA tracking enabled (decay %.4f)", args.ema_decay)
+
     snap_dir = os.path.join(paths["model_dir"], "pretrain_snapshot")
     history = []
     for epoch in range(start_epoch, cfg.train.epochs + 1):
@@ -236,6 +250,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 lora, opt_state, m = step(params, lora, opt_state, *batch)
             else:
                 params, opt_state, m = step(params, opt_state, *batch)
+                if ema_update is not None:
+                    ema_params = ema_update(ema_params, params)
             losses.append(m["loss"])
         # One batched readback for the whole epoch (a float() per element
         # would cost one ~125 ms host RTT per training step on the tunnel).
@@ -284,7 +300,17 @@ def main(argv: Optional[List[str]] = None) -> dict:
         os.path.abspath(ckpt), jax.tree.map(np.asarray, params), force=True
     )
     log.info("full CLIP params saved: %s", ckpt)
-    return {"loss_history": history, "ckpt": ckpt, "paths": paths}
+    ema_ckpt = None
+    if ema_params is not None:
+        ema_ckpt = os.path.join(paths["model_dir"], "clip_pretrained_ema")
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(ema_ckpt),
+            jax.tree.map(np.asarray, ema_params),
+            force=True,
+        )
+        log.info("EMA params saved: %s", ema_ckpt)
+    return {"loss_history": history, "ckpt": ckpt, "ema_ckpt": ema_ckpt,
+            "paths": paths}
 
 
 if __name__ == "__main__":

@@ -98,6 +98,23 @@ def test_remat_grads_match_none(tiny_cfg, rng, policy):
     )
 
 
+def test_ema_update_tracks_params(tiny_cfg):
+    from tapclip_tpu.pretrain import make_ema_update
+
+    params = C.init_clip_params(jax.random.PRNGKey(0), tiny_cfg)
+    target = jax.tree.map(lambda a: a + 1.0, params)
+    ema = jax.tree.map(jnp.copy, params)
+    upd = make_ema_update(0.5)
+    for _ in range(20):
+        ema = upd(ema, target)
+    # geometric convergence toward the (fixed) params
+    err = max(
+        float(jnp.max(jnp.abs(e - t)))
+        for e, t in zip(jax.tree.leaves(ema), jax.tree.leaves(target))
+    )
+    assert err < 1e-4
+
+
 def test_scan_unroll_grads_match_rolled(tiny_cfg, rng):
     """CLIPConfig.scan_unroll is a pure loop transform: values and gradients
     must equal the rolled scan."""
