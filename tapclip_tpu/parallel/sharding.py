@@ -13,6 +13,18 @@ as GSPMD annotations — XLA inserts the all-reduces over ICI):
 
 Prompt-tuning state (ctx bank, adjustor MLP) is tiny and replicated; the
 batch shards on ``data``.
+
+**FSDP / ZeRO** (``fsdp=True``): the big GEMM weights and embeddings
+additionally shard a *non-TP* dim over the ``data`` axis, so each
+data-parallel rank stores only ``1/dp`` of the parameters — and, via
+``shard_opt_state``, ``1/dp`` of the AdamW moments (ZeRO-3 semantics,
+expressed purely as GSPMD annotations: XLA all-gathers a weight just
+before its GEMM and reduce-scatters its gradient, the optimizer update
+then runs shard-local).  The per-step collective volume is the same
+all-reduce-equivalent DP already pays; memory drops by ``~3x/dp`` for
+the (param, mu, nu) triple.  See ``jax-ml.github.io/scaling-book``'s
+FSDP recipe — this is that, with the tensor-parallel dim kept for the
+``model`` axis.
 """
 
 from __future__ import annotations
@@ -25,14 +37,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tapclip_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS
 
 
-def _spec_for_path(path: str, tp: bool, pp: bool = False) -> P:
+def _spec_for_path(path: str, tp: bool, pp: bool = False,
+                   fsdp: bool = False) -> P:
     # Pipeline parallelism: the stacked-leaf layer axis ([L, ...], leading)
     # of the transformer block pytrees shards over "pipe" — each stage holds
     # L/S contiguous layers (parallel/pipeline.py). Composes with the
     # Megatron TP columns/rows below on the trailing dims.
     layer_ax = PIPE_AXIS if (pp and "blocks/" in path) else None
     m = MODEL_AXIS if tp else None
-    if layer_ax is None and m is None:
+    # FSDP: the data axis lands on whichever big-GEMM dim TP does NOT own.
+    d = DATA_AXIS if fsdp else None
+    if fsdp:
+        # Embeddings / projections: the vocab / patch / width dim over data.
+        if path.endswith(("token_embedding", "patch_embed/w",
+                          "text_projection", "visual/proj")):
+            return P(DATA_AXIS, None)
+    if layer_ax is None and m is None and d is None:
         return P()
     # Expert parallelism (models/moe.py): the expert axis (dim 1 of the
     # stacked [L, E, ...] leaves) shards over "model" — each shard owns an
@@ -42,22 +62,23 @@ def _spec_for_path(path: str, tp: bool, pp: bool = False) -> P:
     if "/moe/" in path:
         if path.endswith("router/w"):
             return P(layer_ax) if layer_ax else P()
-        n_trailing = {"w_fc": 2, "w_proj": 2, "b_fc": 1, "b_proj": 1}[
-            path.rsplit("/", 1)[-1]
-        ]
-        return P(layer_ax, m, *([None] * n_trailing))
+        leaf_name = path.rsplit("/", 1)[-1]
+        if leaf_name in ("w_fc", "w_proj"):
+            # [L, E, in, out]: experts on model, the (large) dim-2 on data.
+            return P(layer_ax, m, d, None)
+        return P(layer_ax, m, None)  # b_fc [L, E, 4W] / b_proj [L, E, W]
     if path.endswith("attn/w_qkv"):
-        return P(layer_ax, None, m)
+        return P(layer_ax, d, m)
     if path.endswith("attn/b_qkv"):
         return P(layer_ax, m)
     if path.endswith("attn/w_out"):
-        return P(layer_ax, m, None)
+        return P(layer_ax, m, d)
     if path.endswith("mlp/w_fc"):
-        return P(layer_ax, None, m)
+        return P(layer_ax, d, m)
     if path.endswith("mlp/b_fc"):
         return P(layer_ax, m)
     if path.endswith("mlp/w_proj"):
-        return P(layer_ax, m, None)
+        return P(layer_ax, m, d)
     if layer_ax is not None:
         return P(layer_ax)  # ln scales/biases, attn/mlp output biases
     return P()
@@ -75,20 +96,64 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def clip_param_specs(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+def _guard_rank(spec: P, leaf: Any) -> P:
+    """Replicate any leaf whose rank can't carry the suffix-matched spec
+    (defensive: opt-state scalars, squeezed variants)."""
+    ndim = getattr(leaf, "ndim", None)
+    if ndim is not None and len(spec) > ndim:
+        return P()
+    return spec
+
+
+def clip_param_specs(params: Dict[str, Any], mesh: Mesh,
+                     fsdp: bool = False) -> Dict[str, Any]:
     """PartitionSpec pytree for the CLIP param tree."""
     tp = mesh.shape.get(MODEL_AXIS, 1) > 1
     pp = mesh.shape.get(PIPE_AXIS, 1) > 1
+    if fsdp and pp:
+        raise NotImplementedError(
+            "fsdp + pipeline parallelism: both spread the param/optimizer "
+            "memory; pick one (the pipe axis already shards the layer dim)"
+        )
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _spec_for_path(_path_str(path), tp, pp), params
+        lambda path, leaf: _guard_rank(
+            _spec_for_path(_path_str(path), tp, pp, fsdp), leaf
+        ),
+        params,
     )
 
 
-def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place CLIP params on the mesh with TP sharding annotations."""
-    specs = clip_param_specs(params, mesh)
+def shard_params(params: Dict[str, Any], mesh: Mesh,
+                 fsdp: bool = False) -> Dict[str, Any]:
+    """Place CLIP params on the mesh with TP (+ optional FSDP) shardings."""
+    specs = clip_param_specs(params, mesh, fsdp=fsdp)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh, fsdp: bool = False) -> Any:
+    """Place an optax state on the mesh, mirroring the param shardings.
+
+    AdamW's ``mu``/``nu`` (and ``MultiSteps``' grad accumulator) are pytrees
+    whose leaf *paths end with the same suffixes* as the params they track,
+    so the same path->spec rules apply leaf-for-leaf; scalars (step counts)
+    and unrecognized leaves replicate.  With ``fsdp=True`` this is the
+    ZeRO side of FSDP: each data rank holds 1/dp of the moments and updates
+    only its own param shards."""
+    tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    pp = mesh.shape.get(PIPE_AXIS, 1) > 1
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.device_put(
+            leaf,
+            NamedSharding(
+                mesh,
+                _guard_rank(
+                    _spec_for_path(_path_str(path), tp, pp, fsdp), leaf
+                ),
+            ),
+        ),
+        opt_state,
     )
 
 

@@ -188,6 +188,7 @@ def make_pretrain_step(
     loss: str = "infonce",
     pp_microbatches: int = 0,
     seq_parallel: bool = False,
+    fsdp: bool = False,
 ) -> Callable:
     """Jitted CLIP pretraining step over (images, token_ids).
 
@@ -213,6 +214,13 @@ def make_pretrain_step(
       ``P("data", "model", None)``: Megatron-SP via GSPMD layout
       constraints (see ``layers.transformer_forward``).  Numerically a
       no-op; layout only.
+    * **fsdp / ZeRO** — ``fsdp=True``: caller places params/opt state with
+      ``sharding.shard_params(..., fsdp=True)`` / ``shard_opt_state`` so
+      each data rank stores 1/dp of the (param, mu, nu) triple; XLA
+      all-gathers weights just-in-time and reduce-scatters their grads.
+      The step re-pins the updated params to the FSDP layout so they never
+      drift back to replicated across iterations.  Numerically identical
+      to plain DP (pinned in tests/test_fsdp.py).
     """
     if loss not in ("infonce", "siglip"):
         raise ValueError(f"unknown loss {loss!r}: use 'infonce' or 'siglip'")
@@ -220,6 +228,14 @@ def make_pretrain_step(
     from tapclip_tpu.parallel.mesh import MODEL_AXIS, PIPE_AXIS
 
     pp = mesh.shape.get(PIPE_AXIS, 1) if mesh is not None else 1
+    if fsdp:
+        if mesh is None or mesh.shape.get(DATA_AXIS, 1) <= 1:
+            raise ValueError("fsdp needs a mesh with a 'data' axis > 1")
+        if pp > 1:
+            raise NotImplementedError(
+                "fsdp + pipeline parallelism: both spread param/optimizer "
+                "memory; pick one"
+            )
     transformer_fn = None
     if pp > 1:
         from tapclip_tpu.parallel.pipeline import (
@@ -294,6 +310,18 @@ def make_pretrain_step(
         params = optax.apply_updates(params, updates)
         # CLIP clamps the logit scale to ln(100) (open_clip semantics).
         params = dict(params, logit_scale=jnp.clip(params["logit_scale"], None, jnp.log(100.0)))
+        if fsdp:
+            from jax.sharding import NamedSharding
+            from tapclip_tpu.parallel.sharding import clip_param_specs
+
+            specs = clip_param_specs(params, mesh, fsdp=True)
+            params = jax.tree.map(
+                lambda x, s: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, s)
+                ),
+                params,
+                specs,
+            )
         return params, opt_state, {"loss": loss}
 
     return step

@@ -46,6 +46,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
     p.add_argument("--seq-parallel", action="store_true",
                    help="Megatron-SP activation layout between blocks "
                         "(requires --tp > 1); numerically a no-op")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO/FSDP: shard params + AdamW moments over the "
+                        "data axis (1/dp memory each); weights all-gather "
+                        "just-in-time, grads reduce-scatter. Numerically "
+                        "identical to plain DP. Not with --pp or "
+                        "--lora-rank (both are already memory-light)")
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="maintain an EMA of the full param tree (open_clip "
                         "model averaging; e.g. 0.999); saved alongside the "
@@ -111,7 +117,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
 
     from tapclip_tpu.data.imagefolder import ImageFolderIndex, Loader
     from tapclip_tpu.parallel.mesh import make_mesh
-    from tapclip_tpu.parallel.sharding import replicate, shard_batch, shard_params
+    from tapclip_tpu.parallel.sharding import (
+        replicate, shard_batch, shard_opt_state, shard_params,
+    )
     from tapclip_tpu.pretrain import add_siglip_params, make_pretrain_step
     from tapclip_tpu.utils.checkpoint import save_prompt_checkpoint
     from tapclip_tpu.utils.logging_utils import generate_output_paths, setup_logging
@@ -150,6 +158,15 @@ def main(argv: Optional[List[str]] = None) -> dict:
     mesh = (
         make_mesh(dp=args.dp, tp=args.tp, pp=args.pp) if n_dev > 1 else None
     )
+    if args.fsdp:
+        if args.lora_rank > 0:
+            raise ValueError("--fsdp does not apply to --lora-rank runs "
+                             "(the adapters are KBs; shard nothing)")
+        if args.pp > 1:
+            raise ValueError("--fsdp does not compose with --pp "
+                             "(both spread param/optimizer memory)")
+        if mesh is None:
+            log.warning("--fsdp ignored: single device, nothing to shard")
     if args.schedule == "cosine":
         total_steps = max(len(loader) * cfg.train.epochs, 1)
         lr = optax.warmup_cosine_decay_schedule(
@@ -200,6 +217,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             cfg.model, optimizer, mesh=mesh, loss=args.loss,
             pp_microbatches=args.pp_microbatches,
             seq_parallel=args.seq_parallel,
+            fsdp=args.fsdp and mesh is not None,
         )
         opt_state = optimizer.init(params)
     start_epoch = 1
@@ -217,10 +235,16 @@ def main(argv: Optional[List[str]] = None) -> dict:
         start_epoch = int(snap.get("epoch", 0)) + 1
         log.info("resumed from %s (epoch %d)", args.resume, start_epoch - 1)
     if mesh is not None:
-        params = shard_params(params, mesh)
-        opt_state = replicate(opt_state, mesh)
+        fsdp = args.fsdp and lora is None
+        params = shard_params(params, mesh, fsdp=fsdp)
+        # Opt state mirrors the param layout leaf-for-leaf (TP/PP always;
+        # + the data axis under fsdp = ZeRO moment sharding).
+        opt_state = shard_opt_state(opt_state, mesh, fsdp=fsdp)
         if lora is not None:
             lora = replicate(lora, mesh)  # KB-scale adapters: replicated
+        if fsdp:
+            log.info("FSDP/ZeRO: params + moments sharded 1/dp over "
+                     "'data' (dp=%d)", mesh.shape["data"])
 
     from tapclip_tpu.data.prefetch import background_iter
 
