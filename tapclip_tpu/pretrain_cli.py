@@ -73,6 +73,24 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    help="mixture-of-experts MLPs with this many experts per "
                         "block (models/moe.py); expert axis shards over the "
                         "'model' mesh axis (expert parallelism)")
+    p.add_argument("--distill-teacher", default=None,
+                   help="knowledge distillation (distill.py): path to a "
+                        "frozen teacher checkpoint (Orbax dir from this CLI, "
+                        "or an open_clip .bin/.pt); the run trains the "
+                        "student (--model) against it with task + KD-KL + "
+                        "feature-mimicry losses")
+    p.add_argument("--teacher-model", default=None,
+                   help="teacher preset name (MODEL_PRESETS key, e.g. "
+                        "ViT-L-14); defaults to the student's --model")
+    p.add_argument("--kd-temp", type=float, default=1.0,
+                   help="distillation temperature over each model's own "
+                        "calibrated logits")
+    p.add_argument("--task-weight", type=float, default=1.0,
+                   help="weight of the student's own InfoNCE term")
+    p.add_argument("--kd-weight", type=float, default=1.0,
+                   help="weight of the KD KL(teacher||student) term")
+    p.add_argument("--feat-weight", type=float, default=1.0,
+                   help="weight of the feature-mimicry term")
     p.add_argument("--template", default="a photo of a {}")
     p.add_argument("--schedule", default="constant",
                    choices=["constant", "cosine"],
@@ -167,6 +185,42 @@ def main(argv: Optional[List[str]] = None) -> dict:
                              "(both spread param/optimizer memory)")
         if mesh is None:
             log.warning("--fsdp ignored: single device, nothing to shard")
+    teacher_params = None
+    teacher_cfg = None
+    if args.distill_teacher:
+        if args.lora_rank > 0:
+            raise ValueError("--distill-teacher trains the full student "
+                             "tree; it does not compose with --lora-rank")
+        if args.pp > 1 or args.fsdp:
+            raise ValueError("--distill-teacher does not compose with "
+                             "--pp/--fsdp yet (dp/tp only)")
+        if args.loss == "siglip":
+            raise ValueError("--distill-teacher uses the InfoNCE task term; "
+                             "drop --loss siglip")
+        if args.moe_experts:
+            raise ValueError("--distill-teacher with MoE students is not "
+                             "wired (the aux loss is not in the KD objective)")
+        from tapclip_tpu.config import MODEL_PRESETS
+
+        teacher_cfg = MODEL_PRESETS[args.teacher_model or cfg.model.name]
+        if os.path.isdir(args.distill_teacher):
+            import orbax.checkpoint as ocp
+
+            teacher_params = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(args.distill_teacher)
+            )
+        else:
+            from tapclip_tpu.utils.torch_convert import load_openclip_checkpoint
+
+            teacher_params = load_openclip_checkpoint(
+                args.distill_teacher, teacher_cfg
+            )
+        teacher_params = jax.tree.map(jnp.asarray, teacher_params)
+        log.info("distillation: frozen %s teacher from %s (tau=%.2f, "
+                 "w_task=%.2f, w_kd=%.2f, w_feat=%.2f)",
+                 args.teacher_model or cfg.model.name, args.distill_teacher,
+                 args.kd_temp, args.task_weight, args.kd_weight,
+                 args.feat_weight)
     if args.schedule == "cosine":
         total_steps = max(len(loader) * cfg.train.epochs, 1)
         lr = optax.warmup_cosine_decay_schedule(
@@ -212,6 +266,19 @@ def main(argv: Optional[List[str]] = None) -> dict:
 
         log.info("LoRA fine-tuning: rank %d, %d adapter params",
                  args.lora_rank, lora_param_count(lora))
+    elif teacher_params is not None:
+        from tapclip_tpu.distill import init_distill_params, make_distill_step
+
+        params = init_distill_params(
+            jax.random.PRNGKey(cfg.train.seed + 2), params,
+            cfg.model.embed_dim, teacher_cfg.embed_dim,
+        )
+        step = make_distill_step(
+            cfg.model, teacher_cfg, optimizer, mesh=mesh,
+            tau=args.kd_temp, w_task=args.task_weight,
+            w_kd=args.kd_weight, w_feat=args.feat_weight,
+        )
+        opt_state = optimizer.init(params)
     else:
         step = make_pretrain_step(
             cfg.model, optimizer, mesh=mesh, loss=args.loss,
@@ -242,6 +309,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
         opt_state = shard_opt_state(opt_state, mesh, fsdp=fsdp)
         if lora is not None:
             lora = replicate(lora, mesh)  # KB-scale adapters: replicated
+        if teacher_params is not None:
+            teacher_params = shard_params(teacher_params, mesh)
         if fsdp:
             log.info("FSDP/ZeRO: params + moments sharded 1/dp over "
                      "'data' (dp=%d)", mesh.shape["data"])
@@ -272,6 +341,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 batch = shard_batch(batch, mesh)
             if lora is not None:
                 lora, opt_state, m = step(params, lora, opt_state, *batch)
+            elif teacher_params is not None:
+                params, opt_state, m = step(
+                    params, teacher_params, opt_state, *batch
+                )
+                if ema_update is not None:
+                    ema_params = ema_update(ema_params, params)
             else:
                 params, opt_state, m = step(params, opt_state, *batch)
                 if ema_update is not None:
@@ -320,6 +395,13 @@ def main(argv: Optional[List[str]] = None) -> dict:
         from tapclip_tpu.peft import merge_lora
 
         params = merge_lora(params, lora, alpha=args.lora_alpha)
+    if teacher_params is not None:
+        # Export a plain CLIP tree: the kd_proj head is training-only.
+        from tapclip_tpu.distill import strip_distill_params
+
+        params = strip_distill_params(params)
+        if ema_params is not None:
+            ema_params = strip_distill_params(ema_params)
     ocp.PyTreeCheckpointer().save(
         os.path.abspath(ckpt), jax.tree.map(np.asarray, params), force=True
     )

@@ -279,3 +279,39 @@ def test_pretrain_cli_lora(tmp_path, domain_tree):
         ]
     )
     assert out3["best_acc"] >= 0
+
+
+def test_pretrain_cli_distill(tmp_path, domain_tree):
+    """--distill-teacher trains a student against a frozen teacher checkpoint
+    and exports a plain CLIP tree (kd_proj stripped), loadable as
+    --pretrained."""
+    import orbax.checkpoint as ocp
+
+    from tapclip_tpu import pretrain_cli, train
+
+    common = [
+        "--preset", "tiny",
+        "--data-root", os.path.join(domain_tree, "Real World"),
+        "--batch-size", "8", "--lr", "1e-3",
+    ]
+    teacher = pretrain_cli.main(
+        common + ["--epochs", "1", "--output-root", str(tmp_path / "t")]
+    )
+    out = pretrain_cli.main(
+        common + ["--epochs", "1", "--distill-teacher", teacher["ckpt"],
+                  "--kd-temp", "2.0",
+                  "--output-root", str(tmp_path / "s")]
+    )
+    tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(out["ckpt"]))
+    assert "kd_proj" not in tree
+    out2 = train.main(
+        [
+            "--preset", "tiny",
+            "--data-root", os.path.join(domain_tree, "Real World"),
+            "--classes", *CLASSES,
+            "--epochs", "1", "--num-shots", "2", "--batch-size", "8",
+            "--pretrained", out["ckpt"],
+            "--output-root", str(tmp_path / "tr"),
+        ]
+    )
+    assert out2["best_acc"] >= 0
