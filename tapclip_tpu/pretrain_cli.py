@@ -91,6 +91,14 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    help="weight of the KD KL(teacher||student) term")
     p.add_argument("--feat-weight", type=float, default=1.0,
                    help="weight of the feature-mimicry term")
+    p.add_argument("--shard-dir", default=None,
+                   help="stream (image, caption) pairs from webdataset .tar "
+                        "shards under this directory (data/shards.py) "
+                        "instead of an ImageFolder; captions come from the "
+                        "shards, multihost ranks stream disjoint shard "
+                        "subsets, resume is shard-granular")
+    p.add_argument("--shuffle-buffer", type=int, default=1000,
+                   help="sample shuffle-buffer size for --shard-dir")
     p.add_argument("--template", default="a photo of a {}")
     p.add_argument("--schedule", default="constant",
                    choices=["constant", "cosine"],
@@ -150,27 +158,53 @@ def main(argv: Optional[List[str]] = None) -> dict:
     params = model.clip_params
     tokenizer = model.tokenizer
 
-    data_root = maybe_synthetic_root(cfg, args.synthetic_data)
-    index = ImageFolderIndex.scan(data_root)
-    # caption per sample from its class name
-    idx_to_name = {v: k for k, v in index.class_to_idx.items()}
-    caption_ids = {
-        raw: tokenizer.tokenize(
-            [args.template.format(class_name_to_text(name))],
-            cfg.model.context_length,
-        )[0]
-        for raw, name in idx_to_name.items()
-    }
-    loader = Loader(
-        index.samples,
-        cfg.train.batch_size,
-        shuffle=True,
-        seed=cfg.train.seed,
-        image_size=cfg.model.image_size,
-        drop_remainder=True,
-    )
-    del preprocess  # Loader picks the native/PIL default at the right size
-    log.info("pretraining on %d images, %d classes", len(index.samples), len(idx_to_name))
+    caption_ids = None
+    if args.shard_dir:
+        # Webdataset tar-shard streaming (data/shards.py): real image-text
+        # pairs, captions from the shards, jit-ready batches out.
+        from tapclip_tpu.data.shards import ShardLoader, list_shards
+
+        loader = ShardLoader(
+            list_shards(args.shard_dir),
+            cfg.train.batch_size,
+            tokenize=lambda caps: np.asarray(
+                tokenizer.tokenize(caps, cfg.model.context_length)
+            ),
+            image_size=cfg.model.image_size,
+            shuffle_buffer=args.shuffle_buffer,
+            seed=cfg.train.seed,
+            rank=jax.process_index(),
+            world=jax.process_count(),
+        )
+        log.info(
+            "streaming %d image-text pairs from %d tar shards "
+            "(rank %d/%d, shuffle buffer %d)",
+            loader.num_samples, len(loader.shards),
+            jax.process_index(), jax.process_count(), args.shuffle_buffer,
+        )
+    else:
+        data_root = maybe_synthetic_root(cfg, args.synthetic_data)
+        index = ImageFolderIndex.scan(data_root)
+        # caption per sample from its class name
+        idx_to_name = {v: k for k, v in index.class_to_idx.items()}
+        caption_ids = {
+            raw: tokenizer.tokenize(
+                [args.template.format(class_name_to_text(name))],
+                cfg.model.context_length,
+            )[0]
+            for raw, name in idx_to_name.items()
+        }
+        loader = Loader(
+            index.samples,
+            cfg.train.batch_size,
+            shuffle=True,
+            seed=cfg.train.seed,
+            image_size=cfg.model.image_size,
+            drop_remainder=True,
+        )
+        log.info("pretraining on %d images, %d classes",
+                 len(index.samples), len(idx_to_name))
+    del preprocess  # loaders pick the native/PIL default at the right size
 
     n_dev = len(jax.devices())
     mesh = (
@@ -300,6 +334,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
             params = jax.tree.map(jnp.asarray, snap["params"])
         opt_state = _restore_opt_state(opt_state, snap["opt_state"])
         start_epoch = int(snap.get("epoch", 0)) + 1
+        if args.shard_dir:
+            # epoch-granular resume: the stream reshuffles per (seed, epoch),
+            # so aligning the epoch counter reproduces the un-preempted run's
+            # shard order for every remaining epoch.
+            loader.restore({"epoch": start_epoch - 1, "shards_done": 0})
         log.info("resumed from %s (epoch %d)", args.resume, start_epoch - 1)
     if mesh is not None:
         fsdp = args.fsdp and lora is None
@@ -334,8 +373,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
         losses = []
         # Decode runs on a producer thread; the loss stays a device scalar
         # inside the loop (a float() per step would cost a host RTT each).
-        for images, labels, mask in background_iter(loader):
-            ids = np.stack([caption_ids[int(l)] for l in labels])
+        for item in background_iter(loader):
+            if caption_ids is None:  # shard streaming: (images, token_ids)
+                images, ids = item
+            else:  # ImageFolder: captions from the class-name template
+                images, labels, mask = item
+                ids = np.stack([caption_ids[int(l)] for l in labels])
             batch = (jnp.asarray(images), jnp.asarray(ids))
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
