@@ -342,3 +342,47 @@ def make_ema_update(decay: float) -> Callable:
         )
 
     return update
+
+
+def make_validation_fn(cfg: CLIPConfig) -> Callable:
+    """Pretraining validation: contrastive val loss + retrieval Recall@K.
+
+    Returns ``validate(params, batches, max_samples=1024) -> (loss, metrics)``
+    where ``batches`` yields jit-ready ``(images, token_ids)`` (e.g. a
+    ``data.shards.ShardLoader``).  Features are encoded in capped batches by
+    one cached executable; the loss and R@K are computed over the pooled
+    features — the standard open_clip validation readout, absent from the
+    reference (its contrastive loss is an unimplemented sketch,
+    ``/root/reference/models/model_wrapper.py:94-99``).
+    """
+    import numpy as np
+
+    feats_fn = jax.jit(
+        lambda params, images, ids: (
+            clip_model.encode_image(params, cfg, images),
+            clip_model.encode_text(params, cfg, ids),
+        )
+    )
+    loss_fn = jax.jit(contrastive_loss_local)
+
+    def validate(params, batches, max_samples: int = 1024):
+        from tapclip_tpu.utils.eval_metrics import retrieval_recall
+
+        imgs, txts, n = [], [], 0
+        for images, ids in batches:
+            fi, ft = feats_fn(params, jnp.asarray(images), jnp.asarray(ids))
+            imgs.append(np.asarray(fi))
+            txts.append(np.asarray(ft))
+            n += int(images.shape[0])
+            if n >= max_samples:
+                break
+        if not imgs:
+            raise ValueError("validation stream produced no batches")
+        img = np.concatenate(imgs)[:max_samples]
+        txt = np.concatenate(txts)[:max_samples]
+        vloss = float(
+            loss_fn(jnp.asarray(img), jnp.asarray(txt), params["logit_scale"])
+        )
+        return vloss, retrieval_recall(img, txt)
+
+    return validate

@@ -99,6 +99,13 @@ def main(argv: Optional[List[str]] = None) -> dict:
                         "subsets, resume is shard-granular")
     p.add_argument("--shuffle-buffer", type=int, default=1000,
                    help="sample shuffle-buffer size for --shard-dir")
+    p.add_argument("--val-shard-dir", default=None,
+                   help="webdataset shards of held-out (image, caption) "
+                        "pairs: per-epoch contrastive val loss + retrieval "
+                        "Recall@1/5/10 (the open_clip validation readout); "
+                        "evaluates the EMA tree too under --ema-decay")
+    p.add_argument("--val-samples", type=int, default=1024,
+                   help="cap on pooled validation pairs per epoch")
     p.add_argument("--template", default="a photo of a {}")
     p.add_argument("--schedule", default="constant",
                    choices=["constant", "cosine"],
@@ -367,8 +374,41 @@ def main(argv: Optional[List[str]] = None) -> dict:
         ema_update = make_ema_update(args.ema_decay)
         log.info("EMA tracking enabled (decay %.4f)", args.ema_decay)
 
+    validate = val_loader = None
+    if args.val_shard_dir:
+        from tapclip_tpu.data.shards import ShardLoader, list_shards
+        from tapclip_tpu.pretrain import make_validation_fn
+
+        val_loader = ShardLoader(
+            list_shards(args.val_shard_dir),
+            cfg.train.batch_size,
+            tokenize=lambda caps: np.asarray(
+                tokenizer.tokenize(caps, cfg.model.context_length)
+            ),
+            image_size=cfg.model.image_size,
+            shuffle_buffer=1,
+            seed=cfg.train.seed,
+        )
+        validate = make_validation_fn(cfg.model)
+        log.info("validation: %d held-out pairs (cap %d per epoch)",
+                 val_loader.num_samples, args.val_samples)
+
+    def _run_validation(tree, tag=""):
+        # fixed subset every epoch: pin the val stream back to epoch 0
+        val_loader.restore({"epoch": 0, "shards_done": 0})
+        vloss, r = validate(tree, iter(val_loader), args.val_samples)
+        log.info(
+            "[Epoch %d] val%s loss: %.4f | i2t R@1/5/10 %.3f/%.3f/%.3f | "
+            "t2i R@1/5/10 %.3f/%.3f/%.3f",
+            epoch, tag, vloss,
+            r["i2t_r@1"], r["i2t_r@5"], r["i2t_r@10"],
+            r["t2i_r@1"], r["t2i_r@5"], r["t2i_r@10"],
+        )
+        return {"loss": vloss, **r}
+
     snap_dir = os.path.join(paths["model_dir"], "pretrain_snapshot")
     history = []
+    val_history = []
     for epoch in range(start_epoch, cfg.train.epochs + 1):
         losses = []
         # Decode runs on a producer thread; the loss stays a device scalar
@@ -400,6 +440,16 @@ def main(argv: Optional[List[str]] = None) -> dict:
         avg = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         history.append(avg)
         log.info("[Epoch %d] contrastive loss: %.4f", epoch, avg)
+        if validate is not None:
+            tree = params
+            if lora is not None:  # evaluate the effective (merged) weights
+                from tapclip_tpu.peft import merge_lora
+
+                tree = merge_lora(params, lora, alpha=args.lora_alpha)
+            entry = _run_validation(tree)
+            if ema_params is not None:
+                entry["ema"] = _run_validation(ema_params, tag="[ema]")
+            val_history.append(entry)
         if args.save_every and epoch % args.save_every == 0:
             # Epoch-suffixed dir; the previous snapshot is deleted only AFTER
             # the new save finalizes, so a preemption mid-save (the event this
@@ -458,8 +508,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
             force=True,
         )
         log.info("EMA params saved: %s", ema_ckpt)
-    return {"loss_history": history, "ckpt": ckpt, "ema_ckpt": ema_ckpt,
-            "paths": paths}
+    return {"loss_history": history, "val_history": val_history,
+            "ckpt": ckpt, "ema_ckpt": ema_ckpt, "paths": paths}
 
 
 if __name__ == "__main__":

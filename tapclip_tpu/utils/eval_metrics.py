@@ -76,3 +76,42 @@ def evaluate_per_class_accuracy(
         name = class_names[cls] if class_names else str(cls)
         acc_dict[name] = a
     return acc_dict
+
+
+def retrieval_recall(
+    img_feats: np.ndarray,
+    txt_feats: np.ndarray,
+    ks: Sequence[int] = (1, 5, 10),
+) -> Dict[str, float]:
+    """Bidirectional image<->text retrieval Recall@K over PAIRED features.
+
+    Beyond-reference: the standard open_clip pretraining validation metric
+    (the reference has no pretraining at all — its contrastive loss is an
+    unimplemented sketch, ``/root/reference/models/model_wrapper.py:94-99``).
+    Row ``i`` of ``img_feats`` pairs with row ``i`` of ``txt_feats``; a query
+    scores a hit at K when its true partner ranks in the top-K columns of the
+    cosine-similarity row.  Ties are counted pessimistically (a tie with the
+    true pair's score displaces it), so identical features don't report
+    R@1 == 1 spuriously.
+
+    Returns ``{"i2t_r@K": ..., "t2i_r@K": ...}`` fractions in [0, 1].
+    """
+    img = np.asarray(img_feats, np.float32)
+    txt = np.asarray(txt_feats, np.float32)
+    if img.shape[0] != txt.shape[0]:
+        raise ValueError(f"unpaired features: {img.shape[0]} vs {txt.shape[0]}")
+    img = img / np.maximum(np.linalg.norm(img, axis=-1, keepdims=True), 1e-8)
+    txt = txt / np.maximum(np.linalg.norm(txt, axis=-1, keepdims=True), 1e-8)
+    sims = img @ txt.T  # [N, N]
+    n = sims.shape[0]
+    diag = np.diag(sims)
+    # rank of the true pair within its row/column (0 = best); ties count
+    # against the true pair (strictly-greater OR equal-but-not-self)
+    i2t_rank = (sims >= diag[:, None]).sum(axis=1) - 1
+    t2i_rank = (sims >= diag[None, :]).sum(axis=0) - 1
+    out: Dict[str, float] = {}
+    for k in ks:
+        kk = min(k, n)
+        out[f"i2t_r@{k}"] = float((i2t_rank < kk).mean())
+        out[f"t2i_r@{k}"] = float((t2i_rank < kk).mean())
+    return out

@@ -167,3 +167,30 @@ def test_pretrain_step_sharded(tiny_cfg, rng):
         params_d, opt_state, m = step(params_d, opt_state, images_d, ids_d)
         params_d, opt_state, m2 = step(params_d, opt_state, images_d, ids_d)
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_validation_fn(tiny_cfg, rng):
+    from tapclip_tpu.pretrain import make_validation_fn
+
+    params = C.init_clip_params(jax.random.PRNGKey(0), tiny_cfg)
+    validate = make_validation_fn(tiny_cfg)
+
+    def batches():
+        for i in range(3):
+            r = np.random.default_rng(i)
+            yield (
+                r.standard_normal(
+                    (8, tiny_cfg.image_size, tiny_cfg.image_size, 3)
+                ).astype(np.float32),
+                r.integers(
+                    1, tiny_cfg.vocab_size - 2, (8, tiny_cfg.context_length)
+                ).astype(np.int32),
+            )
+
+    loss, metrics = validate(params, batches(), max_samples=16)
+    assert np.isfinite(loss)
+    assert set(metrics) == {
+        "i2t_r@1", "i2t_r@5", "i2t_r@10", "t2i_r@1", "t2i_r@5", "t2i_r@10",
+    }
+    for v in metrics.values():
+        assert 0.0 <= v <= 1.0
