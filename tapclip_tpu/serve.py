@@ -27,6 +27,8 @@ Endpoints (JSON):
                           -> {"class": str, "index": int, "probs": {name: p}}
   POST /explain           same payload -> prediction + per-class context-token
                           attribution rows (the interpretability signal)
+  POST /reload            {"path": <ckpt dir or .bin>} -> hot-swap the tower
+                          weights (same geometry; no restart, no retrace)
 
 Run: ``python -m tapclip_tpu.serve --preset tiny --synthetic --port 8711``
 """
@@ -38,6 +40,7 @@ import base64
 import io
 import json
 import logging
+import os
 import queue
 import threading
 import time
@@ -144,6 +147,64 @@ class PredictService:
         a new prompt checkpoint into a live service)."""
         with self._lock:
             self._text_cache = None
+
+    def reload_weights(self, source) -> Dict[str, Any]:
+        """Hot-swap the CLIP tower weights of a live service (zero restart).
+
+        ``source``: an Orbax checkpoint dir, a torch ``.bin``/``.pt``
+        (open_clip layout), or an in-memory param tree — e.g. the EMA tree
+        or a freshly distilled student from ``pretrain_cli``.  The new tree
+        must match the current geometry (same treedef + leaf shapes), so
+        every cached executable stays valid: the swap is a buffer
+        replacement, never a retrace.  The prompt bank is re-embedded from
+        the NEW token embeddings (its class-name embeddings derive from the
+        tower weights) while the trained context/adjustor state is kept.
+        In-flight batches finish on the old weights; the swap itself happens
+        under the model lock."""
+        import jax
+        import jax.numpy as jnp
+
+        m = self.model
+        if isinstance(source, str):
+            if os.path.isdir(source):
+                import orbax.checkpoint as ocp
+
+                tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(source))
+            else:
+                from tapclip_tpu.utils.torch_convert import (
+                    load_openclip_checkpoint,
+                )
+
+                tree = load_openclip_checkpoint(source, m.clip_cfg)
+        else:
+            tree = source
+        cur = m.clip_params
+        if jax.tree.structure(tree) != jax.tree.structure(cur):
+            raise ValueError(
+                "reload: checkpoint tree structure does not match the "
+                "serving model (wrong architecture?)"
+            )
+        mismatched = [
+            (tuple(a.shape), tuple(b.shape))
+            for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(cur))
+            if tuple(a.shape) != tuple(b.shape)
+        ]
+        if mismatched:
+            raise ValueError(
+                f"reload: {len(mismatched)} leaf shape mismatches, e.g. "
+                f"{mismatched[0][0]} vs {mismatched[0][1]}"
+            )
+        tree = jax.tree.map(lambda a, b: jnp.asarray(a, b.dtype), tree, cur)
+        from tapclip_tpu.models.prompt_learner import PromptLearner
+
+        with self._lock:
+            names = list(m.class_names)
+            m.clip_params = tree
+            m.prompt_learner = PromptLearner(
+                names, tree, m.clip_cfg, m.prompt_cfg, m.tokenizer
+            )
+            self._text_cache = None
+        return {"reloaded": True, "classes": names}
 
     def close(self):
         self._stop.set()
@@ -417,6 +478,8 @@ def make_http_server(service: PredictService, host: str = "127.0.0.1",
                     self._send(200, service.explain(pixels))
                 elif self.path == "/classes":
                     self._send(200, {"classes": service.add_class(payload["name"])})
+                elif self.path == "/reload":
+                    self._send(200, service.reload_weights(payload["path"]))
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
             except Exception as e:  # noqa: BLE001 - serving boundary

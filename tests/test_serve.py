@@ -348,3 +348,64 @@ def test_decode_dark_integer_pixels(tiny_cfg):
         IMAGE_STD, np.float32
     )
     np.testing.assert_allclose(px[0, 0], expected, rtol=1e-5)
+
+
+def test_hot_reload_weights(service, model, tiny_cfg, tmp_path):
+    """POST-free direct reload: new tower weights swap in with no retrace,
+    predictions change, class vocabulary and trained prompt state persist,
+    and a wrong-geometry tree is rejected leaving the service intact."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from tapclip_tpu.models import clip as C
+
+    px = _rand_pixels(tiny_cfg.image_size, seed=3)
+    before = service.predict(px)
+
+    new_tree = C.init_clip_params(jax.random.PRNGKey(99), tiny_cfg)
+    ckpt = tmp_path / "reloaded"
+    ocp.PyTreeCheckpointer().save(
+        str(ckpt), jax.tree.map(np.asarray, new_tree)
+    )
+    out = service.reload_weights(str(ckpt))
+    assert out["reloaded"] is True and out["classes"] == CLASSES
+
+    after = service.predict(px)
+    assert set(after["probs"]) == set(CLASSES)
+    assert any(
+        abs(after["probs"][c] - before["probs"][c]) > 1e-6 for c in CLASSES
+    )
+
+    # wrong geometry -> loud error, service keeps working on the new weights
+    bad_cfg = tiny_cfg.replace(embed_dim=tiny_cfg.embed_dim * 2)
+    bad = C.init_clip_params(jax.random.PRNGKey(1), bad_cfg)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        service.reload_weights(bad)
+    again = service.predict(px)
+    assert again["probs"] == after["probs"]
+
+
+def test_hot_reload_http_route(service, tiny_cfg, tmp_path):
+    import jax
+    import orbax.checkpoint as ocp
+
+    from tapclip_tpu.models import clip as C
+
+    server = make_http_server(service, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        tree = C.init_clip_params(jax.random.PRNGKey(5), tiny_cfg)
+        ckpt = tmp_path / "http_reload"
+        ocp.PyTreeCheckpointer().save(str(ckpt), jax.tree.map(np.asarray, tree))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reload",
+            data=json.dumps({"path": str(ckpt)}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["reloaded"] is True
+    finally:
+        server.shutdown()
