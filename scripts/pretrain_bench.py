@@ -7,7 +7,8 @@ donated (params, opt_state); single block at the end (tunnel protocol).
 
 Usage: python scripts/pretrain_bench.py [batch=128] [model=ViT-B-16] [steps=10]
                                         [remat=none|dots|full] [loss=infonce|siglip]
-                                        [unroll=1] [moe_experts=0]
+                                        [unroll=1] [moe_experts=0] [patch_dropout=0]
+                                        [augment=0]
 """
 
 import os
@@ -33,18 +34,28 @@ def main():
     loss = sys.argv[5] if len(sys.argv) > 5 else "infonce"
     unroll = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     moe = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+    patch_dropout = float(sys.argv[8]) if len(sys.argv) > 8 else 0.0
+    use_augment = int(sys.argv[9]) if len(sys.argv) > 9 else 0
     cfg = MODEL_PRESETS[name].replace(
-        dtype="bfloat16", remat=remat, scan_unroll=unroll, moe_experts=moe
+        dtype="bfloat16", remat=remat, scan_unroll=unroll, moe_experts=moe,
+        patch_dropout=patch_dropout,
     )
     print(f"backend={jax.default_backend()} {name} bs={batch} remat={remat} "
-          f"loss={loss} unroll={unroll} moe={moe}")
+          f"loss={loss} unroll={unroll} moe={moe} pd={patch_dropout} "
+          f"aug={use_augment}")
 
     params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
     if loss == "siglip":
         params = add_siglip_params(params)
     opt = optax.adamw(1e-4, weight_decay=0.1)
     opt_state = opt.init(params)
-    step = make_pretrain_step(cfg, opt, loss=loss)
+    augment = None
+    if use_augment:
+        from tapclip_tpu.data.augment import AugmentConfig
+
+        augment = AugmentConfig(scale=(0.9, 1.0), hflip=0.5)
+    step = make_pretrain_step(cfg, opt, loss=loss, augment=augment)
+    needs_rng = patch_dropout > 0 or augment is not None
 
     gen = jax.jit(
         lambda k: (
@@ -67,15 +78,22 @@ def main():
     batches = [gen(jax.random.PRNGKey(i)) for i in range(n2 + 1)]
     jax.block_until_ready(batches)
 
+    rng0 = jax.random.PRNGKey(99)
+
+    def call(params, opt_state, b, i):
+        if needs_rng:
+            return step(params, opt_state, *b, jax.random.fold_in(rng0, i))
+        return step(params, opt_state, *b)
+
     # warm/compile
-    params, opt_state, m = step(params, opt_state, *batches[-1])
+    params, opt_state, m = call(params, opt_state, batches[-1], -1)
     float(m["loss"])
 
     def run_chain(n):
         nonlocal params, opt_state
         t0 = time.perf_counter()
         for i in range(n):
-            params, opt_state, m = step(params, opt_state, *batches[i])
+            params, opt_state, m = call(params, opt_state, batches[i], i)
         loss = float(m["loss"])
         return time.perf_counter() - t0, loss
 

@@ -107,6 +107,15 @@ class CLIPConfig:
     # Weight on the Switch load-balancing auxiliary loss added by the
     # pretraining step (prompt tuning freezes the towers and ignores it).
     moe_aux_weight: float = 0.01
+    # FLIP-style patch dropout for PRETRAINING (Li et al., "Scaling
+    # Language-Image Pre-training via Masking"): drop this fraction of the
+    # vision patch tokens (class token always kept) per sample per step,
+    # AFTER the positional embedding, BEFORE ln_pre (open_clip placement).
+    # Active only when the caller passes an rng into encode_image (the
+    # pretrain step does under --patch-dropout); eval paths never drop.
+    # Cuts vision-tower FLOPs ~proportionally — the published recipe masks
+    # 50% for ~2x faster pretraining at near-equal zero-shot accuracy.
+    patch_dropout: float = 0.0
 
     @property
     def grid_size(self) -> int:

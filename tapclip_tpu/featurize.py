@@ -1,0 +1,346 @@
+"""Offline bulk feature extraction: an image/caption corpus -> packed
+embedding matrices on disk.
+
+The standard CLIP production workload (index building for retrieval /
+dedup / zero-shot search) that the reference leaves to its users — its
+``CLIPWrapper`` (``/root/reference/models/clip_wrapper.py:17-31``) exposes
+``encode_image`` but no batch driver, no padding/masking, no output
+format.  This module is the missing driver, TPU-shaped:
+
+- ONE jitted executable for the whole corpus: fixed batch size, final
+  partial batch padded + masked (``imagefolder.Loader`` contract), so the
+  tower never retraces;
+- uint8 host->device transport by default (4x less tunnel bandwidth; CLIP
+  normalization fuses on device, bit-identical — see
+  ``data/preprocess.make_preprocess_uint8``);
+- decode-ahead prefetch (``data/prefetch.background_iter``) so JPEG decode
+  overlaps device compute;
+- optional data-parallel sharding over a mesh (batch split on the
+  ``"data"`` axis — GSPMD inserts the gather);
+- optional int8 tower (``CLIPConfig.quantize_tower``) for 2.2x eval
+  throughput at >=0.999 cosine fidelity.
+
+Outputs (``--out DIR``):
+- ``image_embeddings.npy``  float16 ``[N, D]``, L2-normalized rows
+- ``manifest.csv``          ``index,path,class`` (ImageFolder input) or
+  ``index,caption`` (shard input)
+- ``text_embeddings.npy``   float16 ``[N, D]`` (``--embed-text``, shard
+  input: the caption of sample i embeds to row i)
+
+Usage:
+    python -m tapclip_tpu.featurize --image-root data/val --out feats/
+    python -m tapclip_tpu.featurize --shard-dir shards/ --embed-text \\
+        --out feats/ --model ViT-B-16 --pretrained converted_ckpt/
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import io
+import logging
+import os
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tapclip_tpu.config import CLIPConfig, MODEL_PRESETS, preset
+
+log = logging.getLogger("tapclip_tpu")
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+def load_clip_params(cfg: CLIPConfig, pretrained: Optional[str], seed: int = 0):
+    """Tower params from an Orbax dir / open_clip ``.bin`` / random init.
+
+    Mirrors ``train.build_model``'s loading branch without requiring class
+    names (featurization has no classifier).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tapclip_tpu.models import clip as clip_model
+
+    if pretrained:
+        if os.path.isdir(pretrained):
+            import orbax.checkpoint as ocp
+
+            params = ocp.PyTreeCheckpointer().restore(os.path.abspath(pretrained))
+        else:
+            from tapclip_tpu.utils.torch_convert import load_openclip_checkpoint
+
+            params = load_openclip_checkpoint(pretrained, cfg)
+        return jax.tree.map(jnp.asarray, params)
+    log.warning("no --pretrained given: using RANDOM CLIP weights")
+    return clip_model.init_clip_params(jax.random.PRNGKey(seed), cfg)
+
+
+# ---------------------------------------------------------------------------
+# embed executables
+# ---------------------------------------------------------------------------
+
+def make_image_embed_fn(cfg: CLIPConfig, mesh=None) -> Callable:
+    """Jitted ``(params, images[B,H,W,3] f32|uint8) -> [B,D] f32 unit-norm``.
+
+    With ``mesh``, the batch is split over the ``"data"`` axis and params
+    are replicated (same layout as ``serve.PredictService(mesh=...)``).
+    """
+    import jax
+
+    from tapclip_tpu.models import clip as clip_model
+
+    def embed(params, images):
+        f = clip_model.encode_image(params, cfg, images)
+        return clip_model.l2_normalize(f).astype(np.float32)
+
+    if mesh is None:
+        return jax.jit(embed)
+    from tapclip_tpu.parallel.mesh import batch_sharding, replicated
+
+    return jax.jit(
+        embed,
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+
+
+def make_text_embed_fn(cfg: CLIPConfig, mesh=None) -> Callable:
+    """Jitted ``(params, token_ids[B,T] i32) -> [B,D] f32 unit-norm``."""
+    import jax
+
+    from tapclip_tpu.models import clip as clip_model
+
+    def embed(params, ids):
+        f = clip_model.encode_text(params, cfg, ids)
+        return clip_model.l2_normalize(f).astype(np.float32)
+
+    if mesh is None:
+        return jax.jit(embed)
+    from tapclip_tpu.parallel.mesh import batch_sharding, replicated
+
+    return jax.jit(
+        embed,
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus iterators
+# ---------------------------------------------------------------------------
+
+def iter_shard_samples_deterministic(
+    shard_dir: str, image_size: int, output_dtype: str = "float32"
+) -> Iterator[Tuple[np.ndarray, str]]:
+    """Every (decoded image, caption) of a shard dir, in shard-name +
+    in-tar order — featurization wants exact, reproducible coverage, so
+    this bypasses ``ShardLoader``'s shuffle + full-batches-only epoch
+    semantics."""
+    from PIL import Image
+
+    from tapclip_tpu.data.preprocess import preprocess_pil, preprocess_pil_uint8
+    from tapclip_tpu.data.shards import _iter_shard, list_shards
+
+    pre = preprocess_pil if output_dtype == "float32" else preprocess_pil_uint8
+    for path in list_shards(shard_dir):
+        for img_bytes, caption in _iter_shard(path):
+            with Image.open(io.BytesIO(img_bytes)) as im:
+                arr = pre(im.convert("RGB"), image_size)
+            yield arr, caption
+
+
+def _batched(
+    samples: Iterator[Tuple[np.ndarray, str]], batch_size: int
+) -> Iterator[Tuple[np.ndarray, List[str], np.ndarray]]:
+    """Pack samples into ``(images[B,...], metas, mask[B])`` with the tail
+    batch zero-padded (static shapes -> one executable)."""
+    imgs: List[np.ndarray] = []
+    metas: List[str] = []
+    for arr, meta in samples:
+        imgs.append(arr)
+        metas.append(meta)
+        if len(imgs) == batch_size:
+            yield np.stack(imgs), metas, np.ones(batch_size, bool)
+            imgs, metas = [], []
+    if imgs:
+        n = len(imgs)
+        pad = np.zeros_like(imgs[0])
+        imgs.extend([pad] * (batch_size - n))
+        mask = np.zeros(batch_size, bool)
+        mask[:n] = True
+        yield np.stack(imgs), metas, mask
+
+
+# ---------------------------------------------------------------------------
+# drivers
+# ---------------------------------------------------------------------------
+
+def featurize_images(
+    params,
+    cfg: CLIPConfig,
+    batches,
+    *,
+    embed_fn: Optional[Callable] = None,
+    prefetch_depth: int = 2,
+) -> np.ndarray:
+    """Embed every masked-real row of ``batches`` (an iterable of
+    ``(images, metas_or_labels, mask)``) -> float16 ``[N, D]`` unit-norm."""
+    import jax.numpy as jnp
+
+    from tapclip_tpu.data.prefetch import background_iter
+
+    embed_fn = embed_fn or make_image_embed_fn(cfg)
+    out: List[np.ndarray] = []
+    for images, _, mask in background_iter(batches, depth=prefetch_depth):
+        f = np.asarray(embed_fn(params, jnp.asarray(images)))
+        out.append(f[: int(mask.sum())].astype(np.float16))
+    if not out:
+        raise ValueError("empty corpus: no batches produced")
+    return np.concatenate(out)
+
+
+def featurize_texts(
+    params,
+    cfg: CLIPConfig,
+    captions: Sequence[str],
+    tokenize: Callable[[List[str]], np.ndarray],
+    batch_size: int,
+    *,
+    embed_fn: Optional[Callable] = None,
+) -> np.ndarray:
+    """Embed captions -> float16 ``[N, D]`` unit-norm (tail padded with
+    empty strings, rows beyond N discarded)."""
+    import jax.numpy as jnp
+
+    embed_fn = embed_fn or make_text_embed_fn(cfg)
+    out: List[np.ndarray] = []
+    for i in range(0, len(captions), batch_size):
+        chunk = list(captions[i : i + batch_size])
+        n = len(chunk)
+        chunk.extend([""] * (batch_size - n))
+        ids = tokenize(chunk)
+        f = np.asarray(embed_fn(params, jnp.asarray(ids)))
+        out.append(f[:n].astype(np.float16))
+    if not out:
+        raise ValueError("no captions to embed")
+    return np.concatenate(out)
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--image-root", help="ImageFolder tree (class subdirs)")
+    src.add_argument("--shard-dir", help="webdataset tar shard directory")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--model", default="ViT-B-16", choices=sorted(MODEL_PRESETS))
+    p.add_argument("--preset", default=None,
+                   help="experiment preset providing the model config "
+                        "(overrides --model; 'tiny' for tests)")
+    p.add_argument("--pretrained", default=None,
+                   help="Orbax dir or open_clip .bin (random weights if unset)")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--embed-text", action="store_true",
+                   help="also embed captions (shard input only)")
+    p.add_argument("--bpe-path", default=None)
+    p.add_argument("--int8", action="store_true",
+                   help="quantized W8A8 tower (see docs/PERF.md)")
+    p.add_argument("--uint8-transfer", dest="uint8_transfer",
+                   action="store_true", default=True)
+    p.add_argument("--no-uint8-transfer", dest="uint8_transfer",
+                   action="store_false")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel devices (0 = single device)")
+    p.add_argument("--platform", default=None, help="e.g. cpu (tests)")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> dict:
+    args = build_argparser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    logging.basicConfig(level=logging.INFO)
+
+    if args.preset:
+        cfg = preset(args.preset).model
+    else:
+        cfg = MODEL_PRESETS[args.model]
+    if args.int8:
+        cfg = cfg.replace(quantize_tower=True)
+    if args.embed_text and not args.shard_dir:
+        raise SystemExit("--embed-text requires --shard-dir (captions)")
+
+    params = load_clip_params(cfg, args.pretrained)
+    mesh = None
+    if args.dp:
+        from tapclip_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp)
+        if args.batch_size % args.dp:
+            raise SystemExit("--batch-size must divide by --dp")
+
+    os.makedirs(args.out, exist_ok=True)
+    dtype = "uint8" if args.uint8_transfer else "float32"
+    manifest_rows: List[Tuple] = []
+    captions: List[str] = []
+
+    if args.image_root:
+        from tapclip_tpu.data.imagefolder import ImageFolderIndex, Loader
+
+        index = ImageFolderIndex.scan(args.image_root)
+        loader = Loader(
+            index.samples, args.batch_size, shuffle=False,
+            image_size=cfg.image_size, output_dtype=dtype,
+        )
+        feats = featurize_images(
+            params, cfg, iter(loader), embed_fn=make_image_embed_fn(cfg, mesh)
+        )
+        for i, (path, label) in enumerate(index.samples):
+            manifest_rows.append((i, path, index.classes[label]))
+        header = ("index", "path", "class")
+    else:
+        samples = list(
+            iter_shard_samples_deterministic(args.shard_dir, cfg.image_size, dtype)
+        )
+        captions = [c for _, c in samples]
+        feats = featurize_images(
+            params, cfg, _batched(iter(samples), args.batch_size),
+            embed_fn=make_image_embed_fn(cfg, mesh),
+        )
+        for i, c in enumerate(captions):
+            manifest_rows.append((i, c))
+        header = ("index", "caption")
+
+    np.save(os.path.join(args.out, "image_embeddings.npy"), feats)
+    with open(os.path.join(args.out, "manifest.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(manifest_rows)
+    result = {"n": int(feats.shape[0]), "dim": int(feats.shape[1])}
+    log.info("wrote %d image embeddings (dim %d) to %s",
+             result["n"], result["dim"], args.out)
+
+    if args.embed_text:
+        from tapclip_tpu.data.tokenizer import get_tokenizer
+
+        tok = get_tokenizer(args.bpe_path, cfg.context_length)
+        tfeats = featurize_texts(
+            params, cfg, captions, tok.tokenize, args.batch_size,
+            embed_fn=make_text_embed_fn(cfg, mesh),
+        )
+        np.save(os.path.join(args.out, "text_embeddings.npy"), tfeats)
+        result["n_text"] = int(tfeats.shape[0])
+        log.info("wrote %d text embeddings", result["n_text"])
+    return result
+
+
+if __name__ == "__main__":
+    main()

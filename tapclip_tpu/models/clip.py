@@ -155,6 +155,7 @@ def encode_image(
     cfg: CLIPConfig,
     images: jnp.ndarray,
     *,
+    rng=None,
     transformer_fn=None,
     act_sharding=None,
     moe_loss_out=None,
@@ -164,6 +165,11 @@ def encode_image(
     Matches open_clip ``VisionTransformer.forward`` + projection; the caller
     L2-normalizes (as ``model_wrapper.py:41`` does).
 
+    ``rng`` enables the stochastic TRAINING path: with
+    ``cfg.patch_dropout > 0`` a random per-sample subset of patch tokens is
+    dropped (FLIP masking — see :func:`_patch_dropout`).  Eval/serving
+    callers never pass it, so inference is always exact.
+
     ``transformer_fn`` overrides the block-stack runner (default
     ``layers.transformer_forward``) — used by pipeline parallelism
     (``parallel/pipeline.py::make_pipeline_transformer_fn``) so the embed /
@@ -171,6 +177,11 @@ def encode_image(
     activation layout (sequence parallelism, see ``transformer_forward``).
     """
     if cfg.vision_tower == "resnet":
+        if rng is not None and cfg.patch_dropout > 0:
+            raise NotImplementedError(
+                "patch_dropout applies to ViT towers only "
+                "(the RN-family tower has no patch-token sequence)"
+            )
         from tapclip_tpu.models.resnet import resnet_encode_image
 
         if transformer_fn is not None:
@@ -212,6 +223,13 @@ def encode_image(
     )
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["positional_embedding"].astype(dtype)[None]
+    if rng is not None and cfg.patch_dropout > 0:
+        if cfg.token_keep_ratio < 1.0:
+            raise NotImplementedError(
+                "patch_dropout (training) and token_keep_ratio (eval "
+                "pruning) do not compose — pick one per call"
+            )
+        x = _patch_dropout(x, cfg.patch_dropout, rng)
     x = layers.layer_norm(x, p["ln_pre"], cfg.ln_eps)
     # Run the tower at a sublane-aligned (multiple-of-8) sequence length:
     # XLA picks better schedules for the per-block dots, and the fused MHA
@@ -254,6 +272,39 @@ def encode_image(
     return jnp.dot(
         pooled, p["proj"].astype(dtype), preferred_element_type=jnp.float32
     ).astype(dtype)
+
+
+def _patch_dropout(x: jnp.ndarray, prob: float, rng: jax.Array) -> jnp.ndarray:
+    """FLIP-style random patch masking (training-time vision speedup).
+
+    Keeps the class token (position 0) plus a uniformly-random
+    ``1 - prob`` fraction of the patch tokens, independently per sample per
+    step — the "Scaling Language-Image Pre-training via Masking" recipe,
+    also open_clip's ``patch_dropout``.  Runs AFTER the positional embedding
+    (each surviving token carries its position), so the shortened sequence
+    is a faithful sparse view of the image.
+
+    TPU-native form: random scores + ``top_k`` give a uniform
+    without-replacement subset with a STATIC keep count (no boolean
+    compaction, no dynamic shapes), and one ``take_along_axis`` gather does
+    the compaction — its transpose (a scatter-add) is the whole backward.
+    Token order after the gather is random, which attention is invariant to
+    (pooling reads position 0, kept at slot 0).  The tower then runs at
+    ``1 + n_keep`` tokens, cutting attention/MLP FLOPs ~proportionally;
+    downstream sublane padding + kv_valid masking in :func:`encode_image`
+    handle alignment exactly as for any other sequence length.
+    """
+    B, T, _ = x.shape
+    n_patches = T - 1
+    n_keep = max(1, int(round(n_patches * (1.0 - prob))))
+    if n_keep >= n_patches:
+        return x
+    scores = jax.random.uniform(rng, (B, n_patches))
+    _, idx = jax.lax.top_k(scores, n_keep)  # [B, n_keep], random subset
+    idx = jnp.concatenate(
+        [jnp.zeros((B, 1), idx.dtype), idx + 1], axis=1
+    )  # class token always at slot 0
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
 
 
 def _forward_with_token_pruning(p, cfg: CLIPConfig, x: jnp.ndarray, kv_valid):

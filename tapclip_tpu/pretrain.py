@@ -189,6 +189,7 @@ def make_pretrain_step(
     pp_microbatches: int = 0,
     seq_parallel: bool = False,
     fsdp: bool = False,
+    augment=None,
 ) -> Callable:
     """Jitted CLIP pretraining step over (images, token_ids).
 
@@ -221,6 +222,15 @@ def make_pretrain_step(
       The step re-pins the updated params to the FSDP layout so they never
       drift back to replicated across iterations.  Numerically identical
       to plain DP (pinned in tests/test_fsdp.py).
+
+    Stochastic training knobs (both run INSIDE the jitted step and make it
+    take a trailing per-step ``rng`` argument):
+
+    * ``augment`` — an ``AugmentConfig`` (``data/augment.py``): per-sample
+      random-resized-crop (+ optional h-flip) of every batch on device.
+    * ``cfg.patch_dropout > 0`` — FLIP masking: a random subset of vision
+      patch tokens is dropped per sample (``models/clip.py::_patch_dropout``),
+      cutting vision-tower FLOPs ~proportionally.
     """
     if loss not in ("infonce", "siglip"):
         raise ValueError(f"unknown loss {loss!r}: use 'infonce' or 'siglip'")
@@ -269,10 +279,27 @@ def make_pretrain_step(
     # (180.8 vs 175.7 ms at ViT-B/16 bs=128) — the recompute is not the
     # backward's bottleneck; saved-activation HBM round trips cost as much.
 
-    def loss_fn(params, images, token_ids):
+    needs_rng = augment is not None or cfg.patch_dropout > 0.0
+
+    def loss_fn(params, images, token_ids, rng=None):
         moe_losses = []
+        pd_rng = None
+        if needs_rng:
+            aug_rng, pd_rng = jax.random.split(rng)
+            if augment is not None:
+                from tapclip_tpu.data.augment import augment_batch
+
+                if images.dtype == jnp.uint8:
+                    # Normalize first (commutes exactly with the crop) so
+                    # the resample runs in float.
+                    from tapclip_tpu.data.preprocess import device_normalize
+
+                    images = device_normalize(images)
+                images = augment_batch(aug_rng, images, augment)
+            if cfg.patch_dropout <= 0.0:
+                pd_rng = None
         img = clip_model.encode_image(
-            params, cfg, images,
+            params, cfg, images, rng=pd_rng,
             transformer_fn=transformer_fn, act_sharding=act_sharding,
             moe_loss_out=moe_losses,
         )
@@ -304,8 +331,15 @@ def make_pretrain_step(
     # (params, mu, nu) coexist and full-tower training OOMs at half the
     # batch it should handle.
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, images, token_ids):
-        loss, grads = jax.value_and_grad(loss_fn)(params, images, token_ids)
+    def step(params, opt_state, images, token_ids, rng=None):
+        if needs_rng and rng is None:
+            raise ValueError(
+                "this step was built with augment/patch_dropout: pass a "
+                "per-step rng as the trailing argument"
+            )
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, images, token_ids, rng
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         # CLIP clamps the logit scale to ln(100) (open_clip semantics).
@@ -323,6 +357,164 @@ def make_pretrain_step(
                 specs,
             )
         return params, opt_state, {"loss": loss}
+
+    return step
+
+
+def make_accum_pretrain_step(
+    cfg: CLIPConfig,
+    optimizer: optax.GradientTransformation,
+    k: int,
+    mesh: Optional[Mesh] = None,
+    loss: str = "infonce",
+    augment=None,
+) -> Callable:
+    """Gradient accumulation with FULL-macro-batch contrastive negatives.
+
+    ``optax.MultiSteps`` accumulation (``pretrain_cli --accum-steps``) grows
+    the *gradient* batch but keeps negatives per-micro-batch — the
+    contrastive task gets no harder.  This step implements the
+    GradCache / open_clip ``--accum-freq`` recipe, which preserves the
+    exact K×B-batch objective at one-micro-batch activation memory:
+
+    1. **Feature pass** (no grad): encode all K micro-batches sequentially
+       (``lax.map`` — one micro-batch of activations live at a time) and
+       cache the [K, B, E] feature tables.
+    2. **Gradient pass**: for each micro-batch, re-encode it
+       differentiably, splice its live features into the cached table, and
+       take the gradient of the FULL K·B-batch loss — only micro ``i``'s
+       tower activations exist during its backward.  Summing over ``i``
+       gives exactly d(full loss)/d(towers): each feature row's cotangent
+       reaches its tower through precisely one micro step.
+    3. ``logit_scale`` (and SigLIP's ``logit_bias``) reach the loss
+       directly in EVERY micro step, so their accumulated gradient is K×
+       the true one — divided back out before the update (a bias open_clip
+       leaves in; here the K-step composition is exactly the one-shot
+       step, asserted in tests).
+
+    Cost: 3 tower passes per sample (2 fwd + 1 bwd) instead of 2 — the
+    standard GradCache overhead (~1.3x step time) in exchange for
+    negatives scaling far past the activation-memory wall.
+
+    Under a mesh, negatives span K·B·dp: the spliced [K·B_local, E] tables
+    feed the same global-batch collectives as the plain step.
+
+    Returns ``step(params, opt_state, images [K*B, ...], token_ids
+    [K*B, T], rng=None) -> (params, opt_state, {"loss": ...})``; ``rng``
+    is required when ``augment``/``cfg.patch_dropout`` are active
+    (micro-batch feature/grad passes reuse the same fold so the cached and
+    live features agree exactly).
+    """
+    if loss not in ("infonce", "siglip"):
+        raise ValueError(f"unknown loss {loss!r}: use 'infonce' or 'siglip'")
+    if k < 2:
+        raise ValueError("accumulation needs k >= 2 (use make_pretrain_step)")
+    needs_rng = augment is not None or cfg.patch_dropout > 0.0
+    sharded = mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1
+
+    def encode_pair(params, images, token_ids, rng):
+        if images.dtype == jnp.uint8:
+            from tapclip_tpu.data.preprocess import device_normalize
+
+            images = device_normalize(images)
+        pd_rng = rng if (rng is not None and cfg.patch_dropout > 0) else None
+        img = clip_model.encode_image(params, cfg, images, rng=pd_rng)
+        txt = clip_model.encode_text(params, cfg, token_ids)
+        return img, txt
+
+    def full_loss(params, img_all, txt_all):
+        scale = params["logit_scale"]
+        if loss == "siglip":
+            bias = params["logit_bias"]
+            if sharded:
+                return siglip_loss_global(img_all, txt_all, scale, bias, mesh)
+            return siglip_loss_local(img_all, txt_all, scale, bias)
+        if sharded:
+            return contrastive_loss_global(img_all, txt_all, scale, mesh)
+        return contrastive_loss_local(img_all, txt_all, scale)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, images, token_ids, rng=None):
+        if needs_rng and rng is None:
+            raise ValueError(
+                "this step was built with augment/patch_dropout: pass a "
+                "per-step rng as the trailing argument"
+            )
+        n = images.shape[0]
+        if n % k:
+            raise ValueError(f"macro batch {n} not divisible by k={k}")
+        if augment is not None:
+            from tapclip_tpu.data.augment import augment_batch
+
+            if images.dtype == jnp.uint8:
+                from tapclip_tpu.data.preprocess import device_normalize
+
+                images = device_normalize(images)
+            a_rng, rng = jax.random.split(rng)
+            images = augment_batch(a_rng, images, augment)
+        imgs_k = images.reshape(k, n // k, *images.shape[1:])
+        ids_k = token_ids.reshape(k, n // k, token_ids.shape[-1])
+        if sharded:
+            # Each micro-batch spans all data shards (the negatives
+            # collective needs every chip holding rows of every micro).
+            from jax.sharding import NamedSharding
+
+            spec_i = P(None, DATA_AXIS, *([None] * (imgs_k.ndim - 2)))
+            imgs_k = jax.lax.with_sharding_constraint(
+                imgs_k, NamedSharding(mesh, spec_i)
+            )
+            ids_k = jax.lax.with_sharding_constraint(
+                ids_k, NamedSharding(mesh, P(None, DATA_AXIS, None))
+            )
+        rngs = (
+            jax.random.split(rng, k) if needs_rng
+            else jnp.zeros((k, 2), jnp.uint32)
+        )
+
+        # Pass 1: cached feature tables, sequential to bound memory.
+        feats_i, feats_t = jax.lax.map(
+            lambda xs: encode_pair(
+                params, xs[0], xs[1], xs[2] if needs_rng else None
+            ),
+            (imgs_k, ids_k, rngs),
+        )
+        feats_i = jax.lax.stop_gradient(feats_i)
+        feats_t = jax.lax.stop_gradient(feats_t)
+
+        def micro_loss(p, i):
+            fi, ft = encode_pair(
+                p, imgs_k[i], ids_k[i], rngs[i] if needs_rng else None
+            )
+            img_all = jax.lax.dynamic_update_index_in_dim(feats_i, fi, i, 0)
+            txt_all = jax.lax.dynamic_update_index_in_dim(feats_t, ft, i, 0)
+            e = img_all.shape[-1]
+            return full_loss(p, img_all.reshape(n, e), txt_all.reshape(n, e))
+
+        grad_fn = jax.value_and_grad(micro_loss)
+
+        def body(i, carry):
+            acc, _ = carry
+            l, g = grad_fn(params, i)
+            return jax.tree.map(jnp.add, acc, g), l
+
+        zeros = jax.tree.map(
+            lambda a: jnp.zeros(a.shape, a.dtype), params
+        )
+        grads, loss_val = jax.lax.fori_loop(
+            0, k, body, (zeros, jnp.float32(0.0))
+        )
+        # scale/bias took the full-batch gradient K times (see docstring).
+        grads = dict(grads, logit_scale=grads["logit_scale"] / k)
+        if "logit_bias" in grads:
+            grads = dict(grads, logit_bias=grads["logit_bias"] / k)
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = dict(
+            params,
+            logit_scale=jnp.clip(params["logit_scale"], None, jnp.log(100.0)),
+        )
+        return params, opt_state, {"loss": loss_val}
 
     return step
 

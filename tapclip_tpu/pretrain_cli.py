@@ -123,16 +123,37 @@ def main(argv: Optional[List[str]] = None) -> dict:
     p.add_argument("--loss", default="infonce", choices=["infonce", "siglip"],
                    help="contrastive objective: softmax InfoNCE or the "
                         "SigLIP pairwise sigmoid (ppermute-ring sharded)")
+    p.add_argument("--patch-dropout", type=float, default=0.0,
+                   help="FLIP masking: drop this fraction of vision patch "
+                        "tokens per sample per step (class token kept) — "
+                        "~proportional vision-FLOP cut; 0.5 is the "
+                        "published ~2x-speedup recipe")
+    p.add_argument("--augment", action="store_true",
+                   help="on-device per-sample RandomResizedCrop of every "
+                        "train batch (data/augment.py; open_clip-style "
+                        "scale range, see --aug-scale-min/--hflip)")
+    p.add_argument("--aug-scale-min", type=float, default=0.9,
+                   help="lower bound of the crop-area fraction "
+                        "(open_clip default 0.9; torchvision-style 0.08)")
+    p.add_argument("--hflip", type=float, default=0.0,
+                   help="horizontal-flip probability under --augment")
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient accumulation: one optimizer update every K "
                         "micro-batches (K x the effective batch for the "
                         "gradient; contrastive negatives stay per-micro-batch)")
+    p.add_argument("--accum-full-negatives", type=int, default=1,
+                   help="GradCache / open_clip accum-freq accumulation: one "
+                        "update every K micro-batches with contrastive "
+                        "negatives spanning the FULL K x batch (exact KxB "
+                        "objective at one-micro-batch activation memory; "
+                        "~1.3x step time for the extra forward)")
     # --save-every / --resume come from the shared build_argparser; here they
     # snapshot/restore (params, opt_state, epoch) of the PRETRAINING run.
     args = p.parse_args(argv)
     setup_platform(args.platform)
     cfg = apply_overrides(preset(args.preset), args)
-    if args.remat or args.moe_experts or args.scan_unroll:
+    if (args.remat or args.moe_experts or args.scan_unroll
+            or args.patch_dropout):
         import dataclasses
 
         model_cfg = cfg.model
@@ -142,6 +163,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
             model_cfg = model_cfg.replace(moe_experts=args.moe_experts)
         if args.scan_unroll:
             model_cfg = model_cfg.replace(scan_unroll=args.scan_unroll)
+        if args.patch_dropout:
+            model_cfg = model_cfg.replace(patch_dropout=args.patch_dropout)
         cfg = dataclasses.replace(cfg, model=model_cfg)
 
     import jax
@@ -286,6 +309,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
         optimizer = optax.MultiSteps(optimizer, every_k_schedule=args.accum_steps)
     if args.loss == "siglip":
         params = add_siglip_params(params)
+    if (args.patch_dropout > 0 or args.augment) and (
+            args.lora_rank > 0 or args.distill_teacher):
+        raise ValueError(
+            "--patch-dropout/--augment are wired for the full-tree "
+            "pretraining step only (not --lora-rank/--distill-teacher yet)"
+        )
     lora = None
     if args.lora_rank > 0:
         if args.pp > 1:
@@ -321,12 +350,35 @@ def main(argv: Optional[List[str]] = None) -> dict:
         )
         opt_state = optimizer.init(params)
     else:
-        step = make_pretrain_step(
-            cfg.model, optimizer, mesh=mesh, loss=args.loss,
-            pp_microbatches=args.pp_microbatches,
-            seq_parallel=args.seq_parallel,
-            fsdp=args.fsdp and mesh is not None,
-        )
+        augment = None
+        if args.augment:
+            from tapclip_tpu.data.augment import AugmentConfig
+
+            augment = AugmentConfig(
+                scale=(args.aug_scale_min, 1.0), hflip=args.hflip
+            )
+        if args.accum_full_negatives > 1:
+            if (args.accum_steps > 1 or args.pp > 1 or args.fsdp
+                    or args.seq_parallel):
+                raise ValueError(
+                    "--accum-full-negatives composes with dp/tp meshes and "
+                    "the stochastic knobs, not with --accum-steps/--pp/"
+                    "--fsdp/--seq-parallel"
+                )
+            from tapclip_tpu.pretrain import make_accum_pretrain_step
+
+            step = make_accum_pretrain_step(
+                cfg.model, optimizer, args.accum_full_negatives,
+                mesh=mesh, loss=args.loss, augment=augment,
+            )
+        else:
+            step = make_pretrain_step(
+                cfg.model, optimizer, mesh=mesh, loss=args.loss,
+                pp_microbatches=args.pp_microbatches,
+                seq_parallel=args.seq_parallel,
+                fsdp=args.fsdp and mesh is not None,
+                augment=augment,
+            )
         opt_state = optimizer.init(params)
     start_epoch = 1
     if args.resume:
@@ -409,8 +461,25 @@ def main(argv: Optional[List[str]] = None) -> dict:
     snap_dir = os.path.join(paths["model_dir"], "pretrain_snapshot")
     history = []
     val_history = []
+    # Per-step rng for the stochastic knobs (augment / patch dropout):
+    # fold_in(base, step counter) — a fresh, seeded stream per run.
+    step_rng_base = None
+    gstep = 0
+    if args.patch_dropout > 0 or args.augment:
+        step_rng_base = jax.random.PRNGKey(cfg.train.seed + 7)
+        if args.patch_dropout > 0:
+            log.info("patch dropout: %.2f of vision patches per step",
+                     args.patch_dropout)
+        if args.augment:
+            log.info("on-device augmentation: crop scale (%.2f, 1.0), "
+                     "hflip %.2f", args.aug_scale_min, args.hflip)
+    accum_k = (
+        args.accum_full_negatives
+        if lora is None and teacher_params is None else 1
+    )
     for epoch in range(start_epoch, cfg.train.epochs + 1):
         losses = []
+        macro_buf = []  # --accum-full-negatives: partial macros drop at epoch end
         # Decode runs on a producer thread; the loss stays a device scalar
         # inside the loop (a float() per step would cost a host RTT each).
         for item in background_iter(loader):
@@ -431,7 +500,22 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 if ema_update is not None:
                     ema_params = ema_update(ema_params, params)
             else:
-                params, opt_state, m = step(params, opt_state, *batch)
+                if accum_k > 1:
+                    macro_buf.append(batch)
+                    if len(macro_buf) < accum_k:
+                        continue
+                    batch = tuple(
+                        jnp.concatenate(xs) for xs in zip(*macro_buf)
+                    )
+                    macro_buf = []
+                if step_rng_base is not None:
+                    params, opt_state, m = step(
+                        params, opt_state, *batch,
+                        jax.random.fold_in(step_rng_base, gstep),
+                    )
+                    gstep += 1
+                else:
+                    params, opt_state, m = step(params, opt_state, *batch)
                 if ema_update is not None:
                     ema_params = ema_update(ema_params, params)
             losses.append(m["loss"])

@@ -27,6 +27,12 @@ Endpoints (JSON):
                           -> {"class": str, "index": int, "probs": {name: p}}
   POST /explain           same payload -> prediction + per-class context-token
                           attribution rows (the interpretability signal)
+  POST /embed             same image payload -> {"embedding": [E floats]}
+                          (L2-normalized image feature; rides the SAME
+                          micro-batched executable as /predict)
+  POST /embed_text        {"texts": [str, ...]} -> {"embeddings": [[...]]}
+                          (L2-normalized CLIP text features — the other half
+                          of a retrieval index)
   POST /reload            {"path": <ckpt dir or .bin>} -> hot-swap the tower
                           weights (same geometry; no restart, no retrace)
 
@@ -96,14 +102,54 @@ class PredictService:
 
     def predict(self, pixels: np.ndarray, timeout: float = 30.0) -> Dict[str, Any]:
         """Enqueue one [H, W, 3] image; blocks until its batch returns."""
+        return self._enqueue(pixels, "predict", timeout)
+
+    def embed(self, pixels: np.ndarray, timeout: float = 30.0) -> Dict[str, Any]:
+        """L2-normalized image embedding for one [H, W, 3] image.
+
+        Retrieval-index building block: rides the SAME micro-batched
+        executable as :meth:`predict` (the predict program already computes
+        the normalized image feature on the way to the logits), so mixing
+        /predict and /embed traffic costs nothing extra."""
+        return self._enqueue(pixels, "embed", timeout)
+
+    def _enqueue(self, pixels: np.ndarray, kind: str, timeout: float) -> Dict[str, Any]:
         done = threading.Event()
         slot: Dict[str, Any] = {}
-        self._queue.put((pixels, slot, done))
+        self._queue.put((pixels, slot, done, kind))
         if not done.wait(timeout):
-            raise TimeoutError("predict timed out")
+            raise TimeoutError(f"{kind} timed out")
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["result"]
+
+    def embed_text(self, texts: List[str]) -> Dict[str, Any]:
+        """L2-normalized CLIP text embeddings for a list of strings.
+
+        The other half of a retrieval index (text->image search). Batches
+        are padded to the next power of two, so the executable count stays
+        logarithmic in the largest request — never a per-request retrace."""
+        import jax.numpy as jnp
+
+        if not texts:
+            return {"embeddings": []}
+        m = self.model
+        ids = np.asarray(
+            m.tokenizer.tokenize(list(texts), m.clip_cfg.context_length)
+        )
+        n = len(texts)
+        n_pad = 1 << (n - 1).bit_length()  # next power of two
+        if n_pad != n:
+            ids = np.concatenate(
+                [ids, np.zeros((n_pad - n, ids.shape[1]), ids.dtype)]
+            )
+        with self._lock:
+            feats = _cached_text_embed_fn(m.clip_cfg)(
+                m.clip_params, jnp.asarray(ids)
+            )
+        feats = np.asarray(feats, np.float32)[:n]
+        return {"embeddings": [[round(float(v), 6) for v in row]
+                               for row in feats]}
 
     def explain(self, pixels: np.ndarray) -> Dict[str, Any]:
         """Prediction + context-token attribution for one image.
@@ -285,10 +331,19 @@ class PredictService:
                     x[i] = normalize(p.astype(np.float32) / 255.0)
                 else:
                     x[i] = p
+        want_embed = any(b[3] == "embed" for b in batch)
         try:
             with self._lock:
+                feats = None
                 if self.model.prompt_cfg.image_conditioned:
                     out = self.model(jnp.asarray(x))
+                    if want_embed:
+                        # the wrapper forward doesn't expose features;
+                        # one extra jitted encode covers embed traffic
+                        m = self.model
+                        feats = _cached_image_embed_fn(m.clip_cfg)(
+                            m.clip_params, jnp.asarray(x)
+                        )
                 else:
                     m = self.model
                     xb = jnp.asarray(x)
@@ -305,7 +360,7 @@ class PredictService:
                         xb = jax.device_put(
                             xb, NamedSharding(self.mesh, P(DATA_AXIS))
                         )
-                    logits = _cached_predict_fn(m.clip_cfg)(
+                    logits, feats = _cached_predict_fn(m.clip_cfg)(
                         m.clip_params,
                         self._cached_text_feats(),
                         m.trainable["logit_scale"],
@@ -315,21 +370,28 @@ class PredictService:
                     out = {"logits": logits[:, : m.n_cls]}
                 names = list(self.model.class_names)
             logits = np.asarray(out["logits"], np.float32)[: len(batch)]
+            if feats is not None:
+                feats = np.asarray(feats, np.float32)[: len(batch)]
             probs = _softmax(logits)
             preds = logits.argmax(-1)
-            for i, (_, slot, done) in enumerate(batch):
-                slot["result"] = {
-                    "index": int(preds[i]),
-                    "class": names[int(preds[i])],
-                    "probs": {n: round(float(probs[i, j]), 6)
-                              for j, n in enumerate(names)},
-                }
+            for i, (_, slot, done, kind) in enumerate(batch):
+                if kind == "embed":
+                    slot["result"] = {
+                        "embedding": [round(float(v), 6) for v in feats[i]]
+                    }
+                else:
+                    slot["result"] = {
+                        "index": int(preds[i]),
+                        "class": names[int(preds[i])],
+                        "probs": {n: round(float(probs[i, j]), 6)
+                                  for j, n in enumerate(names)},
+                    }
                 done.set()
             self._n_requests += len(batch)
             self._n_batches += 1
             self._batch_ms_total += (time.monotonic() - t_start) * 1e3
         except Exception as e:  # noqa: BLE001 - propagate to every waiter
-            for _, slot, done in batch:
+            for _, slot, done, _kind in batch:
                 slot["error"] = f"{type(e).__name__}: {e}"
                 done.set()
 
@@ -357,7 +419,9 @@ def _cached_text_fn(clip_cfg, prompt_cfg):
 def _cached_predict_fn(clip_cfg):
     """ONE jitted executable for the serving hot path: image tower + logits
     against precomputed text features. Eager composition here would dispatch
-    the ~12-block tower op by op (ruinous on tunneled devices)."""
+    the ~12-block tower op by op (ruinous on tunneled devices). Also returns
+    the normalized image features (they exist on the way to the logits
+    anyway) so /embed traffic shares the executable."""
     import jax
     import jax.numpy as jnp
 
@@ -370,9 +434,43 @@ def _cached_predict_fn(clip_cfg):
         )
         scale = jnp.exp(logit_scale)
         logits = scale * img.astype(jnp.float32) @ text_feats.astype(jnp.float32).T
-        return jnp.where(class_mask[None], logits, -1e30)
+        return jnp.where(class_mask[None], logits, -1e30), img
 
     return predict
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_image_embed_fn(clip_cfg):
+    """Normalized image features alone (image-conditioned configs, whose
+    predict path doesn't expose them)."""
+    import jax
+
+    from tapclip_tpu.models import clip as clip_model
+
+    @jax.jit
+    def embed(clip_params, images):
+        return clip_model.l2_normalize(
+            clip_model.encode_image(clip_params, clip_cfg, images)
+        )
+
+    return embed
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_text_embed_fn(clip_cfg):
+    """Normalized CLIP text features (proper encoder: pos emb + causal mask
+    + ln_final + EOT pooling) for /embed_text."""
+    import jax
+
+    from tapclip_tpu.models import clip as clip_model
+
+    @jax.jit
+    def embed(clip_params, token_ids):
+        return clip_model.l2_normalize(
+            clip_model.encode_text(clip_params, clip_cfg, token_ids)
+        )
+
+    return embed
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:
@@ -476,6 +574,12 @@ def make_http_server(service: PredictService, host: str = "127.0.0.1",
                     pixels = decode_image_payload(payload, image_size,
                                                   keep_uint8=True)
                     self._send(200, service.explain(pixels))
+                elif self.path == "/embed":
+                    pixels = decode_image_payload(payload, image_size,
+                                                  keep_uint8=True)
+                    self._send(200, service.embed(pixels))
+                elif self.path == "/embed_text":
+                    self._send(200, service.embed_text(payload["texts"]))
                 elif self.path == "/classes":
                     self._send(200, {"classes": service.add_class(payload["name"])})
                 elif self.path == "/reload":

@@ -194,3 +194,144 @@ def test_validation_fn(tiny_cfg, rng):
     }
     for v in metrics.values():
         assert 0.0 <= v <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# GradCache full-negatives accumulation (make_accum_pretrain_step)
+# ---------------------------------------------------------------------------
+
+def _macro(cfg, rng, n):
+    images = jnp.asarray(
+        rng.standard_normal((n, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32,
+    )
+    ids = jnp.asarray(
+        rng.integers(1, cfg.vocab_size - 2, (n, cfg.context_length)), jnp.int32
+    )
+    return images, ids
+
+
+def _copy(tree):
+    # Both steps donate (params, opt_state); never reuse a donated tree.
+    return jax.tree.map(jnp.array, tree)
+
+
+def test_accum_step_matches_one_shot(tiny_cfg, rng):
+    """K-micro GradCache step == one plain step on the same KxB macro batch:
+    same loss, same updated params (the exact-objective claim)."""
+    from tapclip_tpu.pretrain import make_accum_pretrain_step
+
+    cfg = tiny_cfg
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    # SGD so the param delta IS the gradient (Adam's normalizer amplifies
+    # fp-noise sign flips on ~zero-gradient elements into full +-lr).
+    opt = optax.sgd(1e-2)
+    images, ids = _macro(cfg, rng, 8)
+
+    one = make_pretrain_step(cfg, opt)
+    p1, s1, m1 = one(_copy(params), opt.init(_copy(params)), images, ids)
+
+    acc = make_accum_pretrain_step(cfg, opt, k=4)
+    p2, s2, m2 = acc(_copy(params), opt.init(_copy(params)), images, ids)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+        ),
+        p1,
+        p2,
+    )
+
+
+def test_accum_step_matches_one_shot_siglip(tiny_cfg, rng):
+    from tapclip_tpu.pretrain import add_siglip_params, make_accum_pretrain_step
+
+    cfg = tiny_cfg
+    params = add_siglip_params(C.init_clip_params(jax.random.PRNGKey(0), cfg))
+    opt = optax.sgd(1e-2)
+    images, ids = _macro(cfg, rng, 8)
+
+    one = make_pretrain_step(cfg, opt, loss="siglip")
+    p1, _, m1 = one(_copy(params), opt.init(_copy(params)), images, ids)
+    acc = make_accum_pretrain_step(cfg, opt, k=2, loss="siglip")
+    p2, _, m2 = acc(_copy(params), opt.init(_copy(params)), images, ids)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p1["logit_bias"]), np.asarray(p2["logit_bias"]),
+        rtol=1e-4, atol=1e-7,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+        ),
+        p1,
+        p2,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_accum_step_sharded_matches_unsharded(tiny_cfg, rng):
+    """Mesh form: negatives span K x B_global; equals the single-device step."""
+    from tapclip_tpu.pretrain import make_accum_pretrain_step
+
+    cfg = tiny_cfg
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.sgd(1e-2)
+    images, ids = _macro(cfg, rng, 16)
+
+    ref = make_accum_pretrain_step(cfg, opt, k=2)
+    p_ref, _, m_ref = ref(_copy(params), opt.init(_copy(params)), images, ids)
+
+    mesh = make_mesh(dp=8, tp=1)
+    acc = make_accum_pretrain_step(cfg, opt, k=2, mesh=mesh)
+    with mesh:
+        params_d = shard_params(_copy(params), mesh)
+        opt_state = replicate(opt.init(_copy(params)), mesh)
+        images_d, ids_d = shard_batch((images, ids), mesh)
+        p_d, _, m_d = acc(params_d, opt_state, images_d, ids_d)
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_d["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+        ),
+        p_ref,
+        jax.device_get(p_d),
+    )
+
+
+def test_accum_step_stochastic_knobs(tiny_cfg, rng):
+    """augment + patch_dropout run inside the accum step; rng is enforced."""
+    from tapclip_tpu.data.augment import AugmentConfig
+    from tapclip_tpu.pretrain import make_accum_pretrain_step
+
+    cfg = tiny_cfg.replace(patch_dropout=0.5)
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    images, ids = _macro(cfg, rng, 4)
+    acc = make_accum_pretrain_step(
+        cfg, opt, k=2, augment=AugmentConfig(scale=(0.8, 1.0), hflip=0.5)
+    )
+    with pytest.raises(ValueError, match="rng"):
+        acc(_copy(params), opt.init(_copy(params)), images, ids)
+    p, s, m = acc(
+        _copy(params), opt.init(_copy(params)), images, ids,
+        jax.random.PRNGKey(3),
+    )
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_accum_step_validates_shapes(tiny_cfg, rng):
+    from tapclip_tpu.pretrain import make_accum_pretrain_step
+
+    with pytest.raises(ValueError, match="k >= 2"):
+        make_accum_pretrain_step(tiny_cfg, optax.adam(1e-3), k=1)
+    acc = make_accum_pretrain_step(tiny_cfg, optax.adam(1e-3), k=3)
+    params = C.init_clip_params(jax.random.PRNGKey(0), tiny_cfg)
+    images, ids = _macro(tiny_cfg, rng, 4)  # 4 % 3 != 0
+    opt = optax.adam(1e-3)
+    with pytest.raises(ValueError, match="divisible"):
+        acc(params, opt.init(params), images, ids)

@@ -409,3 +409,81 @@ def test_hot_reload_http_route(service, tiny_cfg, tmp_path):
         assert out["reloaded"] is True
     finally:
         server.shutdown()
+
+
+def test_embed_image(service, model, tiny_cfg):
+    """/embed returns the L2-normalized image feature and matches a direct
+    tower call (it rides the predict executable)."""
+    import jax.numpy as jnp
+
+    from tapclip_tpu.models import clip as C
+
+    px = _rand_pixels(tiny_cfg.image_size, seed=11)
+    emb = np.asarray(service.embed(px)["embedding"], np.float32)
+    assert emb.shape == (tiny_cfg.embed_dim,)
+    assert abs(float(np.linalg.norm(emb)) - 1.0) < 1e-2
+    ref = C.l2_normalize(
+        C.encode_image(model.clip_params, tiny_cfg, jnp.asarray(px[None]))
+    )[0]
+    np.testing.assert_allclose(emb, np.asarray(ref, np.float32), atol=2e-3)
+
+
+def test_embed_and_predict_share_batches(service, tiny_cfg):
+    """Mixed /embed + /predict traffic batches together; each caller gets
+    its own result kind."""
+    results = {}
+
+    def call(i):
+        px = _rand_pixels(tiny_cfg.image_size, seed=100 + i)
+        results[i] = (service.embed(px) if i % 2 else service.predict(px))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert len(results) == 8
+    for i, out in results.items():
+        assert ("embedding" in out) == bool(i % 2)
+
+
+def test_embed_text(service, model, tiny_cfg):
+    """/embed_text: unit-norm rows, one per input, pad rows never leak, and
+    the power-of-two padding doesn't change any row's value."""
+    texts = ["a photo of a backpack", "a pen", "a monitor on a desk"]
+    out = service.embed_text(texts)
+    embs = np.asarray(out["embeddings"], np.float32)
+    assert embs.shape == (3, tiny_cfg.embed_dim)
+    np.testing.assert_allclose(
+        np.linalg.norm(embs, axis=-1), np.ones(3), atol=1e-2
+    )
+    solo = np.asarray(service.embed_text([texts[0]])["embeddings"],
+                      np.float32)
+    np.testing.assert_allclose(solo[0], embs[0], atol=1e-4)
+    assert service.embed_text([]) == {"embeddings": []}
+
+
+def test_http_embed_routes(service, tiny_cfg):
+    server = make_http_server(service, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        def post(path, obj):
+            req = urllib.request.Request(
+                base + path, json.dumps(obj).encode(),
+                {"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        s = tiny_cfg.image_size
+        out = post("/embed", {"pixels": np.zeros((s, s, 3), np.uint8).tolist()})
+        assert len(out["embedding"]) == tiny_cfg.embed_dim
+        out = post("/embed_text", {"texts": ["a pen", "a backpack"]})
+        assert len(out["embeddings"]) == 2
+        assert len(out["embeddings"][0]) == tiny_cfg.embed_dim
+    finally:
+        server.shutdown()
+        server.server_close()
