@@ -10,6 +10,11 @@ Usage:
   python scripts/convert_checkpoint.py prompt --src best_model_epoch27_acc99.71.pt \\
       --classes Backpack Alarm_Clock Laptop Pen --model ViT-B-32 \\
       --dst converted/prompt_ckpt
+
+  # Orbax param tree (pretrained/EMA/distilled here) -> open_clip .bin,
+  # loadable back into the torch ecosystem
+  python scripts/convert_checkpoint.py export --src pretrain_out/clip_pretrained \\
+      --model ViT-B-16 --dst exported_model.bin
 """
 
 from __future__ import annotations
@@ -29,6 +34,11 @@ def main(argv=None):
     pc.add_argument("--src", required=True)
     pc.add_argument("--model", default="ViT-B-32")
     pc.add_argument("--dst", required=True)
+
+    pe = sub.add_parser("export", help="Orbax param tree -> open_clip .bin")
+    pe.add_argument("--src", required=True)
+    pe.add_argument("--model", default="ViT-B-16")
+    pe.add_argument("--dst", required=True)
 
     pp = sub.add_parser("prompt", help="reference prompt checkpoint -> Orbax")
     pp.add_argument("--src", required=True)
@@ -57,6 +67,17 @@ def main(argv=None):
         ocp.PyTreeCheckpointer().save(os.path.abspath(args.dst), params, force=True)
         n = sum(x.size for x in jax.tree.leaves(params))
         print(f"converted {n:,} params -> {args.dst}")
+        return
+
+    if args.cmd == "export":
+        import orbax.checkpoint as ocp
+
+        from tapclip_tpu.utils.torch_convert import save_openclip_checkpoint
+
+        params = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.src))
+        save_openclip_checkpoint(params, cfg, args.dst)
+        n = sum(x.size for x in jax.tree.leaves(params))
+        print(f"exported {n:,} params -> {args.dst}")
         return
 
     # prompt checkpoint

@@ -322,3 +322,147 @@ def load_reference_prompt_checkpoint(
     path: str, seen_class_names: Sequence[str]
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     return convert_prompt_state_dict(load_torch_file(path), seen_class_names)
+
+
+# ---------------------------------------------------------------------------
+# Export (JAX -> open_clip): the exact inverse of convert_openclip_state_dict
+# ---------------------------------------------------------------------------
+
+
+def _export_block(blk: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """Our block dict (one layer, unstacked) -> open_clip resblock keys."""
+    return {
+        f"{prefix}.ln_1.weight": _f32(blk["ln_1"]["scale"]),
+        f"{prefix}.ln_1.bias": _f32(blk["ln_1"]["bias"]),
+        f"{prefix}.attn.in_proj_weight": _f32(blk["attn"]["w_qkv"]).T,
+        f"{prefix}.attn.in_proj_bias": _f32(blk["attn"]["b_qkv"]),
+        f"{prefix}.attn.out_proj.weight": _f32(blk["attn"]["w_out"]).T,
+        f"{prefix}.attn.out_proj.bias": _f32(blk["attn"]["b_out"]),
+        f"{prefix}.ln_2.weight": _f32(blk["ln_2"]["scale"]),
+        f"{prefix}.ln_2.bias": _f32(blk["ln_2"]["bias"]),
+        f"{prefix}.mlp.c_fc.weight": _f32(blk["mlp"]["w_fc"]).T,
+        f"{prefix}.mlp.c_fc.bias": _f32(blk["mlp"]["b_fc"]),
+        f"{prefix}.mlp.c_proj.weight": _f32(blk["mlp"]["w_proj"]).T,
+        f"{prefix}.mlp.c_proj.bias": _f32(blk["mlp"]["b_proj"]),
+    }
+
+
+def _unstack_blocks(blocks: Dict[str, Any], n: int):
+    import jax
+
+    return [jax.tree.map(lambda a: np.asarray(a)[i], blocks) for i in range(n)]
+
+
+def _export_conv(p: Dict[str, Any]) -> np.ndarray:
+    """HWIO -> torch conv [O, I, kh, kw]."""
+    return _f32(p["w"]).transpose(3, 2, 0, 1)
+
+
+def _export_bn(p: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        f"{prefix}.weight": _f32(p["scale"]),
+        f"{prefix}.bias": _f32(p["bias"]),
+        f"{prefix}.running_mean": _f32(p["mean"]),
+        f"{prefix}.running_var": _f32(p["var"]),
+    }
+
+
+def _export_resnet_visual(v: Dict[str, Any], cfg: CLIPConfig) -> Dict[str, np.ndarray]:
+    sd: Dict[str, np.ndarray] = {
+        "visual.conv1.weight": _export_conv(v["conv1"]),
+        **_export_bn(v["bn1"], "visual.bn1"),
+        "visual.conv2.weight": _export_conv(v["conv2"]),
+        **_export_bn(v["bn2"], "visual.bn2"),
+        "visual.conv3.weight": _export_conv(v["conv3"]),
+        **_export_bn(v["bn3"], "visual.bn3"),
+    }
+    for li, n_blocks in enumerate(cfg.resnet_layers):
+        for b in range(n_blocks):
+            blk = v[f"layer{li + 1}"][b]
+            prefix = f"visual.layer{li + 1}.{b}"
+            sd[f"{prefix}.conv1.weight"] = _export_conv(blk["conv1"])
+            sd.update(_export_bn(blk["bn1"], f"{prefix}.bn1"))
+            sd[f"{prefix}.conv2.weight"] = _export_conv(blk["conv2"])
+            sd.update(_export_bn(blk["bn2"], f"{prefix}.bn2"))
+            sd[f"{prefix}.conv3.weight"] = _export_conv(blk["conv3"])
+            sd.update(_export_bn(blk["bn3"], f"{prefix}.bn3"))
+            if "downsample" in blk:
+                sd[f"{prefix}.downsample.0.weight"] = _export_conv(
+                    blk["downsample"]["conv"]
+                )
+                sd.update(
+                    _export_bn(blk["downsample"]["bn"], f"{prefix}.downsample.1")
+                )
+    ap = v["attnpool"]
+    sd["visual.attnpool.positional_embedding"] = _f32(ap["positional_embedding"])
+    for n in ("q", "k", "v", "c"):
+        sd[f"visual.attnpool.{n}_proj.weight"] = _f32(ap[f"{n}_proj"]["w"])
+        sd[f"visual.attnpool.{n}_proj.bias"] = _f32(ap[f"{n}_proj"]["b"])
+    return sd
+
+
+def export_openclip_state_dict(
+    params: Dict[str, Any], cfg: CLIPConfig
+) -> Dict[str, np.ndarray]:
+    """tapclip_tpu param pytree -> open_clip CLIP state dict (numpy values).
+
+    The inverse of :func:`convert_openclip_state_dict`, so a pretrained /
+    distilled / EMA tree can go back to the torch ecosystem (open_clip
+    ``load_state_dict``, the reference's ``clip_wrapper.py:13-15`` loader).
+    Training-only extras that have no open_clip slot (``kd_proj``, unmerged
+    LoRA adapters) are rejected loudly — merge/strip before exporting.
+    ``logit_bias`` (SigLIP trees) is exported when present.
+    """
+    known = {"visual", "text", "logit_scale", "logit_bias"}
+    extras = set(params) - known
+    if extras:
+        raise ValueError(
+            f"param tree has no open_clip slot for {sorted(extras)}: "
+            "strip kd_proj (distill.strip_distill_params) / merge LoRA "
+            "(peft.merge_lora) before exporting"
+        )
+    t = params["text"]
+    n_text = int(np.asarray(t["blocks"]["ln_1"]["scale"]).shape[0])
+    sd: Dict[str, np.ndarray] = {}
+    if cfg.vision_tower == "resnet":
+        sd.update(_export_resnet_visual(params["visual"], cfg))
+    else:
+        v = params["visual"]
+        patch_w = _f32(v["patch_embed"]["w"])  # [kh*kw*C, O]
+        k = cfg.patch_size
+        O = patch_w.shape[1]
+        sd["visual.conv1.weight"] = (
+            patch_w.reshape(k, k, 3, O).transpose(3, 2, 0, 1)
+        )
+        sd["visual.class_embedding"] = _f32(v["class_embedding"])
+        sd["visual.positional_embedding"] = _f32(v["positional_embedding"])
+        sd["visual.ln_pre.weight"] = _f32(v["ln_pre"]["scale"])
+        sd["visual.ln_pre.bias"] = _f32(v["ln_pre"]["bias"])
+        n_vis = int(np.asarray(v["blocks"]["ln_1"]["scale"]).shape[0])
+        for i, blk in enumerate(_unstack_blocks(v["blocks"], n_vis)):
+            sd.update(_export_block(blk, f"visual.transformer.resblocks.{i}"))
+        sd["visual.ln_post.weight"] = _f32(v["ln_post"]["scale"])
+        sd["visual.ln_post.bias"] = _f32(v["ln_post"]["bias"])
+        sd["visual.proj"] = _f32(v["proj"])
+    for i, blk in enumerate(_unstack_blocks(t["blocks"], n_text)):
+        sd.update(_export_block(blk, f"transformer.resblocks.{i}"))
+    sd["token_embedding.weight"] = _f32(t["token_embedding"])
+    sd["positional_embedding"] = _f32(t["positional_embedding"])
+    sd["ln_final.weight"] = _f32(t["ln_final"]["scale"])
+    sd["ln_final.bias"] = _f32(t["ln_final"]["bias"])
+    sd["text_projection"] = _f32(t["text_projection"])
+    sd["logit_scale"] = _f32(params["logit_scale"]).reshape(())
+    if "logit_bias" in params:
+        sd["logit_bias"] = _f32(params["logit_bias"]).reshape(())
+    return sd
+
+
+def save_openclip_checkpoint(
+    params: Dict[str, Any], cfg: CLIPConfig, path: str
+) -> str:
+    """Export + ``torch.save`` as a plain open_clip ``.bin`` state dict."""
+    import torch
+
+    sd = export_openclip_state_dict(params, cfg)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+    return path

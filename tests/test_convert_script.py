@@ -141,3 +141,91 @@ def test_convert_at_higher_resolution(torch_model, rng):
     feats = C.encode_image(params, big, imgs)
     assert feats.shape == (2, big.embed_dim)
     assert bool(jnp.isfinite(feats).all())
+
+
+# ---------------------------------------------------------------------------
+# Export direction (JAX -> open_clip .bin)
+# ---------------------------------------------------------------------------
+
+
+def test_export_inverts_convert(torch_model):
+    """import(sd) -> export == identity on the torch side (every key)."""
+    from tapclip_tpu.utils.torch_convert import (
+        convert_openclip_state_dict,
+        export_openclip_state_dict,
+    )
+
+    sd = {k: np.asarray(v) for k, v in torch_model.openclip_state_dict().items()}
+    back = export_openclip_state_dict(convert_openclip_state_dict(sd, CFG), CFG)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(
+            back[k].astype(np.float32), sd[k].astype(np.float32), err_msg=k
+        )
+
+
+def test_export_script_roundtrip(tmp_path, rng):
+    """Orbax tree -> script export -> .bin -> load_openclip_checkpoint ==
+    the original tree (covers the CLI path + torch serialization)."""
+    import orbax.checkpoint as ocp
+
+    from tapclip_tpu.utils.torch_convert import load_openclip_checkpoint
+
+    params = C.init_clip_params(jax.random.PRNGKey(7), CFG)
+    src = tmp_path / "tree"
+    ocp.PyTreeCheckpointer().save(str(src), jax.tree.map(np.asarray, params))
+    dst = tmp_path / "exported.bin"
+    convert_checkpoint.main(
+        ["export", "--src", str(src), "--model", "parity-test", "--dst", str(dst)]
+    )
+    back = load_openclip_checkpoint(str(dst), CFG)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.tree.map(np.asarray, params),
+        back,
+    )
+
+
+def test_export_resnet_roundtrip():
+    """RN-family: export -> import == identity on our side (conv layout,
+    BN stats, bottleneck downsample keys, attnpool)."""
+    from tapclip_tpu.config import CLIPConfig
+    from tapclip_tpu.utils.torch_convert import (
+        convert_openclip_state_dict,
+        export_openclip_state_dict,
+    )
+
+    rcfg = CLIPConfig(
+        name="rn-export-test", vision_tower="resnet", image_size=64,
+        vision_width=16, resnet_layers=(1, 1, 1, 1), vocab_size=100,
+        context_length=12, text_width=16, text_layers=2, text_heads=2,
+        embed_dim=24,
+    )
+    params = C.init_clip_params(jax.random.PRNGKey(2), rcfg)
+    params = jax.tree.map(np.asarray, params)
+    back = convert_openclip_state_dict(
+        export_openclip_state_dict(params, rcfg), rcfg
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params,
+        back,
+    )
+
+
+def test_export_rejects_training_extras(rng):
+    from tapclip_tpu.utils.torch_convert import export_openclip_state_dict
+
+    params = C.init_clip_params(jax.random.PRNGKey(0), CFG)
+    params = dict(params, kd_proj={"w": np.zeros((4, 4), np.float32)})
+    with pytest.raises(ValueError, match="kd_proj"):
+        export_openclip_state_dict(params, CFG)
+
+
+def test_export_logit_bias_passthrough():
+    from tapclip_tpu.pretrain import add_siglip_params
+    from tapclip_tpu.utils.torch_convert import export_openclip_state_dict
+
+    params = add_siglip_params(C.init_clip_params(jax.random.PRNGKey(0), CFG))
+    sd = export_openclip_state_dict(params, CFG)
+    assert "logit_bias" in sd and sd["logit_bias"].shape == ()
