@@ -26,7 +26,9 @@ Endpoints (JSON):
                           {"pixels": [[...]]} ([H, W, 3] f32 0-1 or uint8)
                           -> {"class": str, "index": int, "probs": {name: p}}
   POST /explain           same payload -> prediction + per-class context-token
-                          attribution rows (the interpretability signal)
+                          attribution rows (the interpretability signal);
+                          add "saliency": true|"rollout"|"last" for the
+                          class token's patch-saliency grid (ViT towers)
   POST /embed             same image payload -> {"embedding": [E floats]}
                           (L2-normalized image feature; rides the SAME
                           micro-batched executable as /predict)
@@ -151,13 +153,18 @@ class PredictService:
         return {"embeddings": [[round(float(v), 6) for v in row]
                                for row in feats]}
 
-    def explain(self, pixels: np.ndarray) -> Dict[str, Any]:
+    def explain(self, pixels: np.ndarray, saliency=None) -> Dict[str, Any]:
         """Prediction + context-token attribution for one image.
 
         Attribution is the model's interpretability signal (which context
         tokens the text encoder attends to for each class). Class-level for
         standard configs; per-sample when ``image_conditioned``. Not
-        micro-batched — explainability is not a hot path."""
+        micro-batched — explainability is not a hot path.
+
+        ``saliency``: ``True``/``"rollout"``/``"last"`` adds the class
+        token's patch-saliency grid (``utils/saliency.patch_saliency``) —
+        WHERE in the image the model looked, complementing the text-side
+        attribution's WHICH-tokens."""
         import jax.numpy as jnp
 
         px = pixels[None] if pixels.dtype == np.uint8 else pixels[None].astype(
@@ -172,7 +179,7 @@ class PredictService:
         if attr.ndim == 3:  # image-conditioned: [B, C, P]
             attr = attr[0]
         pred = int(logits.argmax())
-        return {
+        result = {
             "index": pred,
             "class": names[pred],
             "probs": {n: round(float(probs[j]), 6) for j, n in enumerate(names)},
@@ -181,6 +188,18 @@ class PredictService:
                 for j, n in enumerate(names)
             },
         }
+        if saliency:
+            from tapclip_tpu.utils.saliency import patch_saliency
+
+            method = "rollout" if saliency is True else str(saliency)
+            grid = patch_saliency(
+                self.model.clip_params, self.model.clip_cfg,
+                jnp.asarray(px), method=method,
+            )
+            result["saliency"] = [
+                [round(float(v), 6) for v in row] for row in grid[0]
+            ]
+        return result
 
     def add_class(self, name: str) -> List[str]:
         with self._lock:
@@ -573,7 +592,8 @@ def make_http_server(service: PredictService, host: str = "127.0.0.1",
                 elif self.path == "/explain":
                     pixels = decode_image_payload(payload, image_size,
                                                   keep_uint8=True)
-                    self._send(200, service.explain(pixels))
+                    self._send(200, service.explain(
+                        pixels, saliency=payload.get("saliency")))
                 elif self.path == "/embed":
                     pixels = decode_image_payload(payload, image_size,
                                                   keep_uint8=True)

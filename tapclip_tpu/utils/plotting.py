@@ -87,6 +87,31 @@ def save_attribution_chart(
     return out_path
 
 
+def save_saliency_overlay(
+    image,  # [H, W, 3] float in [0, 1] (display-space, NOT CLIP-normalized)
+    grid,  # [g, g] float in [0, 1] (utils/saliency.patch_saliency row)
+    out_path: str,
+    title: str = "Patch saliency (attention rollout)",
+    alpha: float = 0.5,
+) -> str:
+    """Patch-saliency heatmap overlaid on the image (bilinear-upsampled)."""
+    plt = _plt()
+    image = np.clip(np.asarray(image, np.float32), 0.0, 1.0)
+    grid = np.asarray(grid, np.float32)
+    plt.figure(figsize=(4, 4))
+    plt.imshow(image)
+    plt.imshow(
+        grid, cmap="jet", alpha=alpha, interpolation="bilinear",
+        extent=(0, image.shape[1], image.shape[0], 0),
+    )
+    plt.axis("off")
+    plt.title(title, fontsize=9)
+    plt.tight_layout()
+    plt.savefig(out_path, bbox_inches="tight")
+    plt.close()
+    return out_path
+
+
 def save_cross_domain_bar(
     results: List[Dict],
     out_path: str,
