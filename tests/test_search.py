@@ -1,0 +1,93 @@
+"""Similarity-search tests (tapclip_tpu/search.py)."""
+
+import numpy as np
+import pytest
+
+from tapclip_tpu.search import SearchIndex, _pow2_pad, main
+
+
+def _unit(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    emb = _unit(rng, 37, 16)
+    manifest = [[str(i), f"item_{i}", "cls"] for i in range(37)]
+    return emb, manifest
+
+
+def test_pow2_pad():
+    assert [_pow2_pad(n) for n in (1, 2, 3, 5, 8, 9)] == [1, 2, 4, 8, 8, 16]
+
+
+def test_self_query_top1(corpus):
+    emb, manifest = corpus
+    idx = SearchIndex(emb, manifest)
+    scores, rows = idx.search(emb[:5], k=1)
+    # each row's nearest neighbour is itself (bf16 index: scores ~1)
+    np.testing.assert_array_equal(rows[:, 0], np.arange(5))
+    assert scores.min() > 0.98
+
+
+def test_matches_numpy_exact(corpus):
+    emb, manifest = corpus
+    idx = SearchIndex(emb, manifest)
+    rng = np.random.default_rng(1)
+    q = _unit(rng, 3, 16)
+    _, rows = idx.search(q, k=4)
+    # bf16 scoring can swap near-ties; compare against bf16-truncated numpy
+    ref = q.astype(np.float32) @ emb.astype(np.float32).T
+    for b in range(3):
+        ref_top = set(np.argsort(-ref[b])[:6])
+        assert set(rows[b]).issubset(ref_top)
+
+
+def test_k_clamped_and_query_padding(corpus):
+    emb, manifest = corpus
+    idx = SearchIndex(emb, manifest)
+    scores, rows = idx.search(emb[0], k=1000)  # 1-row query, k > N
+    assert rows.shape == (1, 37)
+    # three-row query pads to 4 internally; output stays 3
+    scores, rows = idx.search(emb[:3], k=2)
+    assert rows.shape == (3, 2)
+
+
+def test_validation_errors(corpus):
+    emb, manifest = corpus
+    with pytest.raises(ValueError, match="manifest rows"):
+        SearchIndex(emb, manifest[:-1])
+    idx = SearchIndex(emb, manifest)
+    with pytest.raises(ValueError, match="query dim"):
+        idx.search(np.zeros((1, 8), np.float32))
+
+
+def test_cli_row_and_text(tmp_path, corpus):
+    import csv
+    import jax
+
+    from tapclip_tpu.config import TINY_TEST
+    from tapclip_tpu.featurize import load_clip_params, make_image_embed_fn
+
+    # Build a real tiny-model index so --text query dims match.
+    params = load_clip_params(TINY_TEST, None)
+    images = jax.random.uniform(
+        jax.random.PRNGKey(0),
+        (6, TINY_TEST.image_size, TINY_TEST.image_size, 3))
+    emb = np.asarray(make_image_embed_fn(TINY_TEST)(params, images),
+                     np.float16)
+    np.save(tmp_path / "image_embeddings.npy", emb)
+    with open(tmp_path / "manifest.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(("index", "path", "class"))
+        w.writerows((i, f"img_{i}.jpg", "c") for i in range(6))
+
+    res = main(["--index", str(tmp_path), "--row", "2", "-k", "3"])
+    assert res[0]["row"] == 2 and res[0]["score"] > 0.98
+    assert len(res) == 3 and res[0]["meta"][1] == "img_2.jpg"
+
+    res = main(["--index", str(tmp_path), "--text", "a photo",
+                "-k", "2", "--preset", "tiny"])
+    assert len(res) == 2 and all(-1.01 <= r["score"] <= 1.01 for r in res)
