@@ -477,6 +477,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
         args.accum_full_negatives
         if lora is None and teacher_params is None else 1
     )
+    import contextlib
+
+    from tapclip_tpu.utils.logging_utils import maybe_profile
+
+    _profile = contextlib.ExitStack()
+    _profile.enter_context(maybe_profile(args.profile_dir))
     for epoch in range(start_epoch, cfg.train.epochs + 1):
         losses = []
         macro_buf = []  # --accum-full-negatives: partial macros drop at epoch end
@@ -564,6 +570,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
                     shutil.rmtree(full, ignore_errors=True)
             log.info("pretrain snapshot at epoch %d -> %s", epoch, new_snap)
 
+    _profile.close()
     ckpt = os.path.join(paths["model_dir"], "clip_pretrained")
     import orbax.checkpoint as ocp
 
