@@ -307,12 +307,18 @@ def main(argv: Optional[List[str]] = None) -> dict:
             manifest_rows.append((i, path, index.classes[label]))
         header = ("index", "path", "class")
     else:
-        samples = list(
-            iter_shard_samples_deterministic(args.shard_dir, cfg.image_size, dtype)
+        # Stream — decoded images are never all resident (LAION-scale
+        # corpora); captions (strings) are collected on the way through.
+        def tee_captions(it):
+            for arr, cap in it:
+                captions.append(cap)
+                yield arr, cap
+
+        stream = iter_shard_samples_deterministic(
+            args.shard_dir, cfg.image_size, dtype
         )
-        captions = [c for _, c in samples]
         feats = featurize_images(
-            params, cfg, _batched(iter(samples), args.batch_size),
+            params, cfg, _batched(tee_captions(stream), args.batch_size),
             embed_fn=make_image_embed_fn(cfg, mesh),
         )
         for i, c in enumerate(captions):
