@@ -399,6 +399,11 @@ def make_accum_pretrain_step(
     Under a mesh, negatives span K·B·dp: the spliced [K·B_local, E] tables
     feed the same global-batch collectives as the plain step.
 
+    MoE towers: the Switch load-balance aux joins each micro's objective as
+    the per-micro MEAN (``moe_aux_weight / k * sum(lb_i)``) — the joint-K·B
+    lb is not computable at one-micro activation memory, so this one term
+    (unlike the contrastive loss) is the accumulation-standard approximation.
+
     Returns ``step(params, opt_state, images [K*B, ...], token_ids
     [K*B, T], rng=None) -> (params, opt_state, {"loss": ...})``; ``rng``
     is required when ``augment``/``cfg.patch_dropout`` are active
@@ -412,14 +417,18 @@ def make_accum_pretrain_step(
     needs_rng = augment is not None or cfg.patch_dropout > 0.0
     sharded = mesh is not None and mesh.shape.get(DATA_AXIS, 1) > 1
 
-    def encode_pair(params, images, token_ids, rng):
+    def encode_pair(params, images, token_ids, rng, moe_loss_out=None):
         if images.dtype == jnp.uint8:
             from tapclip_tpu.data.preprocess import device_normalize
 
             images = device_normalize(images)
         pd_rng = rng if (rng is not None and cfg.patch_dropout > 0) else None
-        img = clip_model.encode_image(params, cfg, images, rng=pd_rng)
-        txt = clip_model.encode_text(params, cfg, token_ids)
+        img = clip_model.encode_image(
+            params, cfg, images, rng=pd_rng, moe_loss_out=moe_loss_out
+        )
+        txt = clip_model.encode_text(
+            params, cfg, token_ids, moe_loss_out=moe_loss_out
+        )
         return img, txt
 
     def full_loss(params, img_all, txt_all):
@@ -482,20 +491,31 @@ def make_accum_pretrain_step(
         feats_t = jax.lax.stop_gradient(feats_t)
 
         def micro_loss(p, i):
+            moe_losses = []
             fi, ft = encode_pair(
-                p, imgs_k[i], ids_k[i], rngs[i] if needs_rng else None
+                p, imgs_k[i], ids_k[i], rngs[i] if needs_rng else None,
+                moe_loss_out=moe_losses,
             )
             img_all = jax.lax.dynamic_update_index_in_dim(feats_i, fi, i, 0)
             txt_all = jax.lax.dynamic_update_index_in_dim(feats_t, ft, i, 0)
             e = img_all.shape[-1]
-            return full_loss(p, img_all.reshape(n, e), txt_all.reshape(n, e))
+            total = full_loss(p, img_all.reshape(n, e), txt_all.reshape(n, e))
+            if moe_losses:
+                # MoE load balance as the per-micro MEAN (each micro's lb is
+                # over its own B tokens; the joint-K·B lb is not computable
+                # at one-micro activation memory — so THIS term, unlike the
+                # contrastive one, is the accumulation-standard approximation).
+                total = total + cfg.moe_aux_weight / k * sum(moe_losses)
+            return total
 
         grad_fn = jax.value_and_grad(micro_loss)
 
         def body(i, carry):
-            acc, _ = carry
+            acc, acc_l = carry
             l, g = grad_fn(params, i)
-            return jax.tree.map(jnp.add, acc, g), l
+            # mean over micros: identical micros report identical values for
+            # dense towers; for MoE it folds every micro's lb term in.
+            return jax.tree.map(jnp.add, acc, g), acc_l + l / k
 
         zeros = jax.tree.map(
             lambda a: jnp.zeros(a.shape, a.dtype), params

@@ -381,6 +381,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             )
         opt_state = optimizer.init(params)
     start_epoch = 1
+    resume_gstep = 0
     if args.resume:
         import orbax.checkpoint as ocp
 
@@ -393,6 +394,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             params = jax.tree.map(jnp.asarray, snap["params"])
         opt_state = _restore_opt_state(opt_state, snap["opt_state"])
         start_epoch = int(snap.get("epoch", 0)) + 1
+        resume_gstep = int(snap.get("gstep", 0))
         if args.shard_dir:
             # epoch-granular resume: the stream reshuffles per (seed, epoch),
             # so aligning the epoch counter reproduces the un-preempted run's
@@ -464,7 +466,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
     # Per-step rng for the stochastic knobs (augment / patch dropout):
     # fold_in(base, step counter) — a fresh, seeded stream per run.
     step_rng_base = None
-    gstep = 0
+    # Resume continues the per-step rng sequence where the snapshot left it,
+    # so a preempted-and-resumed run reproduces the un-preempted run's
+    # crops/masks (matching the shard loader's epoch-aligned restore).
+    gstep = resume_gstep
     if args.patch_dropout > 0 or args.augment:
         step_rng_base = jax.random.PRNGKey(cfg.train.seed + 7)
         if args.patch_dropout > 0:
@@ -473,104 +478,111 @@ def main(argv: Optional[List[str]] = None) -> dict:
         if args.augment:
             log.info("on-device augmentation: crop scale (%.2f, 1.0), "
                      "hflip %.2f", args.aug_scale_min, args.hflip)
-    accum_k = (
-        args.accum_full_negatives
-        if lora is None and teacher_params is None else 1
-    )
+    if args.accum_full_negatives > 1 and (
+            lora is not None or teacher_params is not None):
+        raise ValueError(
+            "--accum-full-negatives is wired for the full-tree pretraining "
+            "step only (not --lora-rank/--distill-teacher)"
+        )
+    accum_k = args.accum_full_negatives
     import contextlib
 
     from tapclip_tpu.utils.logging_utils import maybe_profile
 
     _profile = contextlib.ExitStack()
     _profile.enter_context(maybe_profile(args.profile_dir))
-    for epoch in range(start_epoch, cfg.train.epochs + 1):
-        losses = []
-        macro_buf = []  # --accum-full-negatives: partial macros drop at epoch end
-        # Decode runs on a producer thread; the loss stays a device scalar
-        # inside the loop (a float() per step would cost a host RTT each).
-        for item in background_iter(loader):
-            if caption_ids is None:  # shard streaming: (images, token_ids)
-                images, ids = item
-            else:  # ImageFolder: captions from the class-name template
-                images, labels, mask = item
-                ids = np.stack([caption_ids[int(l)] for l in labels])
-            batch = (jnp.asarray(images), jnp.asarray(ids))
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            if lora is not None:
-                lora, opt_state, m = step(params, lora, opt_state, *batch)
-            elif teacher_params is not None:
-                params, opt_state, m = step(
-                    params, teacher_params, opt_state, *batch
-                )
-                if ema_update is not None:
-                    ema_params = ema_update(ema_params, params)
-            else:
+    try:
+        for epoch in range(start_epoch, cfg.train.epochs + 1):
+            losses = []
+            macro_buf = []  # --accum-full-negatives: partial macros drop at epoch end
+            # Decode runs on a producer thread; the loss stays a device scalar
+            # inside the loop (a float() per step would cost a host RTT each).
+            for item in background_iter(loader):
+                if caption_ids is None:  # shard streaming: (images, token_ids)
+                    images, ids = item
+                else:  # ImageFolder: captions from the class-name template
+                    images, labels, mask = item
+                    ids = np.stack([caption_ids[int(l)] for l in labels])
                 if accum_k > 1:
-                    macro_buf.append(batch)
+                    # Assemble the macro batch HOST-side (np): eager device
+                    # concatenates would cost a ~100 ms dispatch each on the
+                    # tunnel, per update.
+                    macro_buf.append((np.asarray(images), np.asarray(ids)))
                     if len(macro_buf) < accum_k:
                         continue
-                    batch = tuple(
-                        jnp.concatenate(xs) for xs in zip(*macro_buf)
-                    )
+                    images = np.concatenate([b[0] for b in macro_buf])
+                    ids = np.concatenate([b[1] for b in macro_buf])
                     macro_buf = []
-                if step_rng_base is not None:
+                batch = (jnp.asarray(images), jnp.asarray(ids))
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                if lora is not None:
+                    lora, opt_state, m = step(params, lora, opt_state, *batch)
+                elif teacher_params is not None:
                     params, opt_state, m = step(
-                        params, opt_state, *batch,
-                        jax.random.fold_in(step_rng_base, gstep),
+                        params, teacher_params, opt_state, *batch
                     )
-                    gstep += 1
+                    if ema_update is not None:
+                        ema_params = ema_update(ema_params, params)
                 else:
-                    params, opt_state, m = step(params, opt_state, *batch)
-                if ema_update is not None:
-                    ema_params = ema_update(ema_params, params)
-            losses.append(m["loss"])
-        # One batched readback for the whole epoch (a float() per element
-        # would cost one ~125 ms host RTT per training step on the tunnel).
-        avg = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
-        history.append(avg)
-        log.info("[Epoch %d] contrastive loss: %.4f", epoch, avg)
-        if validate is not None:
-            tree = params
-            if lora is not None:  # evaluate the effective (merged) weights
-                from tapclip_tpu.peft import merge_lora
+                    if step_rng_base is not None:
+                        params, opt_state, m = step(
+                            params, opt_state, *batch,
+                            jax.random.fold_in(step_rng_base, gstep),
+                        )
+                        gstep += 1
+                    else:
+                        params, opt_state, m = step(params, opt_state, *batch)
+                    if ema_update is not None:
+                        ema_params = ema_update(ema_params, params)
+                losses.append(m["loss"])
+            # One batched readback for the whole epoch (a float() per element
+            # would cost one ~125 ms host RTT per training step on the tunnel).
+            avg = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            history.append(avg)
+            log.info("[Epoch %d] contrastive loss: %.4f", epoch, avg)
+            if validate is not None:
+                tree = params
+                if lora is not None:  # evaluate the effective (merged) weights
+                    from tapclip_tpu.peft import merge_lora
 
-                tree = merge_lora(params, lora, alpha=args.lora_alpha)
-            entry = _run_validation(tree)
-            if ema_params is not None:
-                entry["ema"] = _run_validation(ema_params, tag="[ema]")
-            val_history.append(entry)
-        if args.save_every and epoch % args.save_every == 0:
-            # Epoch-suffixed dir; the previous snapshot is deleted only AFTER
-            # the new save finalizes, so a preemption mid-save (the event this
-            # feature defends against) always leaves one valid resume point.
-            new_snap = os.path.abspath(f"{snap_dir}_e{epoch:06d}")
-            ocp.PyTreeCheckpointer().save(
-                new_snap,
-                {
-                    # LoRA runs snapshot the (tiny) adapter tree; the frozen
-                    # base is reproducible from --pretrained/--preset.
-                    "params": jax.tree.map(
-                        np.asarray, params if lora is None else lora
-                    ),
-                    "opt_state": jax.tree.map(np.asarray, opt_state),
-                    "epoch": epoch,
-                },
-                force=True,
-            )
-            import shutil
+                    tree = merge_lora(params, lora, alpha=args.lora_alpha)
+                entry = _run_validation(tree)
+                if ema_params is not None:
+                    entry["ema"] = _run_validation(ema_params, tag="[ema]")
+                val_history.append(entry)
+            if args.save_every and epoch % args.save_every == 0:
+                # Epoch-suffixed dir; the previous snapshot is deleted only AFTER
+                # the new save finalizes, so a preemption mid-save (the event this
+                # feature defends against) always leaves one valid resume point.
+                new_snap = os.path.abspath(f"{snap_dir}_e{epoch:06d}")
+                ocp.PyTreeCheckpointer().save(
+                    new_snap,
+                    {
+                        # LoRA runs snapshot the (tiny) adapter tree; the frozen
+                        # base is reproducible from --pretrained/--preset.
+                        "params": jax.tree.map(
+                            np.asarray, params if lora is None else lora
+                        ),
+                        "opt_state": jax.tree.map(np.asarray, opt_state),
+                        "epoch": epoch,
+                        "gstep": gstep,
+                    },
+                    force=True,
+                )
+                import shutil
 
-            base = os.path.basename(snap_dir)
-            for d in sorted(os.listdir(paths["model_dir"])):
-                # abspath BOTH sides: with a relative --output-root the
-                # unnormalized join would never equal new_snap and the
-                # sweep would delete the snapshot it just wrote.
-                full = os.path.abspath(os.path.join(paths["model_dir"], d))
-                if d.startswith(base) and full != new_snap and os.path.isdir(full):
-                    shutil.rmtree(full, ignore_errors=True)
-            log.info("pretrain snapshot at epoch %d -> %s", epoch, new_snap)
-
-    _profile.close()
+                base = os.path.basename(snap_dir)
+                for d in sorted(os.listdir(paths["model_dir"])):
+                    # abspath BOTH sides: with a relative --output-root the
+                    # unnormalized join would never equal new_snap and the
+                    # sweep would delete the snapshot it just wrote.
+                    full = os.path.abspath(os.path.join(paths["model_dir"], d))
+                    if d.startswith(base) and full != new_snap and os.path.isdir(full):
+                        shutil.rmtree(full, ignore_errors=True)
+                log.info("pretrain snapshot at epoch %d -> %s", epoch, new_snap)
+    finally:
+        _profile.close()
     ckpt = os.path.join(paths["model_dir"], "clip_pretrained")
     import orbax.checkpoint as ocp
 

@@ -136,8 +136,11 @@ def main(argv: Optional[List[str]] = None) -> List[dict]:
     index = SearchIndex.load(args.index)
 
     if args.row is not None:
-        emb = np.load(os.path.join(args.index, "image_embeddings.npy"))
-        q = emb[args.row : args.row + 1].astype(np.float32)
+        # mmap: slicing one query row must not re-read the multi-GB index.
+        emb = np.load(
+            os.path.join(args.index, "image_embeddings.npy"), mmap_mode="r"
+        )
+        q = np.array(emb[args.row : args.row + 1], np.float32)
     else:
         from tapclip_tpu.config import MODEL_PRESETS, preset
         from tapclip_tpu.featurize import (

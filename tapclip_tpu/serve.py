@@ -170,9 +170,21 @@ class PredictService:
         px = pixels[None] if pixels.dtype == np.uint8 else pixels[None].astype(
             np.float32
         )
+        grid = None
         with self._lock:
             out = self.model(jnp.asarray(px))
             names = list(self.model.class_names)
+            if saliency:
+                # Inside the SAME lock as the prediction: a concurrent
+                # /reload between the two would pair old-weight logits with
+                # new-weight saliency.
+                from tapclip_tpu.utils.saliency import patch_saliency
+
+                method = "rollout" if saliency is True else str(saliency)
+                grid = patch_saliency(
+                    self.model.clip_params, self.model.clip_cfg,
+                    jnp.asarray(px), method=method,
+                )
         logits = np.asarray(out["logits"], np.float32)[0]
         probs = _softmax(logits[None])[0]
         attr = np.asarray(out["attribution"], np.float32)
@@ -188,14 +200,7 @@ class PredictService:
                 for j, n in enumerate(names)
             },
         }
-        if saliency:
-            from tapclip_tpu.utils.saliency import patch_saliency
-
-            method = "rollout" if saliency is True else str(saliency)
-            grid = patch_saliency(
-                self.model.clip_params, self.model.clip_cfg,
-                jnp.asarray(px), method=method,
-            )
+        if grid is not None:
             result["saliency"] = [
                 [round(float(v), 6) for v in row] for row in grid[0]
             ]
@@ -461,35 +466,22 @@ def _cached_predict_fn(clip_cfg):
 @functools.lru_cache(maxsize=8)
 def _cached_image_embed_fn(clip_cfg):
     """Normalized image features alone (image-conditioned configs, whose
-    predict path doesn't expose them)."""
-    import jax
+    predict path doesn't expose them). One executable shared with offline
+    featurization — serving and index-building can never numerically
+    diverge."""
+    from tapclip_tpu.featurize import make_image_embed_fn
 
-    from tapclip_tpu.models import clip as clip_model
-
-    @jax.jit
-    def embed(clip_params, images):
-        return clip_model.l2_normalize(
-            clip_model.encode_image(clip_params, clip_cfg, images)
-        )
-
-    return embed
+    return make_image_embed_fn(clip_cfg)
 
 
 @functools.lru_cache(maxsize=8)
 def _cached_text_embed_fn(clip_cfg):
     """Normalized CLIP text features (proper encoder: pos emb + causal mask
-    + ln_final + EOT pooling) for /embed_text."""
-    import jax
+    + ln_final + EOT pooling) for /embed_text; same builder as offline
+    featurization."""
+    from tapclip_tpu.featurize import make_text_embed_fn
 
-    from tapclip_tpu.models import clip as clip_model
-
-    @jax.jit
-    def embed(clip_params, token_ids):
-        return clip_model.l2_normalize(
-            clip_model.encode_text(clip_params, clip_cfg, token_ids)
-        )
-
-    return embed
+    return make_text_embed_fn(clip_cfg)
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:

@@ -102,7 +102,10 @@ def save_saliency_overlay(
     plt.imshow(image)
     plt.imshow(
         grid, cmap="jet", alpha=alpha, interpolation="bilinear",
-        extent=(0, image.shape[1], image.shape[0], 0),
+        # Match imshow's pixel-center convention for the base image
+        # ((-0.5, W-0.5, ...)); a (0, W, ...) extent would shift the heatmap
+        # half a pixel right/down relative to what it annotates.
+        extent=(-0.5, image.shape[1] - 0.5, image.shape[0] - 0.5, -0.5),
     )
     plt.axis("off")
     plt.title(title, fontsize=9)

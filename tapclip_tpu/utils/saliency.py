@@ -17,6 +17,7 @@ serves.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -25,6 +26,16 @@ import numpy as np
 
 from tapclip_tpu.config import CLIPConfig
 from tapclip_tpu.models import layers as L
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_forward(cfg: CLIPConfig):
+    """One dispatch per request: eager per-op dispatch costs ~100 ms each on
+    the tunneled TPU, and the un-jitted forward issues hundreds (per-layer
+    param slices + block math)."""
+    return jax.jit(
+        lambda params, images: vision_attention_forward(params, cfg, images)
+    )
 
 
 def vision_attention_forward(
@@ -145,7 +156,12 @@ def patch_saliency(
     """
     if method not in ("rollout", "last"):
         raise ValueError(f"unknown saliency method {method!r}")
-    _, probs = vision_attention_forward(params, cfg, images)
+    if cfg.vision_tower == "resnet":
+        raise NotImplementedError(
+            "saliency applies to ViT towers only "
+            "(the RN-family tower has no patch-token attention)"
+        )
+    _, probs = _jitted_forward(cfg)(params, images)
     if method == "rollout":
         cls_row = attention_rollout(probs)[:, 0, 1:]  # [B, n_patches]
     else:

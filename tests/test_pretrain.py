@@ -335,3 +335,48 @@ def test_accum_step_validates_shapes(tiny_cfg, rng):
     opt = optax.adam(1e-3)
     with pytest.raises(ValueError, match="divisible"):
         acc(params, opt.init(params), images, ids)
+
+
+def test_accum_step_moe_aux_loss(tiny_cfg, rng):
+    """MoE towers under GradCache: the load-balance aux joins the objective
+    (per-micro mean) and router params receive gradients."""
+    from tapclip_tpu.pretrain import make_accum_pretrain_step
+
+    cfg = tiny_cfg.replace(moe_experts=2)
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.sgd(1e-2)
+    images, ids = _macro(cfg, rng, 8)
+
+    p0 = _copy(params)
+    acc = make_accum_pretrain_step(cfg, opt, k=4)
+    p2, _, m = acc(_copy(params), opt.init(_copy(params)), images, ids)
+    assert np.isfinite(float(m["loss"]))
+
+    # routers moved => their gradient was nonzero (the lb term reaches them)
+    def leaf_delta(path_leaf_pairs, key):
+        return [
+            float(np.abs(np.asarray(b) - np.asarray(a)).max())
+            for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(p0)[0][0:],
+                jax.tree_util.tree_flatten_with_path(p2)[0][0:],
+            )
+            if key in str(pa)
+        ]
+
+    deltas = leaf_delta(None, "router")
+    assert deltas and max(deltas) > 0.0
+
+    # aux weight moves the objective: zero-weight run reports a lower loss
+    cfg0 = cfg.replace(moe_aux_weight=0.0)
+    acc0 = make_accum_pretrain_step(cfg0, opt, k=4)
+    _, _, m0 = acc0(_copy(params), opt.init(_copy(params)), images, ids)
+    assert float(m["loss"]) > float(m0["loss"])
+
+
+def test_cli_accum_rejects_lora_and_distill(tmp_path):
+    from tapclip_tpu.pretrain_cli import main
+
+    with pytest.raises(ValueError, match="accum-full-negatives"):
+        main(["--preset", "tiny", "--synthetic-data", "--epochs", "1",
+              "--batch-size", "4", "--output-root", str(tmp_path),
+              "--accum-full-negatives", "2", "--lora-rank", "2"])
