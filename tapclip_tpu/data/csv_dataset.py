@@ -1,0 +1,113 @@
+"""CSV/TSV (image-path, caption) pretraining data path.
+
+The other standard open_clip training format besides webdataset
+(``--train-data ... --csv-img-key filepath --csv-caption-key title``): a
+delimited manifest of image paths and captions, images as loose files.
+Same batch contract as ``shards.ShardLoader`` — jit-ready
+``(images [B, H, W, 3] f32, token_ids [B, T] i32)``, per-(seed, epoch)
+shuffle, rank/world row partitioning, full batches only — so the
+pretraining loop is loader-agnostic.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, List, Tuple
+
+import numpy as np
+
+
+class CsvLoader:
+    """Iterable of ``(images, token_ids)`` batches from a CSV/TSV manifest.
+
+    Relative image paths resolve against the manifest's directory (the
+    open_clip convention). One ``__iter__`` pass is one epoch; the epoch
+    counter advances automatically and drives the shuffle order.
+    """
+
+    def __init__(
+        self,
+        csv_path: str,
+        batch_size: int,
+        *,
+        tokenize: Callable[[List[str]], np.ndarray],
+        image_size: int = 224,
+        img_key: str = "filepath",
+        caption_key: str = "title",
+        sep: str = "\t",
+        seed: int = 0,
+        rank: int = 0,
+        world: int = 1,
+        num_workers: int = 4,
+    ):
+        if world < 1 or not (0 <= rank < world):
+            raise ValueError(f"bad rank/world {rank}/{world}")
+        root = os.path.dirname(os.path.abspath(csv_path))
+        with open(csv_path, newline="") as f:
+            reader = csv.DictReader(f, delimiter=sep)
+            if reader.fieldnames is None or img_key not in reader.fieldnames \
+                    or caption_key not in reader.fieldnames:
+                raise ValueError(
+                    f"{csv_path}: need columns {img_key!r} and "
+                    f"{caption_key!r}, found {reader.fieldnames}"
+                )
+            rows = [
+                (
+                    r[img_key] if os.path.isabs(r[img_key])
+                    else os.path.join(root, r[img_key]),
+                    r[caption_key],
+                )
+                for r in reader
+            ]
+        if not rows:
+            raise ValueError(f"{csv_path}: no data rows")
+        self.samples: List[Tuple[str, str]] = rows[rank::world]
+        if not self.samples:
+            raise ValueError(
+                f"rank {rank}/{world} got no rows ({len(rows)} total)"
+            )
+        self.batch_size = batch_size
+        self.tokenize = tokenize
+        self.image_size = image_size
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.samples) // self.batch_size
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.samples)
+
+    # epoch-granular resume (mirrors ShardLoader.state/restore)
+    def state(self) -> dict:
+        return {"epoch": self._epoch}
+
+    def restore(self, state: dict) -> None:
+        self._epoch = int(state["epoch"])
+
+    def __iter__(self):
+        from PIL import Image
+
+        from tapclip_tpu.data.preprocess import preprocess_pil
+
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self._epoch])
+        )
+        order = rng.permutation(len(self.samples))
+        self._epoch += 1
+
+        def decode(i: int):
+            path, caption = self.samples[int(i)]
+            with Image.open(path) as im:
+                return preprocess_pil(im.convert("RGB"), self.image_size), caption
+
+        B = self.batch_size
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for s in range(0, len(order) - B + 1, B):
+                out = list(pool.map(decode, order[s : s + B]))
+                imgs = np.stack([o[0] for o in out])
+                yield imgs, self.tokenize([o[1] for o in out])

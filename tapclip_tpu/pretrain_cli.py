@@ -99,6 +99,17 @@ def main(argv: Optional[List[str]] = None) -> dict:
                         "subsets, resume is shard-granular")
     p.add_argument("--shuffle-buffer", type=int, default=1000,
                    help="sample shuffle-buffer size for --shard-dir")
+    p.add_argument("--csv-path", default=None,
+                   help="CSV/TSV manifest of (image path, caption) rows — "
+                        "the open_clip csv training format "
+                        "(data/csv_dataset.py); relative paths resolve "
+                        "against the manifest's directory")
+    p.add_argument("--csv-img-key", default="filepath",
+                   help="image-path column name (open_clip default)")
+    p.add_argument("--csv-caption-key", default="title",
+                   help="caption column name (open_clip default)")
+    p.add_argument("--csv-sep", default="\t",
+                   help="column delimiter (default: tab)")
     p.add_argument("--val-shard-dir", default=None,
                    help="webdataset shards of held-out (image, caption) "
                         "pairs: per-epoch contrastive val loss + retrieval "
@@ -189,7 +200,32 @@ def main(argv: Optional[List[str]] = None) -> dict:
     tokenizer = model.tokenizer
 
     caption_ids = None
-    if args.shard_dir:
+    if args.shard_dir and args.csv_path:
+        raise ValueError("--shard-dir and --csv-path are exclusive")
+    if args.csv_path:
+        # open_clip-style CSV manifest: loose image files + captions.
+        from tapclip_tpu.data.csv_dataset import CsvLoader
+
+        loader = CsvLoader(
+            args.csv_path,
+            cfg.train.batch_size,
+            tokenize=lambda caps: np.asarray(
+                tokenizer.tokenize(caps, cfg.model.context_length)
+            ),
+            image_size=cfg.model.image_size,
+            img_key=args.csv_img_key,
+            caption_key=args.csv_caption_key,
+            sep=args.csv_sep,
+            seed=cfg.train.seed,
+            rank=jax.process_index(),
+            world=jax.process_count(),
+        )
+        log.info(
+            "streaming %d image-text pairs from %s (rank %d/%d)",
+            loader.num_samples, args.csv_path,
+            jax.process_index(), jax.process_count(),
+        )
+    elif args.shard_dir:
         # Webdataset tar-shard streaming (data/shards.py): real image-text
         # pairs, captions from the shards, jit-ready batches out.
         from tapclip_tpu.data.shards import ShardLoader, list_shards
@@ -400,6 +436,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
             # so aligning the epoch counter reproduces the un-preempted run's
             # shard order for every remaining epoch.
             loader.restore({"epoch": start_epoch - 1, "shards_done": 0})
+        elif args.csv_path:
+            loader.restore({"epoch": start_epoch - 1})
         log.info("resumed from %s (epoch %d)", args.resume, start_epoch - 1)
     if mesh is not None:
         fsdp = args.fsdp and lora is None
