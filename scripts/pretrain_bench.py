@@ -8,7 +8,12 @@ donated (params, opt_state); single block at the end (tunnel protocol).
 Usage: python scripts/pretrain_bench.py [batch=128] [model=ViT-B-16] [steps=10]
                                         [remat=none|dots|full] [loss=infonce|siglip]
                                         [unroll=1] [moe_experts=0] [patch_dropout=0]
-                                        [augment=0]
+                                        [augment=0] [accum=1]
+
+accum=K times make_accum_pretrain_step (GradCache full-negative
+accumulation) on a K*batch macro batch — img/s is per MACRO sample, so the
+expected cost vs the plain step at the same TOTAL batch is ~1.3x (2 fwd +
+1 bwd per sample).
 """
 
 import os
@@ -23,7 +28,11 @@ import optax
 
 from tapclip_tpu.config import MODEL_PRESETS
 from tapclip_tpu.models import clip as C
-from tapclip_tpu.pretrain import add_siglip_params, make_pretrain_step
+from tapclip_tpu.pretrain import (
+    add_siglip_params,
+    make_accum_pretrain_step,
+    make_pretrain_step,
+)
 
 
 def main():
@@ -36,13 +45,14 @@ def main():
     moe = int(sys.argv[7]) if len(sys.argv) > 7 else 0
     patch_dropout = float(sys.argv[8]) if len(sys.argv) > 8 else 0.0
     use_augment = int(sys.argv[9]) if len(sys.argv) > 9 else 0
+    accum = int(sys.argv[10]) if len(sys.argv) > 10 else 1
     cfg = MODEL_PRESETS[name].replace(
         dtype="bfloat16", remat=remat, scan_unroll=unroll, moe_experts=moe,
         patch_dropout=patch_dropout,
     )
     print(f"backend={jax.default_backend()} {name} bs={batch} remat={remat} "
           f"loss={loss} unroll={unroll} moe={moe} pd={patch_dropout} "
-          f"aug={use_augment}")
+          f"aug={use_augment} accum={accum}")
 
     params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
     if loss == "siglip":
@@ -54,7 +64,12 @@ def main():
         from tapclip_tpu.data.augment import AugmentConfig
 
         augment = AugmentConfig(scale=(0.9, 1.0), hflip=0.5)
-    step = make_pretrain_step(cfg, opt, loss=loss, augment=augment)
+    if accum > 1:
+        step = make_accum_pretrain_step(cfg, opt, accum, loss=loss,
+                                        augment=augment)
+        batch *= accum  # macro batch; throughput counts macro samples
+    else:
+        step = make_pretrain_step(cfg, opt, loss=loss, augment=augment)
     needs_rng = patch_dropout > 0 or augment is not None
 
     gen = jax.jit(
@@ -85,8 +100,8 @@ def main():
             return step(params, opt_state, *b, jax.random.fold_in(rng0, i))
         return step(params, opt_state, *b)
 
-    # warm/compile
-    params, opt_state, m = call(params, opt_state, batches[-1], -1)
+    # warm/compile (fold_in index must be non-negative: uint32 fold)
+    params, opt_state, m = call(params, opt_state, batches[-1], n2 + 1)
     float(m["loss"])
 
     def run_chain(n):
