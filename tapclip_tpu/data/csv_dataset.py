@@ -12,11 +12,14 @@ pretraining loop is loader-agnostic.
 from __future__ import annotations
 
 import csv
+import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, List, Tuple
 
 import numpy as np
+
+_log = logging.getLogger("tapclip_tpu")
 
 
 class CsvLoader:
@@ -74,6 +77,7 @@ class CsvLoader:
         self.seed = seed
         self.num_workers = max(1, num_workers)
         self._epoch = 0
+        self.skipped = 0  # undecodable files seen (skipped, not fatal)
 
     def __len__(self) -> int:
         return len(self.samples) // self.batch_size
@@ -102,12 +106,28 @@ class CsvLoader:
 
         def decode(i: int):
             path, caption = self.samples[int(i)]
-            with Image.open(path) as im:
-                return preprocess_pil(im.convert("RGB"), self.image_size), caption
+            try:
+                with Image.open(path) as im:
+                    return (
+                        preprocess_pil(im.convert("RGB"), self.image_size),
+                        caption,
+                    )
+            except Exception as e:  # corrupt/missing file: skip, not fatal
+                self.skipped += 1
+                _log.warning("skipping undecodable image %s: %s", path, e)
+                return None
 
         B = self.batch_size
+        buf: List[Tuple[np.ndarray, str]] = []
         with ThreadPoolExecutor(self.num_workers) as pool:
-            for s in range(0, len(order) - B + 1, B):
-                out = list(pool.map(decode, order[s : s + B]))
-                imgs = np.stack([o[0] for o in out])
-                yield imgs, self.tokenize([o[1] for o in out])
+            for s in range(0, len(order), B):
+                buf.extend(
+                    o for o in pool.map(decode, order[s : s + B])
+                    if o is not None
+                )
+                while len(buf) >= B:
+                    chunk, buf = buf[:B], buf[B:]
+                    yield (
+                        np.stack([c[0] for c in chunk]),
+                        self.tokenize([c[1] for c in chunk]),
+                    )

@@ -20,12 +20,15 @@ TPU-native equivalent of the reference's data layer
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from tapclip_tpu.data.preprocess import make_preprocess
+
+_log = logging.getLogger("tapclip_tpu")
 
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff")
 
@@ -133,6 +136,7 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.drop_remainder = drop_remainder
         self._epoch = 0
+        self.skipped = 0  # undecodable files seen (skipped, not fatal)
         if output_dtype not in ("float32", "uint8"):
             raise ValueError(f"output_dtype must be float32|uint8, got {output_dtype}")
         if output_dtype == "uint8" and preprocess is not None:
@@ -198,12 +202,20 @@ class Loader:
                 # PIL-compatible resize) -> the round-trip is exact. clip()
                 # sanitizes rows whose decode failed (overwritten below).
                 images = np.rint(np.clip(images, 0.0, 1.0) * 255.0).astype(np.uint8)
+            mask = np.ones((len(idx),), bool)
             if not ok.all():
                 # Formats the native decoder doesn't cover (webp/bmp/tiff)
-                # or corrupt-but-PIL-readable files: fall back per image.
+                # or corrupt-but-PIL-readable files: fall back per image;
+                # files neither decoder reads are masked out, not fatal.
                 for j in np.nonzero(~ok)[0]:
-                    images[j] = self.preprocess(paths[j])
-            mask = np.ones((len(idx),), bool)
+                    try:
+                        images[j] = self.preprocess(paths[j])
+                    except Exception as e:
+                        self.skipped += 1
+                        mask[j] = False
+                        _log.warning(
+                            "skipping undecodable image %s: %s", paths[j], e
+                        )
             if len(idx) < B:
                 pad = B - len(idx)
                 images = np.concatenate(
@@ -220,7 +232,13 @@ class Loader:
 
         def load_one(i: int):
             path, label = self.samples[i]
-            return self.preprocess(path), label
+            try:
+                return self.preprocess(path), label
+            except Exception as e:  # corrupt/unreadable file: skip, don't
+                # kill the run (production corpora always contain a few)
+                self.skipped += 1
+                _log.warning("skipping undecodable image %s: %s", path, e)
+                return None
 
         n_batches = len(self)
         # Threaded prefetch with a bounded window: decode up to PREFETCH
@@ -240,7 +258,9 @@ class Loader:
             for b in range(n_batches):
                 if b + PREFETCH + 1 < n_batches:
                     submit(b + PREFETCH + 1)
-                items = [f.result() for f in pending.pop(b)]
+                items = [r for f in pending.pop(b) if (r := f.result()) is not None]
+                if not items:
+                    continue
                 images = np.stack([im for im, _ in items])
                 labels = np.asarray([lb for _, lb in items], np.int32)
                 mask = np.ones((len(items),), bool)

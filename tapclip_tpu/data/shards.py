@@ -35,11 +35,14 @@ from __future__ import annotations
 
 import dataclasses
 import io
+import logging
 import os
 import tarfile
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+_log = logging.getLogger("tapclip_tpu")
 
 _IMG_EXT = (".jpg", ".jpeg", ".png", ".webp", ".bmp")
 _TXT_EXT = (".txt", ".caption", ".cls")
@@ -177,6 +180,7 @@ class ShardLoader:
         self._skip_shards = 0  # set by restore(); consumed by next __iter__
         self._shards_done = 0
         self._n_samples = count_samples(self.shards)
+        self.skipped = 0  # undecodable members seen (skipped, not fatal)
 
     def __len__(self) -> int:
         return self._n_samples // self.batch_size
@@ -216,8 +220,14 @@ class ShardLoader:
 
         def decode(item):
             img_bytes, caption = item
-            with Image.open(io.BytesIO(img_bytes)) as im:
-                arr = preprocess_pil(im.convert("RGB"), self.image_size)
+            try:
+                with Image.open(io.BytesIO(img_bytes)) as im:
+                    arr = preprocess_pil(im.convert("RGB"), self.image_size)
+            except Exception as e:  # corrupt member: skip, don't kill the run
+                self.skipped += 1
+                _log.warning("skipping undecodable shard member (%r...): %s",
+                             caption[:40], e)
+                return
             imgs.append(arr)
             caps.append(caption)
 

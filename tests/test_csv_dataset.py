@@ -87,3 +87,21 @@ def test_cli_csv_pretraining(csv_root, tmp_path):
     assert len(out["loss_history"]) == 2
     assert all(np.isfinite(v) for v in out["loss_history"])
     assert os.path.isdir(out["ckpt"])
+
+
+def test_corrupt_image_skipped(csv_root, tmp_path):
+    """A corrupt file is skipped with a warning; later samples backfill the
+    batch (full-batch contract holds) and the run does not crash."""
+    import shutil
+
+    root = tmp_path / "corrupt"
+    shutil.copytree(csv_root, root)
+    (root / "imgs" / "3.jpg").write_bytes(b"not a jpeg at all")
+    loader = CsvLoader(str(root / "train.tsv"), 4, tokenize=_tok,
+                       image_size=32, seed=0)
+    batches = list(loader)
+    ids = {int(i) for _, t in batches for i in t[:, 0]}
+    assert 3 not in ids
+    assert loader.skipped == 1
+    assert all(imgs.shape[0] == 4 for imgs, _ in batches)
+    assert sum(imgs.shape[0] for imgs, _ in batches) == 8  # 10 good // 4 * 4

@@ -199,3 +199,28 @@ class TestUint8Transfer:
                 tree, CLASSES, num_shots=0, verbose=False, image_size=24,
                 preprocess=lambda p: p, output_dtype="uint8",
             )
+
+
+def test_imagefolder_corrupt_image_skipped(tmp_path):
+    """Undecodable files are masked out (python and native paths), never
+    fatal: production corpora always contain a few."""
+    from PIL import Image
+
+    from tapclip_tpu.data.imagefolder import ImageFolderIndex, Loader
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "ClassA"
+    d.mkdir()
+    for i in range(5):
+        arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"{i}.jpg")
+    (d / "2.jpg").write_bytes(b"truncated garbage")
+
+    for use_native in (False, True):
+        loader = Loader(
+            ImageFolderIndex.scan(str(tmp_path)).samples, 3,
+            image_size=32, use_native=use_native,
+        )
+        total = sum(int(m.sum()) for _, _, m in loader)
+        assert total == 4, f"use_native={use_native}"
+        assert loader.skipped == 1, f"use_native={use_native}"

@@ -126,3 +126,19 @@ def test_missing_dir_and_bad_rank(tmp_path):
         list_shards(str(tmp_path))
     with pytest.raises(ValueError):
         ShardLoader(["x.tar"], 2, tokenize=_tok, rank=2, world=2)
+
+
+def test_corrupt_member_skipped(tmp_path):
+    """A corrupt tar member is skipped (warned + counted), not fatal."""
+    rng = np.random.default_rng(5)
+    samples = [(_jpeg(rng), f"caption number {i}") for i in range(9)]
+    samples[4] = (b"garbage bytes", samples[4][1])
+    write_shards(samples, str(tmp_path), shard_size=9)
+    loader = ShardLoader(
+        list_shards(str(tmp_path)), 4, tokenize=_tok, image_size=32,
+        shuffle_buffer=1, seed=0,
+    )
+    batches = list(loader)
+    seen = {int(i) for _, t in batches for i in t[:, 0]}
+    assert 4 not in seen and len(seen) == 8
+    assert loader.skipped == 1
