@@ -33,6 +33,19 @@ from tapclip_tpu.train import (
 )
 
 
+def _append_metrics_row(path: str, row: dict) -> None:
+    """Machine-readable per-epoch training metrics (results/.../csv/),
+    alongside the reference-style human logs."""
+    import csv
+
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(row))
+        if not exists:
+            w.writeheader()
+        w.writerow(row)
+
+
 def main(argv: Optional[List[str]] = None) -> dict:
     p = build_argparser(__doc__)
     p.add_argument("--dp", type=int, default=-1, help="data-parallel mesh size")
@@ -579,6 +592,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
             avg = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
             history.append(avg)
             log.info("[Epoch %d] contrastive loss: %.4f", epoch, avg)
+            row = {"epoch": epoch, "loss": round(avg, 6),
+                   "skipped_images": getattr(loader, "skipped", 0)}
             if validate is not None:
                 tree = params
                 if lora is not None:  # evaluate the effective (merged) weights
@@ -589,6 +604,14 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 if ema_params is not None:
                     entry["ema"] = _run_validation(ema_params, tag="[ema]")
                 val_history.append(entry)
+                row.update({
+                    "val_loss": round(entry["loss"], 6),
+                    **{k: round(v, 4) for k, v in entry.items()
+                       if k.startswith(("i2t_", "t2i_"))},
+                })
+            _append_metrics_row(
+                os.path.join(paths["csv_dir"], "pretrain_metrics.csv"), row
+            )
             if args.save_every and epoch % args.save_every == 0:
                 # Epoch-suffixed dir; the previous snapshot is deleted only AFTER
                 # the new save finalizes, so a preemption mid-save (the event this

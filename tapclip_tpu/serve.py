@@ -20,6 +20,7 @@ Design (TPU-shaped):
 
 Endpoints (JSON):
   GET  /health            -> {"status": "ok", "classes": N, ...}
+  GET  /metrics           -> Prometheus text exposition of the counters
   GET  /classes           -> {"classes": [...]}
   POST /classes           {"name": "Clipboards"} -> {"classes": [...]}
   POST /predict           {"image": <base64 jpeg/png>} or
@@ -569,6 +570,29 @@ def make_http_server(service: PredictService, host: str = "127.0.0.1",
                     "batch_size": service.batch_size,
                     **service.stats(),
                 })
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the /health counters, for
+                # scrape-based monitoring in a real deployment.
+                s = service.stats()
+                lines = [
+                    "# TYPE tapclip_requests_total counter",
+                    f"tapclip_requests_total {s['requests']}",
+                    "# TYPE tapclip_batches_total counter",
+                    f"tapclip_batches_total {s['batches']}",
+                    "# TYPE tapclip_batch_fill_mean gauge",
+                    f"tapclip_batch_fill_mean {s['mean_batch_fill']}",
+                    "# TYPE tapclip_batch_ms_mean gauge",
+                    f"tapclip_batch_ms_mean {s['mean_batch_ms']}",
+                    "# TYPE tapclip_classes gauge",
+                    f"tapclip_classes {len(service.model.class_names)}",
+                ]
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/classes":
                 self._send(200, {"classes": list(service.model.class_names)})
             else:

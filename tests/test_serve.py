@@ -487,3 +487,34 @@ def test_http_embed_routes(service, tiny_cfg):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_http_metrics_prometheus(service, tiny_cfg):
+    """GET /metrics serves the traffic counters in Prometheus text format."""
+    server = make_http_server(service, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        s = tiny_cfg.image_size
+        req = urllib.request.Request(
+            base + "/predict",
+            json.dumps({"pixels": np.zeros((s, s, 3), np.uint8).tolist()}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60):
+            pass
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        lines = dict(
+            l.split(" ", 1) for l in body.strip().splitlines()
+            if not l.startswith("#")
+        )
+        assert float(lines["tapclip_requests_total"]) >= 1
+        assert float(lines["tapclip_classes"]) == len(service.model.class_names)
+        assert "tapclip_batch_ms_mean" in lines
+    finally:
+        server.shutdown()
+        server.server_close()
