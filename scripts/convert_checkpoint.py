@@ -40,6 +40,15 @@ def main(argv=None):
     pe.add_argument("--model", default="ViT-B-16")
     pe.add_argument("--dst", required=True)
 
+    px = sub.add_parser("prompt-export",
+                        help="Orbax prompt checkpoint -> reference .pt")
+    px.add_argument("--src", required=True)
+    px.add_argument("--dst", required=True)
+    px.add_argument("--model", default="ViT-B-32", help=argparse.SUPPRESS)
+    px.add_argument("--legacy", action="store_true",
+                    help="write the stacked context_emb layout instead of "
+                         "per-class context_bank entries")
+
     pp = sub.add_parser("prompt", help="reference prompt checkpoint -> Orbax")
     pp.add_argument("--src", required=True)
     pp.add_argument("--classes", nargs="+", required=True)
@@ -67,6 +76,21 @@ def main(argv=None):
         ocp.PyTreeCheckpointer().save(os.path.abspath(args.dst), params, force=True)
         n = sum(x.size for x in jax.tree.leaves(params))
         print(f"converted {n:,} params -> {args.dst}")
+        return
+
+    if args.cmd == "prompt-export":
+        from tapclip_tpu.utils.checkpoint import restore_prompt_checkpoint
+        from tapclip_tpu.utils.torch_convert import (
+            save_reference_prompt_checkpoint,
+        )
+
+        state = restore_prompt_checkpoint(os.path.abspath(args.src))
+        names = state["meta"]["class_names"]
+        save_reference_prompt_checkpoint(
+            state["trainable"]["ctx"], names, args.dst, legacy=args.legacy,
+        )
+        print(f"exported prompt checkpoint ({len(names)} classes, "
+              f"{'legacy' if args.legacy else 'per-class'} layout) -> {args.dst}")
         return
 
     if args.cmd == "export":

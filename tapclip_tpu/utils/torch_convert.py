@@ -466,3 +466,54 @@ def save_openclip_checkpoint(
     sd = export_openclip_state_dict(params, cfg)
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
     return path
+
+
+def export_prompt_state_dict(
+    ctx: np.ndarray,
+    class_names: Sequence[str],
+    *,
+    logit_scale: Optional[np.ndarray] = None,
+    legacy: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Trained context vectors -> a reference-format prompt state dict.
+
+    The inverse of :func:`convert_prompt_state_dict`, so prompts tuned here
+    can be loaded by the reference's own eval drivers
+    (``/root/reference/test_cross_domain.py:44-61``).  ``ctx`` is the
+    padded ``[C_max, P, D]`` trainable stack; only the first
+    ``len(class_names)`` rows are real.  ``legacy=True`` writes the stacked
+    ``prompt_learner.context_emb`` layout instead of the current per-class
+    ``prompt_learner.context_bank.{name}`` entries.
+    """
+    ctx = _f32(ctx)[: len(class_names)]
+    if legacy:
+        sd: Dict[str, np.ndarray] = {"prompt_learner.context_emb": ctx}
+    else:
+        sd = {
+            f"prompt_learner.context_bank.{name}": ctx[i]
+            for i, name in enumerate(class_names)
+        }
+    if logit_scale is not None:
+        sd["logit_scale"] = _f32(logit_scale).reshape(())
+    return sd
+
+
+def save_reference_prompt_checkpoint(
+    ctx: np.ndarray,
+    class_names: Sequence[str],
+    path: str,
+    *,
+    logit_scale: Optional[np.ndarray] = None,
+    legacy: bool = False,
+) -> str:
+    """Export + ``torch.save`` (a ``.pt`` the reference can ``torch.load``)."""
+    import torch
+
+    sd = export_prompt_state_dict(
+        ctx, class_names, logit_scale=logit_scale, legacy=legacy
+    )
+    torch.save(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        path,
+    )
+    return path

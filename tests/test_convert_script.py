@@ -229,3 +229,38 @@ def test_export_logit_bias_passthrough():
     params = add_siglip_params(C.init_clip_params(jax.random.PRNGKey(0), CFG))
     sd = export_openclip_state_dict(params, CFG)
     assert "logit_bias" in sd and sd["logit_bias"].shape == ()
+
+
+def test_prompt_export_roundtrip(tmp_path, rng):
+    """Tuned prompts -> reference .pt (both layouts) -> reimport == identity,
+    through the actual CLI + an Orbax prompt checkpoint."""
+    from tapclip_tpu.utils.checkpoint import save_prompt_checkpoint
+    from tapclip_tpu.utils.torch_convert import (
+        load_reference_prompt_checkpoint,
+    )
+    from tapclip_tpu.models.prompt_learner import PromptLearner
+    from tapclip_tpu.config import PromptConfig
+    from tapclip_tpu.data.tokenizer import get_tokenizer
+
+    cfg = CFG.replace(vocab_size=520)
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    classes = ["Backpack", "Pen"]
+    pl = PromptLearner(classes, params, cfg, PromptConfig(max_classes=4),
+                       get_tokenizer(None, cfg.context_length))
+    ctx = rng.standard_normal((4, 5, cfg.text_width)).astype(np.float32)
+    src = tmp_path / "prompt_ckpt"
+    save_prompt_checkpoint(
+        str(src), trainable={"ctx": ctx, "adjustor": {}},
+        bank=pl.bank, class_names=classes,
+    )
+
+    for legacy in (False, True):
+        dst = tmp_path / f"ref_{legacy}.pt"
+        argv = ["prompt-export", "--src", str(src), "--dst", str(dst)]
+        if legacy:
+            argv.append("--legacy")
+        convert_checkpoint.main(argv)
+        by_name, extras = load_reference_prompt_checkpoint(str(dst), classes)
+        assert set(by_name) == set(classes)
+        for i, name in enumerate(classes):
+            np.testing.assert_array_equal(by_name[name], ctx[i])
