@@ -518,3 +518,29 @@ def test_http_metrics_prometheus(service, tiny_cfg):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_predict_batch_position_invariant(service, tiny_cfg):
+    """The same image gives the same probabilities regardless of which slot
+    of the micro-batch it lands in or what else shares the batch — the
+    determinism contract production scoring relies on."""
+    px = _rand_pixels(tiny_cfg.image_size, seed=7)
+    solo = service.predict(px)
+
+    results = {}
+
+    def call(i):
+        if i == 3:
+            results[i] = service.predict(px)
+        else:
+            results[i] = service.predict(
+                _rand_pixels(tiny_cfg.image_size, seed=200 + i))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert results[3]["index"] == solo["index"]
+    for name, p in solo["probs"].items():
+        assert abs(results[3]["probs"][name] - p) < 1e-5
