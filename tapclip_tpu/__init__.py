@@ -30,6 +30,13 @@ _LAZY = {
     ),
     "make_mesh": ("tapclip_tpu.parallel.mesh", "make_mesh"),
     "fit_prompt_model": ("tapclip_tpu.trainer", "fit_prompt_model"),
+    # session-6 deployment surface
+    "make_pretrain_step": ("tapclip_tpu.pretrain", "make_pretrain_step"),
+    "featurize_images": ("tapclip_tpu.featurize", "featurize_images"),
+    "SearchIndex": ("tapclip_tpu.search", "SearchIndex"),
+    "fit_linear_probe": ("tapclip_tpu.linear_probe", "fit_linear_probe"),
+    "patch_saliency": ("tapclip_tpu.utils.saliency", "patch_saliency"),
+    "PredictService": ("tapclip_tpu.serve", "PredictService"),
 }
 
 
