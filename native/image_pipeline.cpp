@@ -117,6 +117,13 @@ bool decode_png(const unsigned char* data, size_t len, Image* out) {
   return true;
 }
 
+bool decode_buffer(const unsigned char* data, size_t len, Image* out) {
+  if (len > 2 && data[0] == 0xFF && data[1] == 0xD8)
+    return decode_jpeg(data, len, out);
+  if (decode_png(data, len, out)) return true;
+  return decode_jpeg(data, len, out);  // fall back to jpeg
+}
+
 bool decode_file(const char* path, Image* out) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
@@ -128,10 +135,7 @@ bool decode_file(const char* path, Image* out) {
   size_t rd = fread(buf.data(), 1, len, f);
   fclose(f);
   if (rd != size_t(len)) return false;
-  if (len > 2 && buf[0] == 0xFF && buf[1] == 0xD8)
-    return decode_jpeg(buf.data(), len, out);
-  if (decode_png(buf.data(), len, out)) return true;
-  return decode_jpeg(buf.data(), len, out);  // fall back to jpeg
+  return decode_buffer(buf.data(), len, out);
 }
 
 // ---------------------------------------------------------------------------
@@ -252,9 +256,8 @@ constexpr float kStd[3] = {0.26862954f, 0.26130258f, 0.27577711f};
 inline float clamp255(float v) { return v < 0.f ? 0.f : (v > 255.f ? 255.f : v); }
 
 // Full per-image pipeline into out[out_size*out_size*3].
-bool process_one(const char* path, int out_size, int do_normalize, float* out) {
-  Image img;
-  if (!decode_file(path, &img) || img.w <= 0 || img.h <= 0) return false;
+bool process_image(Image& img, int out_size, int do_normalize, float* out) {
+  if (img.w <= 0 || img.h <= 0) return false;
   // shorter side -> out_size; long side TRUNCATED like torchvision's
   // _compute_resized_output_size: int(size * long / short).
   int rw, rh;
@@ -285,12 +288,27 @@ bool process_one(const char* path, int out_size, int do_normalize, float* out) {
   return true;
 }
 
+bool process_one(const char* path, int out_size, int do_normalize, float* out) {
+  Image img;
+  if (!decode_file(path, &img)) return false;
+  return process_image(img, out_size, do_normalize, out);
+}
+
+bool process_bytes(const unsigned char* data, size_t len, int out_size,
+                   int do_normalize, float* out) {
+  Image img;
+  if (!decode_buffer(data, len, &img)) return false;
+  return process_image(img, out_size, do_normalize, out);
+}
+
 // ---------------------------------------------------------------------------
 // Thread pool over a batch
 // ---------------------------------------------------------------------------
 
 struct BatchJob {
-  const char** paths;
+  const char** paths;           // path mode
+  const unsigned char** datas;  // bytes mode (paths == nullptr)
+  const size_t* lens;
   int n, out_size, do_normalize;
   float* out;
   unsigned char* ok;
@@ -306,12 +324,26 @@ void* batch_worker(void* arg) {
     int i = job->next++;
     pthread_mutex_unlock(&job->mu);
     if (i >= job->n) break;
-    job->ok[i] = process_one(job->paths[i], job->out_size, job->do_normalize,
-                             job->out + stride * i)
-                     ? 1
-                     : 0;
+    bool good =
+        job->paths
+            ? process_one(job->paths[i], job->out_size, job->do_normalize,
+                          job->out + stride * i)
+            : process_bytes(job->datas[i], job->lens[i], job->out_size,
+                            job->do_normalize, job->out + stride * i);
+    job->ok[i] = good ? 1 : 0;
   }
   return nullptr;
+}
+
+int run_batch(BatchJob* job, int num_threads) {
+  int nt = std::max(1, std::min(num_threads, job->n));
+  std::vector<pthread_t> threads(nt > 1 ? nt - 1 : 0);
+  for (auto& t : threads) pthread_create(&t, nullptr, batch_worker, job);
+  batch_worker(job);
+  for (auto& t : threads) pthread_join(t, nullptr);
+  int good = 0;
+  for (int i = 0; i < job->n; ++i) good += job->ok[i];
+  return good;
 }
 
 }  // namespace
@@ -325,19 +357,32 @@ int tapclip_decode_batch(const char** paths, int n, int out_size,
                          unsigned char* ok) {
   BatchJob job;
   job.paths = paths;
+  job.datas = nullptr;
+  job.lens = nullptr;
   job.n = n;
   job.out_size = out_size;
   job.do_normalize = do_normalize;
   job.out = out;
   job.ok = ok;
-  int nt = std::max(1, std::min(num_threads, n));
-  std::vector<pthread_t> threads(nt > 1 ? nt - 1 : 0);
-  for (auto& t : threads) pthread_create(&t, nullptr, batch_worker, &job);
-  batch_worker(&job);
-  for (auto& t : threads) pthread_join(t, nullptr);
-  int good = 0;
-  for (int i = 0; i < n; ++i) good += ok[i];
-  return good;
+  return run_batch(&job, num_threads);
+}
+
+// Same, but from in-memory encoded buffers (webdataset/CSV streaming: the
+// bytes never touch the filesystem).
+int tapclip_decode_bytes_batch(const unsigned char** datas, const size_t* lens,
+                               int n, int out_size, int do_normalize,
+                               int num_threads, float* out,
+                               unsigned char* ok) {
+  BatchJob job;
+  job.paths = nullptr;
+  job.datas = datas;
+  job.lens = lens;
+  job.n = n;
+  job.out_size = out_size;
+  job.do_normalize = do_normalize;
+  job.out = out;
+  job.ok = ok;
+  return run_batch(&job, num_threads);
 }
 
 // Single-image variant (testing / simple callers).
@@ -346,6 +391,6 @@ int tapclip_decode_one(const char* path, int out_size, int do_normalize,
   return process_one(path, out_size, do_normalize, out) ? 1 : 0;
 }
 
-int tapclip_abi_version() { return 1; }
+int tapclip_abi_version() { return 2; }
 
 }  // extern "C"

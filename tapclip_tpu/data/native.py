@@ -82,8 +82,19 @@ def _load():
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.tapclip_decode_bytes_batch.restype = ctypes.c_int
+        lib.tapclip_decode_bytes_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
         lib.tapclip_abi_version.restype = ctypes.c_int
-        if lib.tapclip_abi_version() != 1:
+        if lib.tapclip_abi_version() != 2:
             _build_error = "ABI version mismatch"
             return None
         _lib = lib
@@ -118,6 +129,41 @@ def decode_batch(
         num_threads = min(8, os.cpu_count() or 1)
     lib.tapclip_decode_batch(
         arr,
+        n,
+        image_size,
+        1 if do_normalize else 0,
+        num_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return out, ok.astype(bool)
+
+
+def decode_bytes_batch(
+    blobs: Sequence[bytes],
+    image_size: int = 224,
+    *,
+    do_normalize: bool = True,
+    num_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode+preprocess in-memory encoded images (webdataset/CSV streaming)
+    -> (images [N, S, S, 3] f32, ok [N] bool). Bit-identical to the
+    path-based :func:`decode_batch` on the same bytes."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native pipeline unavailable: {_build_error}")
+    n = len(blobs)
+    out = np.empty((n, image_size, image_size, 3), np.float32)
+    ok = np.zeros((n,), np.uint8)
+    # c_char_p rows are fine for binary payloads here: lengths travel
+    # separately, so embedded NULs don't truncate anything.
+    arr = (ctypes.c_char_p * n)(*blobs)
+    lens = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    lib.tapclip_decode_bytes_batch(
+        arr,
+        lens,
         n,
         image_size,
         1 if do_normalize else 0,

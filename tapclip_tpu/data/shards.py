@@ -162,6 +162,7 @@ class ShardLoader:
         seed: int = 0,
         rank: int = 0,
         world: int = 1,
+        use_native: Optional[bool] = None,
     ):
         if world < 1 or not (0 <= rank < world):
             raise ValueError(f"bad rank/world {rank}/{world}")
@@ -181,6 +182,7 @@ class ShardLoader:
         self._shards_done = 0
         self._n_samples = count_samples(self.shards)
         self.skipped = 0  # undecodable members seen (skipped, not fatal)
+        self._use_native = use_native  # None = auto (C++ decode if it builds)
 
     def __len__(self) -> int:
         return self._n_samples // self.batch_size
@@ -207,6 +209,12 @@ class ShardLoader:
         from tapclip_tpu.data.preprocess import preprocess_pil
         from PIL import Image
 
+        use_native = False
+        if self._use_native is not False:
+            from tapclip_tpu.data import native
+
+            use_native = native.available()
+
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, self._epoch])
         )
@@ -218,18 +226,57 @@ class ShardLoader:
         imgs: List[np.ndarray] = []
         caps: List[str] = []
 
-        def decode(item):
-            img_bytes, caption = item
-            try:
-                with Image.open(io.BytesIO(img_bytes)) as im:
-                    arr = preprocess_pil(im.convert("RGB"), self.image_size)
-            except Exception as e:  # corrupt member: skip, don't kill the run
-                self.skipped += 1
-                _log.warning("skipping undecodable shard member (%r...): %s",
-                             caption[:40], e)
+        def pil_decode(img_bytes):
+            with Image.open(io.BytesIO(img_bytes)) as im:
+                return preprocess_pil(im.convert("RGB"), self.image_size)
+
+        def decode_many(items):
+            """Decode a chunk in eviction order; the C++ pipeline (threaded,
+            PIL-bit-exact) when it builds, PIL otherwise; corrupt members
+            skip either way."""
+            if use_native:
+                from tapclip_tpu.data import native
+
+                arrs, ok = native.decode_bytes_batch(
+                    [b for b, _ in items], self.image_size
+                )
+                for arr, good, (img_bytes, caption) in zip(arrs, ok, items):
+                    if good:
+                        imgs.append(arr)
+                        caps.append(caption)
+                        continue
+                    # formats the native decoder doesn't cover: PIL fallback
+                    try:
+                        imgs.append(pil_decode(img_bytes))
+                        caps.append(caption)
+                    except Exception as e:
+                        self.skipped += 1
+                        _log.warning(
+                            "skipping undecodable shard member (%r...): %s",
+                            caption[:40], e,
+                        )
                 return
-            imgs.append(arr)
-            caps.append(caption)
+            for img_bytes, caption in items:
+                try:
+                    arr = pil_decode(img_bytes)
+                except Exception as e:  # corrupt member: skip, not fatal
+                    self.skipped += 1
+                    _log.warning(
+                        "skipping undecodable shard member (%r...): %s",
+                        caption[:40], e,
+                    )
+                    continue
+                imgs.append(arr)
+                caps.append(caption)
+
+        pending: List[Tuple[bytes, str]] = []
+
+        def drain_batches():
+            while len(imgs) >= self.batch_size:
+                B = self.batch_size
+                batch_i, batch_c = imgs[:B], caps[:B]
+                del imgs[:B], caps[:B]
+                yield np.stack(batch_i), self.tokenize(batch_c)
 
         for item in self._sample_stream(order, skip):
             if len(buf) < self.shuffle_buffer:
@@ -237,16 +284,16 @@ class ShardLoader:
                 continue
             j = int(rng.integers(len(buf)))
             out, buf[j] = buf[j], item
-            decode(out)
-            if len(imgs) == self.batch_size:
-                yield np.stack(imgs), self.tokenize(caps)
-                imgs, caps = [], []
+            pending.append(out)
+            if len(pending) >= self.batch_size:
+                decode_many(pending)
+                pending = []
+                yield from drain_batches()
         # drain the buffer in random order
         for j in rng.permutation(len(buf)):
-            decode(buf[int(j)])
-            if len(imgs) == self.batch_size:
-                yield np.stack(imgs), self.tokenize(caps)
-                imgs, caps = [], []
+            pending.append(buf[int(j)])
+        decode_many(pending)
+        yield from drain_batches()
         # tail smaller than a batch: dropped (full batches only)
         self._epoch += 1
         self._shards_done = 0

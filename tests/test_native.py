@@ -79,3 +79,26 @@ def test_loader_uses_native(tmp_path):
     for (a, la, ma), (b, lb, mb) in zip(batches, loader_py):
         np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(la, lb)
+
+
+def test_decode_bytes_batch_matches_paths(tmp_path):
+    """The from-bytes entry point is bit-identical to the path entry point
+    and flags undecodable blobs instead of failing the batch."""
+    from tapclip_tpu.data import native
+
+    if not native.available():
+        pytest.skip(f"native pipeline unavailable: {native.build_error()}")
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    paths, blobs = [], []
+    for i in range(3):
+        arr = rng.integers(0, 255, (40 + i, 50 - i, 3), dtype=np.uint8)
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+        blobs.append(p.read_bytes())
+    by_path, ok1 = native.decode_batch(paths, 32)
+    by_bytes, ok2 = native.decode_bytes_batch(blobs + [b"junk"], 32)
+    assert ok1.all() and ok2.tolist() == [True, True, True, False]
+    np.testing.assert_array_equal(by_path, by_bytes[:3])

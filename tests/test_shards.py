@@ -142,3 +142,28 @@ def test_corrupt_member_skipped(tmp_path):
     seen = {int(i) for _, t in batches for i in t[:, 0]}
     assert 4 not in seen and len(seen) == 8
     assert loader.skipped == 1
+
+
+def test_native_decode_matches_pil_loader(tmp_path):
+    """ShardLoader batches are identical whichever decoder runs (the C++
+    bytes path is PIL-bit-exact and preserves eviction order)."""
+    from tapclip_tpu.data import native
+
+    if not native.available():
+        pytest.skip(f"native pipeline unavailable: {native.build_error()}")
+    rng = np.random.default_rng(7)
+    samples = [(_jpeg(rng), f"caption number {i}") for i in range(14)]
+    write_shards(samples, str(tmp_path), shard_size=7)
+
+    def batches(use_native):
+        loader = ShardLoader(
+            list_shards(str(tmp_path)), 4, tokenize=_tok, image_size=32,
+            shuffle_buffer=3, seed=0, use_native=use_native,
+        )
+        return list(loader)
+
+    a, b = batches(False), batches(True)
+    assert len(a) == len(b) == 3
+    for (ia, ta), (ib, tb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ta, tb)
