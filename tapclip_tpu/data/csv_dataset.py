@@ -15,7 +15,7 @@ import csv
 import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
@@ -44,6 +44,7 @@ class CsvLoader:
         rank: int = 0,
         world: int = 1,
         num_workers: int = 4,
+        use_native: Optional[bool] = None,
     ):
         if world < 1 or not (0 <= rank < world):
             raise ValueError(f"bad rank/world {rank}/{world}")
@@ -77,6 +78,7 @@ class CsvLoader:
         self.seed = seed
         self.num_workers = max(1, num_workers)
         self._epoch = 0
+        self._use_native = use_native
         self.skipped = 0  # undecodable files seen (skipped, not fatal)
 
     def __len__(self) -> int:
@@ -98,13 +100,19 @@ class CsvLoader:
 
         from tapclip_tpu.data.preprocess import preprocess_pil
 
+        use_native = False
+        if self._use_native is not False:
+            from tapclip_tpu.data import native
+
+            use_native = native.available()
+
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, self._epoch])
         )
         order = rng.permutation(len(self.samples))
         self._epoch += 1
 
-        def decode(i: int):
+        def pil_decode(i: int):
             path, caption = self.samples[int(i)]
             try:
                 with Image.open(path) as im:
@@ -117,17 +125,35 @@ class CsvLoader:
                 _log.warning("skipping undecodable image %s: %s", path, e)
                 return None
 
+        def decode_window(idx):
+            """One window of samples, decode order preserved — the C++
+            pipeline (threaded, PIL-bit-exact) when it builds."""
+            if use_native:
+                from tapclip_tpu.data import native
+
+                arrs, ok = native.decode_batch(
+                    [self.samples[int(i)][0] for i in idx], self.image_size,
+                    num_threads=self.num_workers,
+                )
+                out = []
+                for arr, good, i in zip(arrs, ok, idx):
+                    if good:
+                        out.append((arr, self.samples[int(i)][1]))
+                    else:  # formats it doesn't cover: PIL fallback
+                        d = pil_decode(i)
+                        if d is not None:
+                            out.append(d)
+                return out
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                return [o for o in pool.map(pil_decode, idx) if o is not None]
+
         B = self.batch_size
         buf: List[Tuple[np.ndarray, str]] = []
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            for s in range(0, len(order), B):
-                buf.extend(
-                    o for o in pool.map(decode, order[s : s + B])
-                    if o is not None
+        for s in range(0, len(order), B):
+            buf.extend(decode_window(order[s : s + B]))
+            while len(buf) >= B:
+                chunk, buf = buf[:B], buf[B:]
+                yield (
+                    np.stack([c[0] for c in chunk]),
+                    self.tokenize([c[1] for c in chunk]),
                 )
-                while len(buf) >= B:
-                    chunk, buf = buf[:B], buf[B:]
-                    yield (
-                        np.stack([c[0] for c in chunk]),
-                        self.tokenize([c[1] for c in chunk]),
-                    )

@@ -105,3 +105,19 @@ def test_corrupt_image_skipped(csv_root, tmp_path):
     assert loader.skipped == 1
     assert all(imgs.shape[0] == 4 for imgs, _ in batches)
     assert sum(imgs.shape[0] for imgs, _ in batches) == 8  # 10 good // 4 * 4
+
+
+def test_native_decode_matches_pil_loader(csv_root):
+    from tapclip_tpu.data import native
+
+    if not native.available():
+        pytest.skip(f"native pipeline unavailable: {native.build_error()}")
+    path = os.path.join(csv_root, "train.tsv")
+    a = list(CsvLoader(path, 4, tokenize=_tok, image_size=32, seed=1,
+                       use_native=False))
+    b = list(CsvLoader(path, 4, tokenize=_tok, image_size=32, seed=1,
+                       use_native=True))
+    assert len(a) == len(b) == 2
+    for (ia, ta), (ib, tb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ta, tb)
