@@ -201,8 +201,13 @@ void quantize_coeffs(const std::vector<double>& w, std::vector<int>* kk) {
 }
 
 // Separable resize, exact Pillow semantics: horizontal -> uint8 -> vertical.
-void resize_bicubic(const Image& in, int out_w, int out_h,
-                    std::vector<unsigned char>* out /* out_h*out_w*3 */) {
+// Resample to (out_w, out_h) but emit ONLY the crop window
+// [x0, x0+crop_w) x [y0, y0+crop_h) — bit-identical to resize-then-slice
+// (coefficients are per-output-position, so computing a subset changes
+// nothing), and the cropped-away columns/rows are never computed.
+void resize_bicubic_cropped(const Image& in, int out_w, int out_h, int x0,
+                            int y0, int crop_w, int crop_h,
+                            std::vector<unsigned char>* out) {
   std::vector<int> hb, vb;
   std::vector<double> hw_d, vw_d;
   int hks, vks;
@@ -214,13 +219,18 @@ void resize_bicubic(const Image& in, int out_w, int out_h,
 
   const int half = 1 << (kPrecisionBits - 1);
 
-  // horizontal pass: in.h x out_w (uint8 intermediate, like Pillow)
-  std::vector<unsigned char> tmp(size_t(in.h) * out_w * 3);
-  for (int y = 0; y < in.h; ++y) {
+  // Only source rows feeding the cropped vertical range are resampled
+  // horizontally (uint8 intermediate, like Pillow).
+  int ysrc_min = vb[size_t(y0) * 2];
+  int ylast = y0 + crop_h - 1;
+  int ysrc_max = vb[size_t(ylast) * 2] + vb[size_t(ylast) * 2 + 1];
+  std::vector<unsigned char> tmp(size_t(ysrc_max - ysrc_min) * crop_w * 3);
+  for (int y = ysrc_min; y < ysrc_max; ++y) {
     const unsigned char* row = in.rgb.data() + size_t(y) * in.w * 3;
-    unsigned char* trow = tmp.data() + size_t(y) * out_w * 3;
-    for (int xx = 0; xx < out_w; ++xx) {
-      int xmin = hb[xx * 2], n = hb[xx * 2 + 1];
+    unsigned char* trow = tmp.data() + size_t(y - ysrc_min) * crop_w * 3;
+    for (int xc = 0; xc < crop_w; ++xc) {
+      int xx = x0 + xc;
+      int xmin = hb[size_t(xx) * 2], n = hb[size_t(xx) * 2 + 1];
       const int* k = hw.data() + size_t(xx) * hks;
       int acc0 = half, acc1 = half, acc2 = half;
       for (int i = 0; i < n; ++i) {
@@ -229,24 +239,30 @@ void resize_bicubic(const Image& in, int out_w, int out_h,
         acc1 += k[i] * px[1];
         acc2 += k[i] * px[2];
       }
-      trow[xx * 3 + 0] = clip8(acc0);
-      trow[xx * 3 + 1] = clip8(acc1);
-      trow[xx * 3 + 2] = clip8(acc2);
+      trow[xc * 3 + 0] = clip8(acc0);
+      trow[xc * 3 + 1] = clip8(acc1);
+      trow[xc * 3 + 2] = clip8(acc2);
     }
   }
-  // vertical pass: out_h x out_w
-  out->resize(size_t(out_h) * out_w * 3);
-  for (int yy = 0; yy < out_h; ++yy) {
-    int ymin = vb[yy * 2], n = vb[yy * 2 + 1];
+  // vertical pass over the cropped rows only
+  out->resize(size_t(crop_h) * crop_w * 3);
+  for (int yc = 0; yc < crop_h; ++yc) {
+    int yy = y0 + yc;
+    int ymin = vb[size_t(yy) * 2] - ysrc_min, n = vb[size_t(yy) * 2 + 1];
     const int* k = vw.data() + size_t(yy) * vks;
-    unsigned char* orow = out->data() + size_t(yy) * out_w * 3;
-    for (int xx = 0; xx < out_w * 3; ++xx) {
+    unsigned char* orow = out->data() + size_t(yc) * crop_w * 3;
+    for (int xx = 0; xx < crop_w * 3; ++xx) {
       int acc = half;
       for (int i = 0; i < n; ++i)
-        acc += k[i] * tmp[size_t(ymin + i) * out_w * 3 + xx];
+        acc += k[i] * tmp[size_t(ymin + i) * crop_w * 3 + xx];
       orow[xx] = clip8(acc);
     }
   }
+}
+
+void resize_bicubic(const Image& in, int out_w, int out_h,
+                    std::vector<unsigned char>* out /* out_h*out_w*3 */) {
+  resize_bicubic_cropped(in, out_w, out_h, 0, 0, out_w, out_h, out);
 }
 
 // CLIP normalization constants (config.py IMAGE_MEAN/IMAGE_STD).
@@ -268,15 +284,16 @@ bool process_image(Image& img, int out_size, int do_normalize, float* out) {
     rh = out_size;
     rw = std::max(1, int(double(out_size) * img.w / img.h));
   }
-  std::vector<unsigned char> resized;
-  resize_bicubic(img, rw, rh, &resized);
   // center crop. torchvision/PIL use Python round() = round-half-EVEN;
   // nearbyint under the default FE_TONEAREST mode matches that, lround does
-  // not (half away from zero -> off-by-one crop shift).
+  // not (half away from zero -> off-by-one crop shift). The crop window is
+  // fused INTO the resample (cropped-away columns/rows never computed).
   int left = int(std::nearbyint((rw - out_size) / 2.0));
   int top = int(std::nearbyint((rh - out_size) / 2.0));
+  std::vector<unsigned char> resized;
+  resize_bicubic_cropped(img, rw, rh, left, top, out_size, out_size, &resized);
   for (int y = 0; y < out_size; ++y) {
-    const unsigned char* src = resized.data() + (size_t(top + y) * rw + left) * 3;
+    const unsigned char* src = resized.data() + size_t(y) * out_size * 3;
     float* dst = out + size_t(y) * out_size * 3;
     for (int x = 0; x < out_size; ++x) {
       for (int c = 0; c < 3; ++c) {
