@@ -168,3 +168,19 @@ def test_uint8_transport_bit_identical(params, image_root):
         iter(Loader(index.samples, 4, shuffle=False,
                     image_size=TINY_TEST.image_size, output_dtype="uint8")))
     np.testing.assert_array_equal(f32, u8)
+
+
+def test_int8_tower_featurize_close_to_f32(params, image_root):
+    """--int8: quantized-tower embeddings stay unit-norm and close to f32
+    (the serving-fidelity contract, cosine >= 0.99)."""
+    from tapclip_tpu.data.imagefolder import ImageFolderIndex, Loader
+
+    cfg8 = TINY_TEST.replace(quantize_tower=True, int8_deterministic=True)
+    index = ImageFolderIndex.scan(image_root)
+    mk = lambda: iter(Loader(index.samples, 4, shuffle=False,
+                             image_size=TINY_TEST.image_size))
+    f32 = featurize_images(params, TINY_TEST, mk()).astype(np.float32)
+    i8 = featurize_images(params, cfg8, mk()).astype(np.float32)
+    np.testing.assert_allclose(np.linalg.norm(i8, axis=-1), 1.0, atol=2e-3)
+    cos = (f32 * i8).sum(-1)
+    assert cos.min() >= 0.99, cos.min()
