@@ -193,8 +193,10 @@ def _attention_pool(x: jnp.ndarray, p: Params, n_heads: int) -> jnp.ndarray:
     return proj(out, p["c_proj"])
 
 
-def resnet_encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.ndarray:
-    """Images [B, H, W, 3] (preprocessed) -> features [B, embed_dim]."""
+def resnet_feature_map(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """Backbone only: images [B, H, W, 3] -> pre-attnpool map [B, h, w, C]
+    (h = w = image_size // 32). Split out so explainability can read the
+    attnpool attention (utils/saliency.py) over exactly this map."""
     p = params["visual"]
     x = images.astype(cfg.compute_dtype)
     # Stem: three 3x3 convs (first stride-2) + avgpool-2.
@@ -207,5 +209,11 @@ def resnet_encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) ->
         stride = 1 if li == 0 else 2
         for b, bp in enumerate(blocks):
             x = _bottleneck(x, bp, stride if b == 0 else 1)
+    return x
+
+
+def resnet_encode_image(params: Params, cfg: CLIPConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """Images [B, H, W, 3] (preprocessed) -> features [B, embed_dim]."""
+    x = resnet_feature_map(params, cfg, images)
     n_heads = cfg.vision_width * 32 // 64
-    return _attention_pool(x, p["attnpool"], n_heads)
+    return _attention_pool(x, params["visual"]["attnpool"], n_heads)

@@ -145,22 +145,81 @@ def attention_rollout(probs: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_resnet_saliency(cfg: CLIPConfig):
+    import jax.nn
+
+    def fwd(params, images):
+        """Attnpool attention of the mean-token query over the spatial grid
+        — the standard RN-CLIP saliency. Returns (pooled [B, E],
+        probs [B, h*w]) with the pooled output exactly matching
+        ``resnet_encode_image`` (pinned in tests)."""
+        from tapclip_tpu.models.resnet import resnet_feature_map
+
+        if images.dtype == jnp.uint8:
+            from tapclip_tpu.data.preprocess import device_normalize
+
+            images = device_normalize(images)
+        x = resnet_feature_map(params, cfg, images)
+        p = params["visual"]["attnpool"]
+        B, H, W, C = x.shape
+        t = x.reshape(B, H * W, C)
+        t = jnp.concatenate([t.mean(axis=1, keepdims=True), t], axis=1)
+        t = t + p["positional_embedding"].astype(t.dtype)[None]
+
+        def proj(v, pr):
+            return (
+                jnp.dot(v, pr["w"].astype(v.dtype).T,
+                        preferred_element_type=jnp.float32)
+                + pr["b"].astype(jnp.float32)
+            ).astype(v.dtype)
+
+        n_heads = cfg.vision_width * 32 // 64
+        q = proj(t[:, :1], p["q_proj"])
+        k = proj(t, p["k_proj"])
+        v = proj(t, p["v_proj"])
+        Dh = C // n_heads
+
+        def heads(a):
+            return a.reshape(B, a.shape[1], n_heads, Dh).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ).astype(jnp.float32) * (Dh ** -0.5)
+        probs = jax.nn.softmax(logits, axis=-1)  # [B, H, 1, HW+1]
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, C)[:, 0]
+        pooled = proj(out, p["c_proj"])
+        # head-mean query row over the spatial keys (mean-token key dropped)
+        return pooled, probs.mean(axis=1)[:, 0, 1:]
+
+    return jax.jit(fwd)
+
+
 def patch_saliency(
     params, cfg: CLIPConfig, images: jnp.ndarray, method: str = "rollout"
 ) -> np.ndarray:
     """Class-token saliency over the patch grid -> ``[B, g, g]`` in [0, 1].
 
-    ``method``: ``"rollout"`` (attention rollout through every layer) or
-    ``"last"`` (head-mean class-token row of the final layer — the classic
-    "attention map").
+    ViT towers: ``method`` is ``"rollout"`` (attention rollout through
+    every layer) or ``"last"`` (head-mean class-token row of the final
+    layer — the classic "attention map").  RN-family towers: the attnpool
+    attention of the mean-token query over the ``image_size // 32`` grid
+    (both methods give the same map — there is one attention).
     """
     if method not in ("rollout", "last"):
         raise ValueError(f"unknown saliency method {method!r}")
     if cfg.vision_tower == "resnet":
-        raise NotImplementedError(
-            "saliency applies to ViT towers only "
-            "(the RN-family tower has no patch-token attention)"
-        )
+        _, cls_row = _jitted_resnet_saliency(cfg)(params, images)
+        g = cfg.image_size // 32
+        grid = np.asarray(cls_row, np.float32).reshape(-1, g, g)
+        lo = grid.min(axis=(1, 2), keepdims=True)
+        hi = grid.max(axis=(1, 2), keepdims=True)
+        return (grid - lo) / np.maximum(hi - lo, 1e-12)
     _, probs = _jitted_forward(cfg)(params, images)
     if method == "rollout":
         cls_row = attention_rollout(probs)[:, 0, 1:]  # [B, n_patches]

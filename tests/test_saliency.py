@@ -80,10 +80,35 @@ def test_uint8_matches_float(params, images):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
-def test_resnet_tower_raises(params, images):
+def test_resnet_attention_forward_raises(params, images):
+    """The ViT explain re-run still rejects RN towers (patch_saliency has
+    its own attnpool path)."""
     rcfg = TINY_TEST.replace(vision_tower="resnet", resnet_layers=(1, 1, 1, 1))
     with pytest.raises(NotImplementedError, match="ViT towers only"):
         vision_attention_forward(params, rcfg, images)
+
+
+def test_resnet_attnpool_saliency(images):
+    """RN towers: the attnpool-query map, pooled output pinned exactly
+    against resnet_encode_image."""
+    from tapclip_tpu.models.resnet import resnet_encode_image
+    from tapclip_tpu.utils.saliency import _jitted_resnet_saliency
+
+    rcfg = TINY_TEST.replace(
+        vision_tower="resnet", resnet_layers=(1, 1, 1, 1), image_size=64,
+    )
+    rparams = clip_model.init_clip_params(jax.random.PRNGKey(1), rcfg)
+    rimages = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    pooled, probs = _jitted_resnet_saliency(rcfg)(rparams, rimages)
+    ref = resnet_encode_image(rparams, rcfg, rimages)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    g = 64 // 32
+    grid = patch_saliency(rparams, rcfg, rimages)
+    assert grid.shape == (2, g, g)
+    assert grid.min() >= 0.0 and grid.max() <= 1.0
+    # probs are a softmax over HW+1 keys; the spatial slice sums to < 1
+    assert float(np.asarray(probs).sum(-1).max()) < 1.0 + 1e-5
 
 
 def test_overlay_png(tmp_path, params, images):
