@@ -18,11 +18,62 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 
+def _probe_backend(timeout_s: float):
+    """Check that jax can initialize its backend within ``timeout_s``.
+
+    The sandbox reaches its TPU through a tunnel that, when down, makes
+    ``jax.devices()`` hang indefinitely (observed: >10 min with no error).
+    Probing in a subprocess bounds that failure so the bench emits an honest
+    JSON error line instead of hanging the driver.  Returns the backend name
+    on success, None on timeout/failure.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    lines = r.stdout.strip().splitlines()
+    return lines[-1] if lines else None
+
+
 def main():
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "600"))
+    if probe_timeout > 0:
+        probed = _probe_backend(probe_timeout)
+        if probed is None:
+            print(
+                f"[bench] backend init probe failed within {probe_timeout:.0f}s "
+                "(TPU tunnel down?)",
+                file=sys.stderr,
+            )
+            print(
+                json.dumps(
+                    {
+                        "metric": "CLIP ViT-B-16 prompt-tune images/sec/chip "
+                        "(fwd+attribution+bwd)",
+                        "value": 0.0,
+                        "unit": "images/sec/chip",
+                        "vs_baseline": 0.0,
+                        "extra": {
+                            "error": "backend unavailable: jax init did not "
+                            f"complete within {probe_timeout:.0f}s"
+                        },
+                    }
+                )
+            )
+            return
+        print(f"[bench] backend probe ok: {probed}", file=sys.stderr)
     import jax
     import jax.numpy as jnp
     import numpy as np
