@@ -71,13 +71,15 @@ def main(argv=None):
     from tapclip_tpu.train import build_model
     from tapclip_tpu.utils import model_export as ME
 
+    import dataclasses
+
     cfg: ExperimentConfig = preset(args.preset)
     if args.classes:
-        cfg = cfg.replace(class_names=tuple(args.classes))
+        cfg = dataclasses.replace(cfg, class_names=tuple(args.classes))
     if args.pretrained:
-        cfg = cfg.replace(pretrained_path=args.pretrained)
+        cfg = dataclasses.replace(cfg, pretrained_path=args.pretrained)
     if args.poly:
-        cfg = cfg.replace(model=cfg.model.replace(attn_impl="xla"))
+        cfg = dataclasses.replace(cfg, model=cfg.model.replace(attn_impl="xla"))
 
     model: FullModel
     model, _ = build_model(cfg)

@@ -37,6 +37,9 @@ _LAZY = {
     "fit_linear_probe": ("tapclip_tpu.linear_probe", "fit_linear_probe"),
     "patch_saliency": ("tapclip_tpu.utils.saliency", "patch_saliency"),
     "PredictService": ("tapclip_tpu.serve", "PredictService"),
+    "predict_corpus": ("tapclip_tpu.predict", "predict_corpus"),
+    "export_model": ("tapclip_tpu.utils.model_export", "export_model"),
+    "load_exported": ("tapclip_tpu.utils.model_export", "load_exported"),
 }
 
 

@@ -1,0 +1,290 @@
+"""Batch inference: classify a folder of UNLABELED images with tuned prompts.
+
+The missing fourth deployment surface.  The reference can only score labeled
+``ImageFolder`` datasets through its eval drivers
+(``/root/reference/test_cross_domain.py:72-85`` — accuracy over a val
+loader); classifying a directory of plain images requires writing a loop by
+hand.  This driver is that loop, TPU-shaped, sharing the serving semantics:
+
+- adjusted class-text features computed ONCE (image-independent attribution
+  identity — ``models/model_wrapper.py``), then the whole corpus runs
+  through a single never-retracing ``classify`` executable (frozen tower +
+  cached features), exactly ``serve.py``'s predict math;
+- fixed batch size with masked tail padding, uint8 host->device transport,
+  decode-ahead prefetch — the ``featurize`` corpus contract;
+- outputs ``predictions.csv`` (``path,label,score[,top{2..k}...]``) and, on
+  request, ``predictions.json`` with full top-k + the class-level
+  attribution matrix.
+
+Usage:
+    python -m tapclip_tpu.predict --image-root photos/ --out preds/ \\
+        --model ViT-B-32 --pretrained converted/ --ckpt results/.../best \\
+        --classes Backpack Pen Mug --top-k 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import logging
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from tapclip_tpu.config import MODEL_PRESETS, preset
+
+log = logging.getLogger("tapclip_tpu")
+
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".gif", ".tif",
+                    ".tiff")
+
+
+def list_images(root: str) -> List[str]:
+    """Every image file under ``root``, recursively, sorted for determinism."""
+    out: List[str] = []
+    for dirpath, _, filenames in os.walk(root):
+        for fn in filenames:
+            if fn.lower().endswith(IMAGE_EXTENSIONS):
+                out.append(os.path.join(dirpath, fn))
+    return sorted(out)
+
+
+def iter_image_batches(
+    paths: List[str], batch_size: int, image_size: int, output_dtype: str
+) -> Iterator[Tuple[np.ndarray, List[str], np.ndarray]]:
+    """Decode ``paths`` into fixed-size ``(images, paths, mask)`` batches.
+
+    Corrupt files are warned + skipped (the loaders' shared tolerance
+    policy), so a bad frame never kills a corpus run.
+    """
+    from PIL import Image
+
+    from tapclip_tpu.data.preprocess import preprocess_pil, preprocess_pil_uint8
+
+    pre = preprocess_pil if output_dtype == "float32" else preprocess_pil_uint8
+
+    def decoded():
+        for path in paths:
+            try:
+                with Image.open(path) as im:
+                    yield pre(im.convert("RGB"), image_size), path
+            except Exception as e:  # noqa: BLE001 — any decoder failure
+                log.warning("skipping undecodable image %s (%s)", path, e)
+
+    from tapclip_tpu.featurize import _batched
+
+    yield from _batched(decoded(), batch_size)
+
+
+def make_classify_fn(cfg, mesh=None):
+    """Jitted ``(params, text_feats[C,E], logit_scale, class_mask,
+    images) -> probs [B,C]`` — serve.py's predict math + softmax."""
+    import jax
+    import jax.numpy as jnp
+
+    from tapclip_tpu.models import clip as clip_model
+
+    def classify(params, text_feats, logit_scale, class_mask, images):
+        f = clip_model.encode_image(params, cfg, images)
+        img = clip_model.l2_normalize(f).astype(jnp.float32)
+        logits = jnp.exp(logit_scale).astype(jnp.float32) * (
+            img @ text_feats.astype(jnp.float32).T
+        )
+        logits = jnp.where(class_mask[None, :], logits, jnp.float32(-1e30))
+        return jax.nn.softmax(logits, axis=-1)
+
+    if mesh is None:
+        return jax.jit(classify)
+    from tapclip_tpu.parallel.mesh import batch_sharding, replicated
+
+    rep = replicated(mesh)
+    return jax.jit(
+        classify,
+        in_shardings=(rep, rep, rep, rep, batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+
+
+def predict_corpus(
+    model,
+    paths: List[str],
+    *,
+    batch_size: int = 256,
+    top_k: int = 1,
+    uint8_transfer: bool = True,
+    mesh=None,
+    prefetch_depth: int = 2,
+):
+    """Classify ``paths`` -> (rows, attribution).
+
+    rows: one ``{"path", "labels": [k], "scores": [k]}`` per decodable
+    image, corpus order.  attribution: class-level ``[n_cls, P]`` (the
+    image-independent scores the adjusted features were built with).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tapclip_tpu.data.prefetch import background_iter
+    from tapclip_tpu.models.model_wrapper import text_features_with_attribution
+
+    cfg, pcfg = model.clip_cfg, model.prompt_cfg
+    bank = model.prompt_learner.bank
+    n_cls = model.n_cls
+    top_k = max(1, min(top_k, n_cls))
+
+    feats, attribution = jax.jit(
+        lambda tr: text_features_with_attribution(
+            model.clip_params, tr["ctx"], bank, cfg, pcfg, tr["adjustor"]
+        )
+    )(model.trainable)
+    scale = jnp.asarray(model.trainable["logit_scale"], jnp.float32)
+    classify = make_classify_fn(cfg, mesh)
+
+    dtype = "uint8" if uint8_transfer else "float32"
+    batches = iter_image_batches(paths, batch_size, cfg.image_size, dtype)
+    rows = []
+    names = list(model.class_names)
+    for images, metas, mask in background_iter(batches, depth=prefetch_depth):
+        probs = np.asarray(
+            classify(model.clip_params, feats, scale, bank.class_mask,
+                     jnp.asarray(images))
+        )[: int(mask.sum())]
+        order = np.argsort(-probs, axis=-1)[:, :top_k]
+        for path, idx, p in zip(metas, order, probs):
+            rows.append({
+                "path": path,
+                "labels": [names[j] for j in idx],
+                "scores": [float(p[j]) for j in idx],
+            })
+    return rows, np.asarray(attribution)[:n_cls]
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
+    p.add_argument("--image-root", required=True,
+                   help="directory of images (recursive; no labels needed)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--model", default="ViT-B-16", choices=sorted(MODEL_PRESETS))
+    p.add_argument("--preset", default=None,
+                   help="experiment preset providing model config + classes "
+                        "(overrides --model; 'tiny' for tests)")
+    p.add_argument("--pretrained", default=None,
+                   help="Orbax dir or open_clip .bin (random weights if unset)")
+    p.add_argument("--ckpt", default=None,
+                   help="tuned prompt checkpoint (Orbax dir or reference .pt)")
+    p.add_argument("--classes", nargs="+", default=None)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--top-k", type=int, default=1)
+    p.add_argument("--json", action="store_true",
+                   help="also write predictions.json (full top-k + "
+                        "class-level attribution)")
+    p.add_argument("--bpe-path", default=None)
+    p.add_argument("--int8", action="store_true",
+                   help="quantized W8A8 tower (see docs/PERF.md)")
+    p.add_argument("--uint8-transfer", dest="uint8_transfer",
+                   action="store_true", default=True)
+    p.add_argument("--no-uint8-transfer", dest="uint8_transfer",
+                   action="store_false")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel devices (0 = single device)")
+    p.add_argument("--platform", default=None, help="e.g. cpu (tests)")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> dict:
+    args = build_argparser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    logging.basicConfig(level=logging.INFO)
+
+    if args.preset:
+        ecfg = preset(args.preset)
+    else:
+        from tapclip_tpu.config import ExperimentConfig
+
+        ecfg = ExperimentConfig(model=MODEL_PRESETS[args.model])
+    import dataclasses
+
+    if args.classes:
+        ecfg = dataclasses.replace(ecfg, class_names=tuple(args.classes))
+    if args.pretrained:
+        ecfg = dataclasses.replace(ecfg, pretrained_path=args.pretrained)
+    if args.int8:
+        ecfg = dataclasses.replace(
+            ecfg, model=ecfg.model.replace(quantize_tower=True)
+        )
+
+    from tapclip_tpu.train import build_model
+
+    model, _ = build_model(ecfg, bpe_path=args.bpe_path)
+    if args.ckpt:
+        import jax.numpy as jnp
+
+        from tapclip_tpu.utils.checkpoint import load_any_prompt_checkpoint
+
+        tree = load_any_prompt_checkpoint(args.ckpt, list(ecfg.class_names))
+        model.prompt_learner.load_ctx(tree["ctx_by_name"])
+        model.trainable = dict(model.trainable, ctx=model.prompt_learner.bank.ctx)
+        if tree.get("logit_scale") is not None and np.size(tree["logit_scale"]):
+            model.trainable = dict(
+                model.trainable, logit_scale=jnp.asarray(tree["logit_scale"])
+            )
+        log.info("loaded tuned prompts from %s", args.ckpt)
+
+    mesh = None
+    if args.dp:
+        from tapclip_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp)
+        if args.batch_size % args.dp:
+            raise SystemExit("--batch-size must divide by --dp")
+
+    paths = list_images(args.image_root)
+    if not paths:
+        raise SystemExit(f"no images found under {args.image_root}")
+    log.info("classifying %d images into %d classes (top-%d)",
+             len(paths), model.n_cls, args.top_k)
+
+    rows, attribution = predict_corpus(
+        model, paths, batch_size=args.batch_size, top_k=args.top_k,
+        uint8_transfer=args.uint8_transfer, mesh=mesh,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    k = max(1, min(args.top_k, model.n_cls))
+    csv_path = os.path.join(args.out, "predictions.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        header = ["path", "label", "score"]
+        for j in range(2, k + 1):
+            header += [f"label_{j}", f"score_{j}"]
+        w.writerow(header)
+        for r in rows:
+            line = [r["path"]]
+            for lab, sc in zip(r["labels"], r["scores"]):
+                line += [lab, f"{sc:.6f}"]
+            w.writerow(line)
+    result = {"n": len(rows), "csv": csv_path}
+    if args.json:
+        json_path = os.path.join(args.out, "predictions.json")
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "classes": list(model.class_names),
+                    "attribution": attribution.tolist(),
+                    "predictions": rows,
+                },
+                f,
+                indent=2,
+            )
+        result["json"] = json_path
+    log.info("wrote %d predictions to %s", len(rows), csv_path)
+    return result
+
+
+if __name__ == "__main__":
+    main()
