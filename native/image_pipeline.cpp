@@ -47,7 +47,15 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
-bool decode_jpeg(const unsigned char* data, size_t len, Image* out) {
+// fast_target > 0 enables DCT-domain downscaling (PIL Image.draft
+// semantics): the IDCT emits at 1/2, 1/4 or 1/8 scale, chosen as the
+// largest factor that keeps the decoded short side >= fast_target so the
+// bicubic resample still only ever downscales.  This skips most of the
+// IDCT + colorspace work for large sources but changes the pixels feeding
+// the resample — it is an OPT-IN throughput mode, never the default
+// (the default path stays bit-exact with PIL).
+bool decode_jpeg(const unsigned char* data, size_t len, Image* out,
+                 int fast_target = 0) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -63,6 +71,16 @@ bool decode_jpeg(const unsigned char* data, size_t len, Image* out) {
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  if (fast_target > 0) {
+    const long min_dim = std::min<long>(cinfo.image_width, cinfo.image_height);
+    // 1/2, 1/4, 1/8 are supported by both classic libjpeg and libjpeg-turbo.
+    int denom = 1;
+    for (int d = 8; d > 1; d /= 2) {
+      if (min_dim >= long(fast_target) * d) { denom = d; break; }
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
@@ -117,14 +135,15 @@ bool decode_png(const unsigned char* data, size_t len, Image* out) {
   return true;
 }
 
-bool decode_buffer(const unsigned char* data, size_t len, Image* out) {
+bool decode_buffer(const unsigned char* data, size_t len, Image* out,
+                   int fast_target = 0) {
   if (len > 2 && data[0] == 0xFF && data[1] == 0xD8)
-    return decode_jpeg(data, len, out);
+    return decode_jpeg(data, len, out, fast_target);
   if (decode_png(data, len, out)) return true;
-  return decode_jpeg(data, len, out);  // fall back to jpeg
+  return decode_jpeg(data, len, out, fast_target);  // fall back to jpeg
 }
 
-bool decode_file(const char* path, Image* out) {
+bool decode_file(const char* path, Image* out, int fast_target = 0) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   fseek(f, 0, SEEK_END);
@@ -135,7 +154,7 @@ bool decode_file(const char* path, Image* out) {
   size_t rd = fread(buf.data(), 1, len, f);
   fclose(f);
   if (rd != size_t(len)) return false;
-  return decode_buffer(buf.data(), len, out);
+  return decode_buffer(buf.data(), len, out, fast_target);
 }
 
 // ---------------------------------------------------------------------------
@@ -305,16 +324,17 @@ bool process_image(Image& img, int out_size, int do_normalize, float* out) {
   return true;
 }
 
-bool process_one(const char* path, int out_size, int do_normalize, float* out) {
+bool process_one(const char* path, int out_size, int do_normalize, float* out,
+                 int fast_target = 0) {
   Image img;
-  if (!decode_file(path, &img)) return false;
+  if (!decode_file(path, &img, fast_target)) return false;
   return process_image(img, out_size, do_normalize, out);
 }
 
 bool process_bytes(const unsigned char* data, size_t len, int out_size,
-                   int do_normalize, float* out) {
+                   int do_normalize, float* out, int fast_target = 0) {
   Image img;
-  if (!decode_buffer(data, len, &img)) return false;
+  if (!decode_buffer(data, len, &img, fast_target)) return false;
   return process_image(img, out_size, do_normalize, out);
 }
 
@@ -327,6 +347,7 @@ struct BatchJob {
   const unsigned char** datas;  // bytes mode (paths == nullptr)
   const size_t* lens;
   int n, out_size, do_normalize;
+  int fast_target = 0;  // 0 = exact decode; >0 = DCT-scaled fast path
   float* out;
   unsigned char* ok;
   int next = 0;
@@ -344,9 +365,10 @@ void* batch_worker(void* arg) {
     bool good =
         job->paths
             ? process_one(job->paths[i], job->out_size, job->do_normalize,
-                          job->out + stride * i)
+                          job->out + stride * i, job->fast_target)
             : process_bytes(job->datas[i], job->lens[i], job->out_size,
-                            job->do_normalize, job->out + stride * i);
+                            job->do_normalize, job->out + stride * i,
+                            job->fast_target);
     job->ok[i] = good ? 1 : 0;
   }
   return nullptr;
@@ -369,9 +391,11 @@ extern "C" {
 
 // Decode+preprocess a batch of image files into out (n*size*size*3 float32,
 // NHWC). ok[i]=1 on success. Returns number of successes.
-int tapclip_decode_batch(const char** paths, int n, int out_size,
-                         int do_normalize, int num_threads, float* out,
-                         unsigned char* ok) {
+// fast_dct_scale != 0 enables the opt-in DCT-scaled JPEG decode (see
+// decode_jpeg): NOT bit-exact with PIL, ~pixel-identical after the resample.
+int tapclip_decode_batch_ex(const char** paths, int n, int out_size,
+                            int do_normalize, int fast_dct_scale,
+                            int num_threads, float* out, unsigned char* ok) {
   BatchJob job;
   job.paths = paths;
   job.datas = nullptr;
@@ -379,17 +403,26 @@ int tapclip_decode_batch(const char** paths, int n, int out_size,
   job.n = n;
   job.out_size = out_size;
   job.do_normalize = do_normalize;
+  job.fast_target = fast_dct_scale ? out_size : 0;
   job.out = out;
   job.ok = ok;
   return run_batch(&job, num_threads);
 }
 
+int tapclip_decode_batch(const char** paths, int n, int out_size,
+                         int do_normalize, int num_threads, float* out,
+                         unsigned char* ok) {
+  return tapclip_decode_batch_ex(paths, n, out_size, do_normalize, 0,
+                                 num_threads, out, ok);
+}
+
 // Same, but from in-memory encoded buffers (webdataset/CSV streaming: the
 // bytes never touch the filesystem).
-int tapclip_decode_bytes_batch(const unsigned char** datas, const size_t* lens,
-                               int n, int out_size, int do_normalize,
-                               int num_threads, float* out,
-                               unsigned char* ok) {
+int tapclip_decode_bytes_batch_ex(const unsigned char** datas,
+                                  const size_t* lens, int n, int out_size,
+                                  int do_normalize, int fast_dct_scale,
+                                  int num_threads, float* out,
+                                  unsigned char* ok) {
   BatchJob job;
   job.paths = nullptr;
   job.datas = datas;
@@ -397,9 +430,18 @@ int tapclip_decode_bytes_batch(const unsigned char** datas, const size_t* lens,
   job.n = n;
   job.out_size = out_size;
   job.do_normalize = do_normalize;
+  job.fast_target = fast_dct_scale ? out_size : 0;
   job.out = out;
   job.ok = ok;
   return run_batch(&job, num_threads);
+}
+
+int tapclip_decode_bytes_batch(const unsigned char** datas, const size_t* lens,
+                               int n, int out_size, int do_normalize,
+                               int num_threads, float* out,
+                               unsigned char* ok) {
+  return tapclip_decode_bytes_batch_ex(datas, lens, n, out_size, do_normalize,
+                                       0, num_threads, out, ok);
 }
 
 // Single-image variant (testing / simple callers).
@@ -408,6 +450,6 @@ int tapclip_decode_one(const char* path, int out_size, int do_normalize,
   return process_one(path, out_size, do_normalize, out) ? 1 : 0;
 }
 
-int tapclip_abi_version() { return 2; }
+int tapclip_abi_version() { return 3; }
 
 }  // extern "C"

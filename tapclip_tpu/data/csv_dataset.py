@@ -45,6 +45,7 @@ class CsvLoader:
         world: int = 1,
         num_workers: int = 4,
         use_native: Optional[bool] = None,
+        fast_decode: bool = False,
     ):
         if world < 1 or not (0 <= rank < world):
             raise ValueError(f"bad rank/world {rank}/{world}")
@@ -79,6 +80,7 @@ class CsvLoader:
         self.num_workers = max(1, num_workers)
         self._epoch = 0
         self._use_native = use_native
+        self.fast_decode = bool(fast_decode)  # DCT-scaled JPEG (native only)
         self.skipped = 0  # undecodable files seen (skipped, not fatal)
 
     def __len__(self) -> int:
@@ -134,6 +136,7 @@ class CsvLoader:
                 arrs, ok = native.decode_batch(
                     [self.samples[int(i)][0] for i in idx], self.image_size,
                     num_threads=self.num_workers,
+                    fast_decode=self.fast_decode,
                 )
                 out = []
                 for arr, good, i in zip(arrs, ok, idx):

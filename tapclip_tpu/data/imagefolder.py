@@ -127,6 +127,7 @@ class Loader:
         drop_remainder: bool = False,
         use_native: Optional[bool] = None,
         output_dtype: str = "float32",
+        fast_decode: bool = False,
     ):
         self.samples = list(samples)
         self.batch_size = batch_size
@@ -150,6 +151,10 @@ class Loader:
         if use_native is None:
             use_native = preprocess is None and _native_available()
         self.use_native = bool(use_native) and preprocess is None
+        # Opt-in DCT-scaled JPEG decode (native path only; see
+        # native.decode_batch).  Near- but not bit-identical pixels, so the
+        # exact path stays the default.
+        self.fast_decode = bool(fast_decode) and self.use_native
         if output_dtype == "uint8":
             from tapclip_tpu.data.preprocess import make_preprocess_uint8
 
@@ -196,6 +201,7 @@ class Loader:
                 self.image_size,
                 do_normalize=not to_uint8,
                 num_threads=self.num_workers,
+                fast_decode=self.fast_decode,
             )
             if to_uint8:
                 # Pre-normalize values are exactly k/255 (uint8 through the

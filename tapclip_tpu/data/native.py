@@ -65,9 +65,10 @@ def _load():
         except OSError as e:
             _build_error = str(e)
             return None
-        lib.tapclip_decode_batch.restype = ctypes.c_int
-        lib.tapclip_decode_batch.argtypes = [
+        lib.tapclip_decode_batch_ex.restype = ctypes.c_int
+        lib.tapclip_decode_batch_ex.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
@@ -82,10 +83,11 @@ def _load():
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
-        lib.tapclip_decode_bytes_batch.restype = ctypes.c_int
-        lib.tapclip_decode_bytes_batch.argtypes = [
+        lib.tapclip_decode_bytes_batch_ex.restype = ctypes.c_int
+        lib.tapclip_decode_bytes_batch_ex.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
@@ -94,7 +96,7 @@ def _load():
             ctypes.POINTER(ctypes.c_ubyte),
         ]
         lib.tapclip_abi_version.restype = ctypes.c_int
-        if lib.tapclip_abi_version() != 2:
+        if lib.tapclip_abi_version() != 3:
             _build_error = "ABI version mismatch"
             return None
         _lib = lib
@@ -116,8 +118,15 @@ def decode_batch(
     *,
     do_normalize: bool = True,
     num_threads: int = 0,
+    fast_decode: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode+preprocess files -> (images [N, S, S, 3] f32, ok [N] bool)."""
+    """Decode+preprocess files -> (images [N, S, S, 3] f32, ok [N] bool).
+
+    ``fast_decode=True`` enables DCT-scaled JPEG decode (PIL ``draft``
+    semantics: the IDCT emits at the largest of 1/2, 1/4, 1/8 scale that
+    keeps the short side >= ``image_size``).  Opt-in throughput mode — the
+    resampled pixels are near- but not bit-identical to the exact path.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native pipeline unavailable: {_build_error}")
@@ -127,11 +136,12 @@ def decode_batch(
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     if num_threads <= 0:
         num_threads = min(8, os.cpu_count() or 1)
-    lib.tapclip_decode_batch(
+    lib.tapclip_decode_batch_ex(
         arr,
         n,
         image_size,
         1 if do_normalize else 0,
+        1 if fast_decode else 0,
         num_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
@@ -145,10 +155,12 @@ def decode_bytes_batch(
     *,
     do_normalize: bool = True,
     num_threads: int = 0,
+    fast_decode: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode+preprocess in-memory encoded images (webdataset/CSV streaming)
     -> (images [N, S, S, 3] f32, ok [N] bool). Bit-identical to the
-    path-based :func:`decode_batch` on the same bytes."""
+    path-based :func:`decode_batch` on the same bytes (same ``fast_decode``
+    setting on both sides)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native pipeline unavailable: {_build_error}")
@@ -161,12 +173,13 @@ def decode_bytes_batch(
     lens = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
     if num_threads <= 0:
         num_threads = min(8, os.cpu_count() or 1)
-    lib.tapclip_decode_bytes_batch(
+    lib.tapclip_decode_bytes_batch_ex(
         arr,
         lens,
         n,
         image_size,
         1 if do_normalize else 0,
+        1 if fast_decode else 0,
         num_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),

@@ -163,6 +163,7 @@ class ShardLoader:
         rank: int = 0,
         world: int = 1,
         use_native: Optional[bool] = None,
+        fast_decode: bool = False,
     ):
         if world < 1 or not (0 <= rank < world):
             raise ValueError(f"bad rank/world {rank}/{world}")
@@ -183,6 +184,7 @@ class ShardLoader:
         self._n_samples = count_samples(self.shards)
         self.skipped = 0  # undecodable members seen (skipped, not fatal)
         self._use_native = use_native  # None = auto (C++ decode if it builds)
+        self.fast_decode = bool(fast_decode)  # DCT-scaled JPEG (native only)
 
     def __len__(self) -> int:
         return self._n_samples // self.batch_size
@@ -238,7 +240,8 @@ class ShardLoader:
                 from tapclip_tpu.data import native
 
                 arrs, ok = native.decode_bytes_batch(
-                    [b for b, _ in items], self.image_size
+                    [b for b, _ in items], self.image_size,
+                    fast_decode=self.fast_decode,
                 )
                 for arr, good, (img_bytes, caption) in zip(arrs, ok, items):
                     if good:

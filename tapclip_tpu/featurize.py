@@ -251,6 +251,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bpe-path", default=None)
     p.add_argument("--int8", action="store_true",
                    help="quantized W8A8 tower (see docs/PERF.md)")
+    p.add_argument("--fast-decode", action="store_true",
+                   help="DCT-scaled JPEG decode in the native pipeline "
+                        "(~2x decode on web-size JPEGs, near- but not "
+                        "bit-identical pixels; ImageFolder input only)")
     p.add_argument("--uint8-transfer", dest="uint8_transfer",
                    action="store_true", default=True)
     p.add_argument("--no-uint8-transfer", dest="uint8_transfer",
@@ -299,6 +303,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
         loader = Loader(
             index.samples, args.batch_size, shuffle=False,
             image_size=cfg.image_size, output_dtype=dtype,
+            fast_decode=args.fast_decode,
         )
         feats = featurize_images(
             params, cfg, iter(loader), embed_fn=make_image_embed_fn(cfg, mesh)

@@ -112,6 +112,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
                         "subsets, resume is shard-granular")
     p.add_argument("--shuffle-buffer", type=int, default=1000,
                    help="sample shuffle-buffer size for --shard-dir")
+    p.add_argument("--fast-decode", action="store_true",
+                   help="DCT-scaled JPEG decode in the native pipeline "
+                        "(PIL draft semantics: IDCT emits at <=1/2 scale "
+                        "when the source is large enough; ~2x decode "
+                        "throughput on web-size JPEGs, near- but not "
+                        "bit-identical pixels)")
     p.add_argument("--csv-path", default=None,
                    help="CSV/TSV manifest of (image path, caption) rows — "
                         "the open_clip csv training format "
@@ -232,6 +238,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             seed=cfg.train.seed,
             rank=jax.process_index(),
             world=jax.process_count(),
+            fast_decode=args.fast_decode,
         )
         log.info(
             "streaming %d image-text pairs from %s (rank %d/%d)",
@@ -254,6 +261,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             seed=cfg.train.seed,
             rank=jax.process_index(),
             world=jax.process_count(),
+            fast_decode=args.fast_decode,
         )
         log.info(
             "streaming %d image-text pairs from %d tar shards "

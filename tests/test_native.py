@@ -102,3 +102,62 @@ def test_decode_bytes_batch_matches_paths(tmp_path):
     by_bytes, ok2 = native.decode_bytes_batch(blobs + [b"junk"], 32)
     assert ok1.all() and ok2.tolist() == [True, True, True, False]
     np.testing.assert_array_equal(by_path, by_bytes[:3])
+
+
+# ---------------------------------------------------------------------------
+# fast_decode (DCT-scaled JPEG, opt-in)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def big_jpegs(tmp_path_factory):
+    """Smooth large JPEGs (short side >= 2x target) where the DCT-scaled
+    path actually engages, plus a small one where it must stay exact."""
+    root = str(tmp_path_factory.mktemp("fastdec"))
+    rng = np.random.default_rng(1)
+    paths = []
+    for i, (w, h) in enumerate([(1024, 768), (768, 1024), (512, 512), (300, 200)]):
+        base = rng.integers(0, 255, (h // 16, w // 16, 3), np.uint8)
+        arr = np.array(Image.fromarray(base).resize((w, h), Image.BILINEAR))
+        p = os.path.join(root, f"big{i}.jpg")
+        Image.fromarray(arr).save(p, quality=90)
+        paths.append(p)
+    return paths
+
+
+def test_fast_decode_close_to_exact(big_jpegs):
+    exact, ok1 = native.decode_batch(big_jpegs, 224, do_normalize=False)
+    fast, ok2 = native.decode_batch(big_jpegs, 224, do_normalize=False,
+                                    fast_decode=True)
+    assert ok1.all() and ok2.all()
+    # scaled-IDCT pixels differ slightly where the scale engages...
+    d = np.abs(exact - fast)
+    assert d.max() < 0.15 and d.mean() < 0.02
+    # ...and must be IDENTICAL where it cannot (short side < 2x target).
+    np.testing.assert_array_equal(exact[3], fast[3])
+
+
+def test_fast_decode_bytes_matches_paths(big_jpegs):
+    blobs = [open(p, "rb").read() for p in big_jpegs]
+    a, ok1 = native.decode_batch(big_jpegs, 224, fast_decode=True)
+    b, ok2 = native.decode_bytes_batch(blobs, 224, fast_decode=True)
+    assert ok1.all() and ok2.all()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fast_decode_png_unaffected(images):
+    pngs = [p for p in images if p.endswith(".png")]
+    a, _ = native.decode_batch(pngs, 112)
+    b, _ = native.decode_batch(pngs, 112, fast_decode=True)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_loader_fast_decode_knob(big_jpegs):
+    from tapclip_tpu.data.imagefolder import Loader
+
+    samples = [(p, 0) for p in big_jpegs]
+    exact = next(iter(Loader(samples, len(samples))))[0]
+    fast_loader = Loader(samples, len(samples), fast_decode=True)
+    assert fast_loader.fast_decode
+    fast = next(iter(fast_loader))[0]
+    assert np.abs(exact - fast).max() < 0.6  # normalized units (/std)
+    assert not np.array_equal(exact[0], fast[0])  # scale engaged on big jpeg
