@@ -52,30 +52,33 @@ def list_images(root: str) -> List[str]:
 
 
 def iter_image_batches(
-    paths: List[str], batch_size: int, image_size: int, output_dtype: str
+    paths: List[str],
+    batch_size: int,
+    image_size: int,
+    output_dtype: str,
+    fast_decode: bool = False,
 ) -> Iterator[Tuple[np.ndarray, List[str], np.ndarray]]:
     """Decode ``paths`` into fixed-size ``(images, paths, mask)`` batches.
 
-    Corrupt files are warned + skipped (the loaders' shared tolerance
-    policy), so a bad frame never kills a corpus run.
+    Rides ``imagefolder.Loader`` (labels carry the corpus index), so the
+    corpus gets the native threaded C++ decode when it builds, per-image
+    PIL fallback, and corrupt-file skip — a bad frame never kills a run.
     """
-    from PIL import Image
+    from tapclip_tpu.data.imagefolder import Loader
 
-    from tapclip_tpu.data.preprocess import preprocess_pil, preprocess_pil_uint8
-
-    pre = preprocess_pil if output_dtype == "float32" else preprocess_pil_uint8
-
-    def decoded():
-        for path in paths:
-            try:
-                with Image.open(path) as im:
-                    yield pre(im.convert("RGB"), image_size), path
-            except Exception as e:  # noqa: BLE001 — any decoder failure
-                log.warning("skipping undecodable image %s (%s)", path, e)
-
-    from tapclip_tpu.featurize import _batched
-
-    yield from _batched(decoded(), batch_size)
+    loader = Loader(
+        [(p, i) for i, p in enumerate(paths)],
+        batch_size,
+        shuffle=False,
+        image_size=image_size,
+        output_dtype=output_dtype,
+        fast_decode=fast_decode,
+    )
+    for images, idx, mask in loader:
+        # mask can be False mid-batch (decode failure), not just the padded
+        # tail — metas lists the REAL rows in batch order.
+        metas = [paths[int(i)] for i, m in zip(idx, mask) if m]
+        yield images, metas, mask
 
 
 def make_classify_fn(cfg, mesh=None):
@@ -116,6 +119,7 @@ def predict_corpus(
     uint8_transfer: bool = True,
     mesh=None,
     prefetch_depth: int = 2,
+    fast_decode: bool = False,
 ):
     """Classify ``paths`` -> (rows, attribution).
 
@@ -143,14 +147,16 @@ def predict_corpus(
     classify = make_classify_fn(cfg, mesh)
 
     dtype = "uint8" if uint8_transfer else "float32"
-    batches = iter_image_batches(paths, batch_size, cfg.image_size, dtype)
+    batches = iter_image_batches(
+        paths, batch_size, cfg.image_size, dtype, fast_decode
+    )
     rows = []
     names = list(model.class_names)
     for images, metas, mask in background_iter(batches, depth=prefetch_depth):
         probs = np.asarray(
             classify(model.clip_params, feats, scale, bank.class_mask,
                      jnp.asarray(images))
-        )[: int(mask.sum())]
+        )[mask]
         order = np.argsort(-probs, axis=-1)[:, :top_k]
         for path, idx, p in zip(metas, order, probs):
             rows.append({
@@ -183,6 +189,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bpe-path", default=None)
     p.add_argument("--int8", action="store_true",
                    help="quantized W8A8 tower (see docs/PERF.md)")
+    p.add_argument("--fast-decode", action="store_true",
+                   help="DCT-scaled JPEG decode in the native pipeline "
+                        "(~2x decode on web-size JPEGs, near- but not "
+                        "bit-identical pixels)")
     p.add_argument("--uint8-transfer", dest="uint8_transfer",
                    action="store_true", default=True)
     p.add_argument("--no-uint8-transfer", dest="uint8_transfer",
@@ -252,6 +262,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
     rows, attribution = predict_corpus(
         model, paths, batch_size=args.batch_size, top_k=args.top_k,
         uint8_transfer=args.uint8_transfer, mesh=mesh,
+        fast_decode=args.fast_decode,
     )
 
     os.makedirs(args.out, exist_ok=True)
