@@ -191,3 +191,25 @@ def test_cli_end_to_end(tmp_path):
     # manifest is valid JSON on disk
     with open(os.path.join(out, ME.MANIFEST_NAME)) as f:
         json.load(f)
+
+
+def test_multi_platform_export_from_cpu_host(tmp_path, tiny_cfg, tiny_params):
+    """TPU-deployable artifacts can be BUILT on a CPU host: jax.export
+    cross-lowers for every named platform without needing the device.
+    (With attn_impl='xla'; the 'auto' Pallas dispatch resolves by the
+    tracing host's backend, so export Pallas-kernel artifacts on-TPU.)"""
+    cfg = tiny_cfg.replace(attn_impl="xla")
+    exported = ME.export_functions(
+        tiny_params, cfg, batch=2, functions=("encode_image",),
+        platforms=("tpu", "cpu"),
+    )
+    out = ME.save_exported(str(tmp_path / "xplat"), exported, cfg)
+    meta = ME.load_manifest(out)["functions"]["encode_image"]
+    assert meta["platforms"] == ["tpu", "cpu"]
+    fns = ME.load_exported(out)
+    imgs = _images(cfg)
+    ref = clip_model.l2_normalize(
+        clip_model.encode_image(tiny_params, cfg, imgs)
+    ).astype(jnp.float32)
+    np.testing.assert_allclose(fns["encode_image"](tiny_params, imgs), ref,
+                               atol=1e-6)
