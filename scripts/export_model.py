@@ -121,12 +121,14 @@ def main(argv=None):
         )
 
         bank = model.prompt_learner.bank
+        # params/bank as jit ARGUMENTS (closures bake weight literals into
+        # the program — the tunneled-compile HTTP-413 trap; see CLAUDE.md)
         feats, _ = jax.jit(
-            lambda tr: text_features_with_attribution(
-                model.clip_params, tr["ctx"], bank, cfg.model,
-                model.prompt_cfg, tr["adjustor"],
+            lambda p, ctx, bk, adj: text_features_with_attribution(
+                p, ctx, bk, cfg.model, model.prompt_cfg, adj
             )
-        )(model.trainable)
+        )(model.clip_params, model.trainable["ctx"], bank,
+          model.trainable["adjustor"])
         npz = os.path.join(out, "class_features.npz")
         np.savez(
             npz,

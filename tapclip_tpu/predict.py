@@ -138,11 +138,18 @@ def predict_corpus(
     n_cls = model.n_cls
     top_k = max(1, min(top_k, n_cls))
 
-    feats, attribution = jax.jit(
-        lambda tr: text_features_with_attribution(
-            model.clip_params, tr["ctx"], bank, cfg, pcfg, tr["adjustor"]
+    # params/bank travel as jit ARGUMENTS — closing over them bakes the
+    # full weight tree into the program as literals (the documented
+    # HTTP-413 trap on the tunneled compile service; see CLAUDE.md).
+    text_fn = jax.jit(
+        lambda p, ctx, bk, adj: text_features_with_attribution(
+            p, ctx, bk, cfg, pcfg, adj
         )
-    )(model.trainable)
+    )
+    feats, attribution = text_fn(
+        model.clip_params, model.trainable["ctx"], bank,
+        model.trainable["adjustor"],
+    )
     scale = jnp.asarray(model.trainable["logit_scale"], jnp.float32)
     classify = make_classify_fn(cfg, mesh)
 
