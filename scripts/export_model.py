@@ -10,7 +10,7 @@ Usage (random weights, tiny preset, CPU):
         --functions encode_image encode_text classify full_forward
 
 Real deployment (TPU, converted open_clip weights, tuned prompts):
-    python scripts/export_model.py --preset vitb16 \\
+    python scripts/export_model.py --model ViT-B-16 \\
         --pretrained open_clip_pytorch_model.bin --ckpt results/.../ckpt \\
         --classes Backpack Pen Mug --batch 256 --out exports/vitb16_b256
 
@@ -37,7 +37,11 @@ log = logging.getLogger("tapclip_tpu.export")
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("--preset", default="tiny")
+    p.add_argument("--preset", default=None,
+                   help="experiment preset ('tiny' for tests); overrides "
+                        "--model")
+    p.add_argument("--model", default="ViT-B-16",
+                   help="model preset when no --preset is given")
     p.add_argument("--platform", default=None,
                    help="jax platform override (e.g. cpu)")
     p.add_argument("--pretrained", default=None,
@@ -66,14 +70,17 @@ def main(argv=None):
     import jax
     import numpy as np
 
-    from tapclip_tpu.config import ExperimentConfig, preset
+    from tapclip_tpu.config import MODEL_PRESETS, ExperimentConfig, preset
     from tapclip_tpu.models.model_wrapper import FullModel
     from tapclip_tpu.train import build_model
     from tapclip_tpu.utils import model_export as ME
 
     import dataclasses
 
-    cfg: ExperimentConfig = preset(args.preset)
+    if args.preset:
+        cfg: ExperimentConfig = preset(args.preset)
+    else:
+        cfg = ExperimentConfig(model=MODEL_PRESETS[args.model])
     if args.classes:
         cfg = dataclasses.replace(cfg, class_names=tuple(args.classes))
     if args.pretrained:
@@ -84,17 +91,9 @@ def main(argv=None):
     model: FullModel
     model, _ = build_model(cfg)
     if args.ckpt:
-        import jax.numpy as jnp
+        from tapclip_tpu.utils.checkpoint import apply_prompt_checkpoint
 
-        from tapclip_tpu.utils.checkpoint import load_any_prompt_checkpoint
-
-        tree = load_any_prompt_checkpoint(args.ckpt, list(cfg.class_names))
-        model.prompt_learner.load_ctx(tree["ctx_by_name"])
-        model.trainable = dict(model.trainable, ctx=model.prompt_learner.bank.ctx)
-        if tree.get("logit_scale") is not None and np.size(tree["logit_scale"]):
-            model.trainable = dict(
-                model.trainable, logit_scale=jnp.asarray(tree["logit_scale"])
-            )
+        apply_prompt_checkpoint(model, args.ckpt)
         log.info("loaded tuned prompts from %s", args.ckpt)
 
     out = ME.export_model(

@@ -48,6 +48,18 @@ def _build() -> Optional[str]:
     return None
 
 
+def _abi_ok(lib) -> bool:
+    """True iff the loaded library exposes the current (v3) ABI."""
+    if not all(
+        hasattr(lib, sym)
+        for sym in ("tapclip_decode_batch_ex", "tapclip_decode_bytes_batch_ex",
+                    "tapclip_decode_one", "tapclip_abi_version")
+    ):
+        return False
+    lib.tapclip_abi_version.restype = ctypes.c_int
+    return lib.tapclip_abi_version() == 3
+
+
 def _load():
     global _lib, _build_error
     with _lib_lock:
@@ -65,6 +77,23 @@ def _load():
         except OSError as e:
             _build_error = str(e)
             return None
+        if not _abi_ok(lib):
+            # Stale artifact (e.g. a cached .so newer than the source, built
+            # from an older checkout): rebuild once, then give up cleanly so
+            # callers fall back to PIL instead of crashing on a missing
+            # symbol mid-iteration.
+            err = _build()
+            if err:
+                _build_error = err
+                return None
+            try:
+                lib = ctypes.CDLL(_SO_PATH)
+            except OSError as e:
+                _build_error = str(e)
+                return None
+            if not _abi_ok(lib):
+                _build_error = "ABI version mismatch"
+                return None
         lib.tapclip_decode_batch_ex.restype = ctypes.c_int
         lib.tapclip_decode_batch_ex.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
@@ -95,10 +124,6 @@ def _load():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_ubyte),
         ]
-        lib.tapclip_abi_version.restype = ctypes.c_int
-        if lib.tapclip_abi_version() != 3:
-            _build_error = "ABI version mismatch"
-            return None
         _lib = lib
         return _lib
 

@@ -165,12 +165,18 @@ class PromptLearner:
     # -- (de)serialization helpers -------------------------------------------
 
     def load_ctx(self, ctx_by_name: Dict[str, np.ndarray]) -> None:
-        """Load per-class context vectors by class name (checkpoint restore)."""
-        ctx = self.bank.ctx
-        for name, arr in ctx_by_name.items():
+        """Load per-class context vectors by class name (checkpoint restore).
+
+        Two phases: register every unseen class FIRST (each add replaces
+        ``self.bank``, possibly growing capacity), then apply all vectors to
+        one ctx buffer — interleaving the two would discard earlier
+        ``.at[].set()`` updates whenever a new class appears mid-loop.
+        """
+        for name in ctx_by_name:
             if name not in self.class_names:
                 self.add_class_prompt(name)
-                ctx = self.bank.ctx
+        ctx = self.bank.ctx
+        for name, arr in ctx_by_name.items():
             idx = self.class_names.index(name)
             ctx = ctx.at[idx].set(jnp.asarray(arr, jnp.float32))
         self.bank = dataclasses.replace(self.bank, ctx=ctx)

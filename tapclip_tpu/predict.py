@@ -125,13 +125,23 @@ def predict_corpus(
 
     rows: one ``{"path", "labels": [k], "scores": [k]}`` per decodable
     image, corpus order.  attribution: class-level ``[n_cls, P]`` (the
-    image-independent scores the adjusted features were built with).
+    image-independent scores the adjusted features were built with) — or
+    ``None`` for CoCoOp models (``PromptConfig.image_conditioned``), where
+    attribution is per-(sample, class) by design.
+
+    CoCoOp models bypass the cached-text-feature fast path entirely (the
+    text features are per-sample there — the serving-cache invariant) and
+    run the full fused forward per batch instead; ``mesh`` applies to the
+    cached path only.
     """
     import jax
     import jax.numpy as jnp
 
     from tapclip_tpu.data.prefetch import background_iter
-    from tapclip_tpu.models.model_wrapper import text_features_with_attribution
+    from tapclip_tpu.models.model_wrapper import (
+        full_model_forward,
+        text_features_with_attribution,
+    )
 
     cfg, pcfg = model.clip_cfg, model.prompt_cfg
     bank = model.prompt_learner.bank
@@ -141,17 +151,41 @@ def predict_corpus(
     # params/bank travel as jit ARGUMENTS — closing over them bakes the
     # full weight tree into the program as literals (the documented
     # HTTP-413 trap on the tunneled compile service; see CLAUDE.md).
-    text_fn = jax.jit(
-        lambda p, ctx, bk, adj: text_features_with_attribution(
-            p, ctx, bk, cfg, pcfg, adj
+    if pcfg.image_conditioned:
+        attribution = None
+        full_fn = jax.jit(
+            lambda p, tr, bk, imgs: jax.nn.softmax(
+                full_model_forward(
+                    p, tr, bk, imgs, None, clip_cfg=cfg, prompt_cfg=pcfg
+                )["logits"],
+                axis=-1,
+            )
         )
-    )
-    feats, attribution = text_fn(
-        model.clip_params, model.trainable["ctx"], bank,
-        model.trainable["adjustor"],
-    )
-    scale = jnp.asarray(model.trainable["logit_scale"], jnp.float32)
-    classify = make_classify_fn(cfg, mesh)
+
+        def probs_fn(imgs):
+            return np.asarray(
+                full_fn(model.clip_params, model.trainable, bank, imgs)
+            )
+
+    else:
+        text_fn = jax.jit(
+            lambda p, ctx, bk, adj: text_features_with_attribution(
+                p, ctx, bk, cfg, pcfg, adj
+            )
+        )
+        feats, attribution = text_fn(
+            model.clip_params, model.trainable["ctx"], bank,
+            model.trainable["adjustor"],
+        )
+        attribution = np.asarray(attribution)[:n_cls]
+        scale = jnp.asarray(model.trainable["logit_scale"], jnp.float32)
+        classify = make_classify_fn(cfg, mesh)
+
+        def probs_fn(imgs):
+            return np.asarray(
+                classify(model.clip_params, feats, scale, bank.class_mask,
+                         imgs)
+            )
 
     dtype = "uint8" if uint8_transfer else "float32"
     batches = iter_image_batches(
@@ -160,10 +194,11 @@ def predict_corpus(
     rows = []
     names = list(model.class_names)
     for images, metas, mask in background_iter(batches, depth=prefetch_depth):
-        probs = np.asarray(
-            classify(model.clip_params, feats, scale, bank.class_mask,
-                     jnp.asarray(images))
-        )[mask]
+        # slice to the REAL class count before ranking: padded slots carry
+        # probability exactly 0.0 and an unstable argsort could otherwise
+        # rank one above a tied real class (names[j] would then be out of
+        # range) — serve.py slices logits[:, :n_cls] for the same reason
+        probs = probs_fn(jnp.asarray(images))[mask][:, :n_cls]
         order = np.argsort(-probs, axis=-1)[:, :top_k]
         for path, idx, p in zip(metas, order, probs):
             rows.append({
@@ -171,7 +206,7 @@ def predict_corpus(
                 "labels": [names[j] for j in idx],
                 "scores": [float(p[j]) for j in idx],
             })
-    return rows, np.asarray(attribution)[:n_cls]
+    return rows, attribution
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -239,17 +274,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
 
     model, _ = build_model(ecfg, bpe_path=args.bpe_path)
     if args.ckpt:
-        import jax.numpy as jnp
+        from tapclip_tpu.utils.checkpoint import apply_prompt_checkpoint
 
-        from tapclip_tpu.utils.checkpoint import load_any_prompt_checkpoint
-
-        tree = load_any_prompt_checkpoint(args.ckpt, list(ecfg.class_names))
-        model.prompt_learner.load_ctx(tree["ctx_by_name"])
-        model.trainable = dict(model.trainable, ctx=model.prompt_learner.bank.ctx)
-        if tree.get("logit_scale") is not None and np.size(tree["logit_scale"]):
-            model.trainable = dict(
-                model.trainable, logit_scale=jnp.asarray(tree["logit_scale"])
-            )
+        apply_prompt_checkpoint(model, args.ckpt)
         log.info("loaded tuned prompts from %s", args.ckpt)
 
     mesh = None
@@ -293,7 +320,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
             json.dump(
                 {
                     "classes": list(model.class_names),
-                    "attribution": attribution.tolist(),
+                    # None for CoCoOp (per-sample attribution by design)
+                    "attribution": None if attribution is None
+                    else attribution.tolist(),
                     "predictions": rows,
                 },
                 f,

@@ -689,17 +689,9 @@ def main(argv: Optional[List[str]] = None):
 
     model = FullModel(args.classes, params, cfg)
     if args.ckpt:
-        import jax.numpy as jnp
+        from tapclip_tpu.utils.checkpoint import apply_prompt_checkpoint
 
-        from tapclip_tpu.utils.checkpoint import load_any_prompt_checkpoint
-
-        tree = load_any_prompt_checkpoint(args.ckpt, args.classes)
-        model.prompt_learner.load_ctx(tree["ctx_by_name"])
-        model.trainable = dict(model.trainable, ctx=model.prompt_learner.bank.ctx)
-        if tree.get("logit_scale") is not None and np.size(tree["logit_scale"]):
-            model.trainable = dict(
-                model.trainable, logit_scale=jnp.asarray(tree["logit_scale"])
-            )
+        apply_prompt_checkpoint(model, args.ckpt)
 
     mesh = None
     if args.dp > 1:

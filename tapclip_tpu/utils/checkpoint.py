@@ -127,6 +127,22 @@ def load_any_prompt_checkpoint(
     return out
 
 
+def apply_prompt_checkpoint(model, path: str) -> None:
+    """Load a prompt checkpoint (Orbax dir or reference ``.pt``) into a live
+    ``FullModel``: context vectors by class name (unseen names grow the
+    bank), trained ctx synced into ``model.trainable``, logit_scale when
+    present.  The shared --ckpt path of serve / predict / export_model."""
+    import jax.numpy as jnp
+
+    tree = load_any_prompt_checkpoint(path, list(model.class_names))
+    model.prompt_learner.load_ctx(tree["ctx_by_name"])
+    model.trainable = dict(model.trainable, ctx=model.prompt_learner.bank.ctx)
+    if tree.get("logit_scale") is not None and np.size(tree["logit_scale"]):
+        model.trainable = dict(
+            model.trainable, logit_scale=jnp.asarray(tree["logit_scale"])
+        )
+
+
 class CheckpointManager:
     """Retention + async policies over ``save_prompt_checkpoint``.
 

@@ -198,6 +198,13 @@ def export_functions(
             "symbolic_batch requires attn_impl='xla' (Pallas kernels need "
             f"static shapes); got attn_impl={cfg.attn_impl!r}"
         )
+    if pcfg.image_conditioned and "classify" in functions:
+        raise ValueError(
+            "classify cannot be exported for image_conditioned (CoCoOp) "
+            "models: text features are per-(sample, class), so a cached "
+            "class-feature program serves wrong logits — export "
+            "'full_forward' instead (it applies the meta-net conditioning)"
+        )
     out: Dict[str, Any] = {}
     for name in functions:
         fn = _build_fn(name, cfg, pcfg)

@@ -118,3 +118,47 @@ def test_empty_dir_rejected(tmp_path):
             "--image-root", str(tmp_path / "empty"), "--out",
             str(tmp_path / "o"), "--preset", "tiny",
         ])
+
+
+def test_image_conditioned_bypasses_text_cache(image_dir, tiny_cfg, tiny_params):
+    """CoCoOp models must NOT use the cached class-feature fast path (their
+    text features are per-sample); probs must equal the full forward."""
+    import jax.numpy as jnp
+
+    from tapclip_tpu.config import PromptConfig
+    from tapclip_tpu.data.preprocess import preprocess_pil
+    from tapclip_tpu.models.model_wrapper import FullModel
+
+    model = FullModel(
+        ["Backpack", "Pen", "Mug"], tiny_params, tiny_cfg,
+        prompt_cfg=PromptConfig(max_classes=4, image_conditioned=True),
+    )
+    paths = [p for p in P.list_images(image_dir) if "corrupt" not in p][:3]
+    rows, attribution = P.predict_corpus(
+        model, paths, batch_size=4, top_k=3, uint8_transfer=False
+    )
+    assert attribution is None  # per-sample attribution by design
+
+    imgs = np.stack([
+        preprocess_pil(Image.open(p).convert("RGB"), tiny_cfg.image_size)
+        for p in paths
+    ])
+    logits = np.asarray(model(jnp.asarray(imgs))["logits"])
+    ref = np.exp(logits - logits.max(-1, keepdims=True))
+    ref /= ref.sum(-1, keepdims=True)
+    for r, probs in zip(rows, ref):
+        got = dict(zip(r["labels"], r["scores"]))
+        for j, name in enumerate(model.class_names):
+            np.testing.assert_allclose(got[name], probs[j], atol=1e-4)
+
+
+def test_export_classify_rejected_for_image_conditioned(tiny_cfg, tiny_params):
+    from tapclip_tpu.config import PromptConfig
+    from tapclip_tpu.utils import model_export as ME
+
+    with pytest.raises(ValueError, match="image_conditioned"):
+        ME.export_functions(
+            tiny_params, tiny_cfg,
+            PromptConfig(max_classes=4, image_conditioned=True),
+            functions=("classify",),
+        )

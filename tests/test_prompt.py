@@ -72,6 +72,24 @@ class TestPromptLearner:
         learner.load_ctx(d)
         np.testing.assert_allclose(np.asarray(learner.bank.ctx[1]), d["Pen"])
 
+    def test_load_ctx_with_unseen_class_keeps_loaded_vectors(self, learner):
+        """A checkpoint with an extra class must not revert the other
+        classes' vectors (the add replaces the bank mid-load; regression
+        test for the interleaved add/set bug)."""
+        d = learner.ctx_by_name()
+        d["Backpack"] = d["Backpack"] + 1.0
+        d["Pen"] = d["Pen"] + 2.0
+        # new class LAST in iteration order: the adds must happen up front
+        d["Mug"] = np.full_like(d["Pen"], 3.0)
+        learner.load_ctx(d)
+        assert learner.n_cls == 3
+        np.testing.assert_allclose(np.asarray(learner.bank.ctx[0]), d["Backpack"])
+        np.testing.assert_allclose(np.asarray(learner.bank.ctx[1]), d["Pen"])
+        np.testing.assert_allclose(
+            np.asarray(learner.bank.ctx[learner.class_names.index("Mug")]),
+            d["Mug"],
+        )
+
     def test_eot_pos_recorded(self, learner):
         eot = np.asarray(learner.bank.eot_pos[:2])
         assert (eot > 0).all()
