@@ -58,6 +58,12 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--synthetic-data", action="store_true",
                    help="generate a synthetic ImageFolder (smoke/benchmarks)")
     p.add_argument("--profile-dir", default=None, help="jax.profiler trace dir")
+    p.add_argument("--confusion", action="store_true",
+                   help="write a validation confusion matrix "
+                        "(csv + heatmap PNG) for the best model")
+    p.add_argument("--calibrate", action="store_true",
+                   help="fit a softmax temperature on the validation set "
+                        "(Guo et al. 2017) and report ECE before/after")
     p.add_argument("--resume", default=None,
                    help="Orbax checkpoint dir to resume training from "
                         "(restores prompt params + optimizer state + step)")
@@ -308,6 +314,33 @@ def main(argv: Optional[List[str]] = None) -> dict:
         os.path.join(paths["plot_dir"], f"{cfg.version}_attribution.png"),
     )
     log.info("attribution chart saved to %s", attr_path)
+
+    if args.confusion:
+        from tapclip_tpu.utils.eval_metrics import confusion_matrix
+        from tapclip_tpu.utils.plotting import save_confusion_matrix
+
+        cm = confusion_matrix(model, val_loader)
+        cm_csv = os.path.join(paths["csv_dir"], f"{cfg.version}_confusion.csv")
+        np.savetxt(cm_csv, cm, fmt="%d", delimiter=",",
+                   header=",".join(model.class_names), comments="")
+        cm_png = save_confusion_matrix(
+            cm, model.class_names,
+            os.path.join(paths["plot_dir"], f"{cfg.version}_confusion.png"),
+        )
+        log.info("confusion matrix saved to %s / %s", cm_csv, cm_png)
+
+    calib = None
+    if args.calibrate:
+        from tapclip_tpu.utils.calibration import calibrate
+
+        calib = calibrate(model, val_loader)
+        log.info(
+            "calibration: T=%.3f  ECE %.4f -> %.4f (n=%d)",
+            calib["temperature"], calib["ece_before"], calib["ece_after"],
+            calib["n"],
+        )
+        with open(os.path.join(paths["csv_dir"], "calibration.json"), "w") as f:
+            json.dump(calib, f, indent=2)
 
     with open(os.path.join(paths["csv_dir"], "history.json"), "w") as f:
         json.dump(

@@ -78,6 +78,28 @@ def evaluate_per_class_accuracy(
     return acc_dict
 
 
+def confusion_matrix(model, dataloader, n_cls: Optional[int] = None) -> np.ndarray:
+    """``[C, C]`` counts, rows = true label, cols = prediction.
+
+    Beyond-reference observability: the reference prints per-class accuracy
+    (the diagonal, ``eval_metrics.py:31-39``) but never shows WHICH classes
+    absorb the errors — the readout cross-domain failure analysis actually
+    needs.  Same loader contract as :func:`evaluate_accuracy` (masked padded
+    batches).
+    """
+    from tapclip_tpu.data.prefetch import background_iter
+
+    C = int(n_cls if n_cls is not None else model.n_cls)
+    cm = np.zeros((C, C), np.int64)
+    for images, labels, mask in background_iter(dataloader):
+        logits = np.asarray(model(images)["logits"])
+        preds = logits.argmax(axis=1)
+        keep = np.asarray(mask)
+        labels = np.asarray(labels)
+        np.add.at(cm, (labels[keep], preds[keep]), 1)
+    return cm
+
+
 def retrieval_recall(
     img_feats: np.ndarray,
     txt_feats: np.ndarray,

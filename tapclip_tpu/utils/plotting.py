@@ -87,6 +87,40 @@ def save_attribution_chart(
     return out_path
 
 
+def save_confusion_matrix(
+    cm,  # [C, C] counts, rows = true
+    class_names: Sequence[str],
+    out_path: str,
+    title: str = "Confusion matrix",
+) -> str:
+    """Row-normalized heatmap with count annotations (the error-structure
+    readout the reference's per-class accuracy printout can't show)."""
+    plt = _plt()
+    cm = np.asarray(cm)
+    C = cm.shape[0]
+    row = cm.sum(axis=1, keepdims=True)
+    norm = cm / np.maximum(row, 1)
+    plt.figure(figsize=(max(4, 0.6 * C + 2),) * 2)
+    plt.imshow(norm, cmap="Blues", vmin=0.0, vmax=1.0)
+    names = list(class_names)[:C]
+    plt.xticks(range(C), names, rotation=45, ha="right", fontsize=8)
+    plt.yticks(range(C), names, fontsize=8)
+    for i in range(C):
+        for j in range(C):
+            if cm[i, j]:
+                plt.text(j, i, str(int(cm[i, j])), ha="center", va="center",
+                         fontsize=7,
+                         color="white" if norm[i, j] > 0.5 else "black")
+    plt.xlabel("predicted")
+    plt.ylabel("true")
+    plt.title(title)
+    plt.colorbar(fraction=0.046)
+    plt.tight_layout()
+    plt.savefig(out_path)
+    plt.close()
+    return out_path
+
+
 def save_saliency_overlay(
     image,  # [H, W, 3] float in [0, 1] (display-space, NOT CLIP-normalized)
     grid,  # [g, g] float in [0, 1] (utils/saliency.patch_saliency row)
