@@ -70,15 +70,23 @@ class PredictService:
         batch_size: int = 8,
         max_latency_ms: float = 10.0,
         mesh=None,
+        temperature: float = 1.0,
     ):
         """``mesh``: an optional ``jax.sharding.Mesh`` with a ``data`` axis —
         every served batch is sharded over it (params replicated, logits
         gathered by XLA), scaling serving throughput across chips with the
-        same single jitted executable. ``batch_size`` must divide evenly."""
+        same single jitted executable. ``batch_size`` must divide evenly.
+
+        ``temperature``: softmax temperature applied to served
+        probabilities (fit one with ``train --calibrate``); rankings and
+        the argmax class are unchanged by construction."""
         self.model = model
         self.batch_size = batch_size
         self.max_latency_ms = max_latency_ms
         self.mesh = mesh
+        if temperature <= 0:
+            raise ValueError(f"temperature must be > 0, got {temperature}")
+        self.temperature = float(temperature)
         if mesh is not None:
             from tapclip_tpu.parallel.mesh import DATA_AXIS
 
@@ -187,7 +195,7 @@ class PredictService:
                     jnp.asarray(px), method=method,
                 )
         logits = np.asarray(out["logits"], np.float32)[0]
-        probs = _softmax(logits[None])[0]
+        probs = _softmax(logits[None] / self.temperature)[0]
         attr = np.asarray(out["attribution"], np.float32)
         if attr.ndim == 3:  # image-conditioned: [B, C, P]
             attr = attr[0]
@@ -397,7 +405,7 @@ class PredictService:
             logits = np.asarray(out["logits"], np.float32)[: len(batch)]
             if feats is not None:
                 feats = np.asarray(feats, np.float32)[: len(batch)]
-            probs = _softmax(logits)
+            probs = _softmax(logits / self.temperature)
             preds = logits.argmax(-1)
             for i, (_, slot, done, kind) in enumerate(batch):
                 if kind == "embed":
@@ -647,6 +655,9 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--port", type=int, default=8711)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-latency-ms", type=float, default=10.0)
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="softmax temperature for served probabilities "
+                        "(fit via train --calibrate; argmax unchanged)")
     p.add_argument("--synthetic", action="store_true",
                    help="random-init weights (smoke/demo)")
     p.add_argument("--int8", action="store_true",
@@ -699,7 +710,8 @@ def main(argv: Optional[List[str]] = None):
 
         mesh = make_mesh(dp=args.dp, tp=1)
     service = PredictService(model, batch_size=args.batch_size,
-                             max_latency_ms=args.max_latency_ms, mesh=mesh)
+                             max_latency_ms=args.max_latency_ms, mesh=mesh,
+                             temperature=args.temperature)
     server = make_http_server(service, args.host, args.port)
     log.info("serving %s with %d classes on http://%s:%d (batch=%d, "
              "max_latency=%.0fms)", cfg.name, len(args.classes), args.host,

@@ -544,3 +544,28 @@ def test_predict_batch_position_invariant(service, tiny_cfg):
     assert results[3]["index"] == solo["index"]
     for name, p in solo["probs"].items():
         assert abs(results[3]["probs"][name] - p) < 1e-5
+
+
+def test_temperature_scales_probs_not_ranking(model):
+    px = _rand_pixels(model.clip_cfg.image_size, seed=42)
+    base = PredictService(model, batch_size=2, max_latency_ms=5.0)
+    try:
+        r1 = base.predict(px, timeout=300)
+    finally:
+        base.close()
+    hot = PredictService(model, batch_size=2, max_latency_ms=5.0,
+                         temperature=2.0)
+    try:
+        r2 = hot.predict(px, timeout=300)
+    finally:
+        hot.close()
+    assert r2["class"] == r1["class"]  # argmax invariant
+    p1 = np.array([r1["probs"][n] for n in CLASSES])
+    p2 = np.array([r2["probs"][n] for n in CLASSES])
+    # T=2 flattens: re-derive p2 from p1 (softmax of logits/2 == softmax of
+    # (log p1)/2 up to the shared constant)
+    expect = np.exp(np.log(np.maximum(p1, 1e-9)) / 2.0)
+    expect /= expect.sum()
+    np.testing.assert_allclose(p2, expect, atol=2e-3)
+    with pytest.raises(ValueError, match="temperature"):
+        PredictService(model, temperature=0.0)
