@@ -120,8 +120,15 @@ def predict_corpus(
     mesh=None,
     prefetch_depth: int = 2,
     fast_decode: bool = False,
+    saliency: Optional[str] = None,
+    saliency_dir: Optional[str] = None,
 ):
     """Classify ``paths`` -> (rows, attribution).
+
+    ``saliency``: ``"rollout"`` or ``"last"`` — additionally compute the
+    vision patch-saliency grid per image and write a heatmap-overlay PNG
+    into ``saliency_dir`` (each row gains a ``"saliency_png"`` key).
+    Forces uint8 transport (the overlay needs display-space pixels).
 
     rows: one ``{"path", "labels": [k], "scores": [k]}`` per decodable
     image, corpus order.  attribution: class-level ``[n_cls, P]`` (the
@@ -187,6 +194,14 @@ def predict_corpus(
                          imgs)
             )
 
+    if saliency:
+        if saliency not in ("rollout", "last"):
+            raise ValueError(f"unknown saliency method {saliency!r}")
+        if saliency_dir is None:
+            raise ValueError("saliency requires saliency_dir")
+        os.makedirs(saliency_dir, exist_ok=True)
+        uint8_transfer = True  # the overlay needs display-space pixels
+
     dtype = "uint8" if uint8_transfer else "float32"
     batches = iter_image_batches(
         paths, batch_size, cfg.image_size, dtype, fast_decode
@@ -198,14 +213,34 @@ def predict_corpus(
         # probability exactly 0.0 and an unstable argsort could otherwise
         # rank one above a tied real class (names[j] would then be out of
         # range) — serve.py slices logits[:, :n_cls] for the same reason
-        probs = probs_fn(jnp.asarray(images))[mask][:, :n_cls]
+        xb = jnp.asarray(images)
+        probs = probs_fn(xb)[mask][:, :n_cls]
         order = np.argsort(-probs, axis=-1)[:, :top_k]
-        for path, idx, p in zip(metas, order, probs):
-            rows.append({
+        grids = None
+        if saliency:
+            from tapclip_tpu.utils.plotting import save_saliency_overlay
+            from tapclip_tpu.utils.saliency import patch_saliency
+
+            grids = patch_saliency(model.clip_params, cfg, xb,
+                                   method=saliency)[np.asarray(mask)]
+        for bi, (path, idx, p) in enumerate(zip(metas, order, probs)):
+            row = {
                 "path": path,
                 "labels": [names[j] for j in idx],
                 "scores": [float(p[j]) for j in idx],
-            })
+            }
+            if grids is not None:
+                stem = os.path.splitext(os.path.basename(path))[0]
+                png = os.path.join(
+                    saliency_dir, f"{len(rows):05d}_{stem}_saliency.png"
+                )
+                disp = np.asarray(images[np.asarray(mask)][bi], np.float32)
+                disp = disp / 255.0  # uint8 transport is forced above
+                row["saliency_png"] = save_saliency_overlay(
+                    disp, grids[bi], png,
+                    title=f"{row['labels'][0]} ({saliency})",
+                )
+            rows.append(row)
     return rows, attribution
 
 
@@ -231,6 +266,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bpe-path", default=None)
     p.add_argument("--int8", action="store_true",
                    help="quantized W8A8 tower (see docs/PERF.md)")
+    p.add_argument("--saliency", default=None, choices=["rollout", "last"],
+                   help="write a patch-saliency overlay PNG per image into "
+                        "OUT/saliency/ (ViT: attention rollout or last "
+                        "layer; RN: attnpool map)")
     p.add_argument("--fast-decode", action="store_true",
                    help="DCT-scaled JPEG decode in the native pipeline "
                         "(~2x decode on web-size JPEGs, near- but not "
@@ -297,6 +336,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
         model, paths, batch_size=args.batch_size, top_k=args.top_k,
         uint8_transfer=args.uint8_transfer, mesh=mesh,
         fast_decode=args.fast_decode,
+        saliency=args.saliency,
+        saliency_dir=os.path.join(args.out, "saliency") if args.saliency
+        else None,
     )
 
     os.makedirs(args.out, exist_ok=True)

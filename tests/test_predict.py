@@ -162,3 +162,20 @@ def test_export_classify_rejected_for_image_conditioned(tiny_cfg, tiny_params):
             PromptConfig(max_classes=4, image_conditioned=True),
             functions=("classify",),
         )
+
+
+def test_saliency_overlays(image_dir, tiny_cfg, tiny_params, tmp_path):
+    from tapclip_tpu.models.model_wrapper import FullModel
+
+    model = FullModel(["Backpack", "Pen"], tiny_params, tiny_cfg)
+    paths = [p for p in P.list_images(image_dir) if "corrupt" not in p][:3]
+    sal_dir = str(tmp_path / "sal")
+    rows, _ = P.predict_corpus(
+        model, paths, batch_size=4, saliency="rollout", saliency_dir=sal_dir
+    )
+    assert len(rows) == 3
+    for r in rows:
+        assert os.path.exists(r["saliency_png"])
+    assert len(os.listdir(sal_dir)) == 3
+    with pytest.raises(ValueError, match="saliency"):
+        P.predict_corpus(model, paths, saliency="nope", saliency_dir=sal_dir)
