@@ -338,6 +338,42 @@ bool process_bytes(const unsigned char* data, size_t len, int out_size,
   return process_image(img, out_size, do_normalize, out);
 }
 
+// uint8 output: the resample already produces uint8 rows, so this is the
+// crop-window copy with no float conversion at all — bit-identical to
+// quantizing the float path's unnormalized output (whose values are exactly
+// k/255).  Normalization happens on device (preprocess.device_normalize).
+bool process_image_u8(Image& img, int out_size, unsigned char* out) {
+  if (img.w <= 0 || img.h <= 0) return false;
+  int rw, rh;
+  if (img.w <= img.h) {
+    rw = out_size;
+    rh = std::max(1, int(double(out_size) * img.h / img.w));
+  } else {
+    rh = out_size;
+    rw = std::max(1, int(double(out_size) * img.w / img.h));
+  }
+  int left = int(std::nearbyint((rw - out_size) / 2.0));
+  int top = int(std::nearbyint((rh - out_size) / 2.0));
+  std::vector<unsigned char> resized;
+  resize_bicubic_cropped(img, rw, rh, left, top, out_size, out_size, &resized);
+  memcpy(out, resized.data(), resized.size());
+  return true;
+}
+
+bool process_one_u8(const char* path, int out_size, unsigned char* out,
+                    int fast_target) {
+  Image img;
+  if (!decode_file(path, &img, fast_target)) return false;
+  return process_image_u8(img, out_size, out);
+}
+
+bool process_bytes_u8(const unsigned char* data, size_t len, int out_size,
+                      unsigned char* out, int fast_target) {
+  Image img;
+  if (!decode_buffer(data, len, &img, fast_target)) return false;
+  return process_image_u8(img, out_size, out);
+}
+
 // ---------------------------------------------------------------------------
 // Thread pool over a batch
 // ---------------------------------------------------------------------------
@@ -348,7 +384,8 @@ struct BatchJob {
   const size_t* lens;
   int n, out_size, do_normalize;
   int fast_target = 0;  // 0 = exact decode; >0 = DCT-scaled fast path
-  float* out;
+  float* out = nullptr;            // float mode
+  unsigned char* out_u8 = nullptr;  // uint8 mode (out == nullptr)
   unsigned char* ok;
   int next = 0;
   pthread_mutex_t mu = PTHREAD_MUTEX_INITIALIZER;
@@ -362,13 +399,23 @@ void* batch_worker(void* arg) {
     int i = job->next++;
     pthread_mutex_unlock(&job->mu);
     if (i >= job->n) break;
-    bool good =
-        job->paths
-            ? process_one(job->paths[i], job->out_size, job->do_normalize,
-                          job->out + stride * i, job->fast_target)
-            : process_bytes(job->datas[i], job->lens[i], job->out_size,
-                            job->do_normalize, job->out + stride * i,
-                            job->fast_target);
+    bool good;
+    if (job->out_u8) {
+      good = job->paths
+                 ? process_one_u8(job->paths[i], job->out_size,
+                                  job->out_u8 + stride * i, job->fast_target)
+                 : process_bytes_u8(job->datas[i], job->lens[i], job->out_size,
+                                    job->out_u8 + stride * i,
+                                    job->fast_target);
+    } else {
+      good = job->paths
+                 ? process_one(job->paths[i], job->out_size,
+                               job->do_normalize, job->out + stride * i,
+                               job->fast_target)
+                 : process_bytes(job->datas[i], job->lens[i], job->out_size,
+                                 job->do_normalize, job->out + stride * i,
+                                 job->fast_target);
+    }
     job->ok[i] = good ? 1 : 0;
   }
   return nullptr;
@@ -444,12 +491,47 @@ int tapclip_decode_bytes_batch(const unsigned char** datas, const size_t* lens,
                                        0, num_threads, out, ok);
 }
 
+// uint8 output variants: no normalization (it fuses on device), no float
+// conversion — the output rows are the resample's uint8 bytes directly.
+int tapclip_decode_batch_u8(const char** paths, int n, int out_size,
+                            int fast_dct_scale, int num_threads,
+                            unsigned char* out, unsigned char* ok) {
+  BatchJob job;
+  job.paths = paths;
+  job.datas = nullptr;
+  job.lens = nullptr;
+  job.n = n;
+  job.out_size = out_size;
+  job.do_normalize = 0;
+  job.fast_target = fast_dct_scale ? out_size : 0;
+  job.out_u8 = out;
+  job.ok = ok;
+  return run_batch(&job, num_threads);
+}
+
+int tapclip_decode_bytes_batch_u8(const unsigned char** datas,
+                                  const size_t* lens, int n, int out_size,
+                                  int fast_dct_scale, int num_threads,
+                                  unsigned char* out, unsigned char* ok) {
+  BatchJob job;
+  job.paths = nullptr;
+  job.datas = datas;
+  job.lens = lens;
+  job.n = n;
+  job.out_size = out_size;
+  job.do_normalize = 0;
+  job.fast_target = fast_dct_scale ? out_size : 0;
+  job.out_u8 = out;
+  job.ok = ok;
+  return run_batch(&job, num_threads);
+}
+
 // Single-image variant (testing / simple callers).
 int tapclip_decode_one(const char* path, int out_size, int do_normalize,
                        float* out) {
   return process_one(path, out_size, do_normalize, out) ? 1 : 0;
 }
 
-int tapclip_abi_version() { return 3; }
+int tapclip_abi_version() { return 4; }
 
 }  // extern "C"

@@ -195,19 +195,23 @@ class Loader:
             idx = order[b * B : (b + 1) * B]
             paths = [self.samples[i][0] for i in idx]
             labels = np.asarray([self.samples[i][1] for i in idx], np.int32)
-            to_uint8 = self.output_dtype == "uint8"
-            images, ok = native.decode_batch(
-                paths,
-                self.image_size,
-                do_normalize=not to_uint8,
-                num_threads=self.num_workers,
-                fast_decode=self.fast_decode,
-            )
-            if to_uint8:
-                # Pre-normalize values are exactly k/255 (uint8 through the
-                # PIL-compatible resize) -> the round-trip is exact. clip()
-                # sanitizes rows whose decode failed (overwritten below).
-                images = np.rint(np.clip(images, 0.0, 1.0) * 255.0).astype(np.uint8)
+            if self.output_dtype == "uint8":
+                # Direct uint8 output: the C++ resample's bytes verbatim —
+                # no float buffer, no host-side quantization round-trip
+                # (bit-identical to the old rint(f32*255) path).
+                images, ok = native.decode_batch_u8(
+                    paths,
+                    self.image_size,
+                    num_threads=self.num_workers,
+                    fast_decode=self.fast_decode,
+                )
+            else:
+                images, ok = native.decode_batch(
+                    paths,
+                    self.image_size,
+                    num_threads=self.num_workers,
+                    fast_decode=self.fast_decode,
+                )
             mask = np.ones((len(idx),), bool)
             if not ok.all():
                 # Formats the native decoder doesn't cover (webp/bmp/tiff)

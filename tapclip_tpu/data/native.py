@@ -49,15 +49,16 @@ def _build() -> Optional[str]:
 
 
 def _abi_ok(lib) -> bool:
-    """True iff the loaded library exposes the current (v3) ABI."""
+    """True iff the loaded library exposes the current (v4) ABI."""
     if not all(
         hasattr(lib, sym)
         for sym in ("tapclip_decode_batch_ex", "tapclip_decode_bytes_batch_ex",
+                    "tapclip_decode_batch_u8", "tapclip_decode_bytes_batch_u8",
                     "tapclip_decode_one", "tapclip_abi_version")
     ):
         return False
     lib.tapclip_abi_version.restype = ctypes.c_int
-    return lib.tapclip_abi_version() == 3
+    return lib.tapclip_abi_version() == 4
 
 
 def _load():
@@ -122,6 +123,27 @@ def _load():
             ctypes.c_int,
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
+        lib.tapclip_decode_batch_u8.restype = ctypes.c_int
+        lib.tapclip_decode_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_ubyte),
+        ]
+        lib.tapclip_decode_bytes_batch_u8.restype = ctypes.c_int
+        lib.tapclip_decode_bytes_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
             ctypes.POINTER(ctypes.c_ubyte),
         ]
         _lib = lib
@@ -224,3 +246,69 @@ def decode_one(path: str, image_size: int = 224, do_normalize: bool = True) -> n
     if rc != 1:
         raise IOError(f"failed to decode {path}")
     return out
+
+
+def decode_batch_u8(
+    paths: Sequence[str],
+    image_size: int = 224,
+    *,
+    num_threads: int = 0,
+    fast_decode: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode+preprocess files -> (images [N, S, S, 3] uint8, ok [N] bool).
+
+    The uint8 transport path with zero float conversion: output rows are
+    the PIL-exact resample's bytes directly (bit-identical to quantizing
+    the float path's unnormalized output).  Normalization fuses on device
+    (``preprocess.device_normalize``).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native pipeline unavailable: {_build_error}")
+    n = len(paths)
+    out = np.empty((n, image_size, image_size, 3), np.uint8)
+    ok = np.zeros((n,), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    lib.tapclip_decode_batch_u8(
+        arr,
+        n,
+        image_size,
+        1 if fast_decode else 0,
+        num_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return out, ok.astype(bool)
+
+
+def decode_bytes_batch_u8(
+    blobs: Sequence[bytes],
+    image_size: int = 224,
+    *,
+    num_threads: int = 0,
+    fast_decode: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """uint8 variant of :func:`decode_bytes_batch` (see decode_batch_u8)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native pipeline unavailable: {_build_error}")
+    n = len(blobs)
+    out = np.empty((n, image_size, image_size, 3), np.uint8)
+    ok = np.zeros((n,), np.uint8)
+    arr = (ctypes.c_char_p * n)(*blobs)
+    lens = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    lib.tapclip_decode_bytes_batch_u8(
+        arr,
+        lens,
+        n,
+        image_size,
+        1 if fast_decode else 0,
+        num_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return out, ok.astype(bool)

@@ -161,3 +161,38 @@ def test_loader_fast_decode_knob(big_jpegs):
     fast = next(iter(fast_loader))[0]
     assert np.abs(exact - fast).max() < 0.6  # normalized units (/std)
     assert not np.array_equal(exact[0], fast[0])  # scale engaged on big jpeg
+
+
+def test_decode_batch_u8_matches_quantized_float(images, big_jpegs):
+    for fast in (False, True):
+        f32, ok1 = native.decode_batch(images + big_jpegs, 112,
+                                       do_normalize=False, fast_decode=fast)
+        u8, ok2 = native.decode_batch_u8(images + big_jpegs, 112,
+                                         fast_decode=fast)
+        assert ok1.all() and ok2.all() and u8.dtype == np.uint8
+        np.testing.assert_array_equal(
+            u8, np.rint(np.clip(f32, 0.0, 1.0) * 255.0).astype(np.uint8)
+        )
+
+
+def test_decode_bytes_batch_u8_matches_paths(big_jpegs):
+    blobs = [open(p, "rb").read() for p in big_jpegs]
+    a, ok1 = native.decode_batch_u8(big_jpegs, 224)
+    b, ok2 = native.decode_bytes_batch_u8(blobs, 224)
+    assert ok1.all() and ok2.all()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_loader_uint8_direct_path(big_jpegs):
+    """Loader uint8 transport == PIL uint8 preprocess (same contract the
+    float path pins), now through the direct-u8 native route."""
+    from tapclip_tpu.data.imagefolder import Loader
+    from tapclip_tpu.data.preprocess import preprocess_pil_uint8
+
+    samples = [(p, 0) for p in big_jpegs]
+    images, _, mask = next(iter(Loader(samples, len(samples),
+                                       output_dtype="uint8")))
+    assert images.dtype == np.uint8 and mask.all()
+    for row, (p, _) in zip(images, samples):
+        ref = preprocess_pil_uint8(Image.open(p).convert("RGB"), 224)
+        np.testing.assert_array_equal(row, ref)
