@@ -46,6 +46,7 @@ class CsvLoader:
         num_workers: int = 4,
         use_native: Optional[bool] = None,
         fast_decode: bool = False,
+        output_dtype: str = "float32",
     ):
         if world < 1 or not (0 <= rank < world):
             raise ValueError(f"bad rank/world {rank}/{world}")
@@ -81,6 +82,13 @@ class CsvLoader:
         self._epoch = 0
         self._use_native = use_native
         self.fast_decode = bool(fast_decode)  # DCT-scaled JPEG (native only)
+        if output_dtype not in ("float32", "uint8"):
+            raise ValueError(
+                f"output_dtype must be float32|uint8, got {output_dtype}"
+            )
+        # uint8 transport: 4x fewer host->device bytes; normalization fuses
+        # on device bit-identically (encode_image accepts uint8 pixels).
+        self.output_dtype = output_dtype
         self.skipped = 0  # undecodable files seen (skipped, not fatal)
 
     def __len__(self) -> int:
@@ -100,13 +108,15 @@ class CsvLoader:
     def __iter__(self):
         from PIL import Image
 
-        from tapclip_tpu.data.preprocess import preprocess_pil
+        from tapclip_tpu.data.preprocess import preprocess_pil, preprocess_pil_uint8
 
         use_native = False
         if self._use_native is not False:
             from tapclip_tpu.data import native
 
             use_native = native.available()
+        to_uint8 = self.output_dtype == "uint8"
+        pil_pre = preprocess_pil_uint8 if to_uint8 else preprocess_pil
 
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, self._epoch])
@@ -119,7 +129,7 @@ class CsvLoader:
             try:
                 with Image.open(path) as im:
                     return (
-                        preprocess_pil(im.convert("RGB"), self.image_size),
+                        pil_pre(im.convert("RGB"), self.image_size),
                         caption,
                     )
             except Exception as e:  # corrupt/missing file: skip, not fatal
@@ -133,7 +143,9 @@ class CsvLoader:
             if use_native:
                 from tapclip_tpu.data import native
 
-                arrs, ok = native.decode_batch(
+                decode = (native.decode_batch_u8 if to_uint8
+                          else native.decode_batch)
+                arrs, ok = decode(
                     [self.samples[int(i)][0] for i in idx], self.image_size,
                     num_threads=self.num_workers,
                     fast_decode=self.fast_decode,

@@ -164,7 +164,12 @@ class ShardLoader:
         world: int = 1,
         use_native: Optional[bool] = None,
         fast_decode: bool = False,
+        output_dtype: str = "float32",
     ):
+        if output_dtype not in ("float32", "uint8"):
+            raise ValueError(
+                f"output_dtype must be float32|uint8, got {output_dtype}"
+            )
         if world < 1 or not (0 <= rank < world):
             raise ValueError(f"bad rank/world {rank}/{world}")
         self.all_shards = list(shards)
@@ -185,6 +190,9 @@ class ShardLoader:
         self.skipped = 0  # undecodable members seen (skipped, not fatal)
         self._use_native = use_native  # None = auto (C++ decode if it builds)
         self.fast_decode = bool(fast_decode)  # DCT-scaled JPEG (native only)
+        # uint8 transport: 4x fewer host->device bytes; normalization fuses
+        # on device bit-identically (encode_image accepts uint8 pixels).
+        self.output_dtype = output_dtype
 
     def __len__(self) -> int:
         return self._n_samples // self.batch_size
@@ -208,7 +216,7 @@ class ShardLoader:
             self._shards_done = pos + 1
 
     def __iter__(self):
-        from tapclip_tpu.data.preprocess import preprocess_pil
+        from tapclip_tpu.data.preprocess import preprocess_pil, preprocess_pil_uint8
         from PIL import Image
 
         use_native = False
@@ -216,6 +224,7 @@ class ShardLoader:
             from tapclip_tpu.data import native
 
             use_native = native.available()
+        to_uint8 = self.output_dtype == "uint8"
 
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, self._epoch])
@@ -228,9 +237,11 @@ class ShardLoader:
         imgs: List[np.ndarray] = []
         caps: List[str] = []
 
+        pil_pre = preprocess_pil_uint8 if to_uint8 else preprocess_pil
+
         def pil_decode(img_bytes):
             with Image.open(io.BytesIO(img_bytes)) as im:
-                return preprocess_pil(im.convert("RGB"), self.image_size)
+                return pil_pre(im.convert("RGB"), self.image_size)
 
         def decode_many(items):
             """Decode a chunk in eviction order; the C++ pipeline (threaded,
@@ -239,7 +250,9 @@ class ShardLoader:
             if use_native:
                 from tapclip_tpu.data import native
 
-                arrs, ok = native.decode_bytes_batch(
+                decode = (native.decode_bytes_batch_u8 if to_uint8
+                          else native.decode_bytes_batch)
+                arrs, ok = decode(
                     [b for b, _ in items], self.image_size,
                     fast_decode=self.fast_decode,
                 )

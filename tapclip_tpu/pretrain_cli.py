@@ -112,6 +112,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
                         "subsets, resume is shard-granular")
     p.add_argument("--shuffle-buffer", type=int, default=1000,
                    help="sample shuffle-buffer size for --shard-dir")
+    # --uint8-transfer comes from the shared build_argparser (train.py);
+    # here it switches all pretraining loaders to uint8 transport batches.
     p.add_argument("--fast-decode", action="store_true",
                    help="DCT-scaled JPEG decode in the native pipeline "
                         "(PIL draft semantics: IDCT emits at <=1/2 scale "
@@ -239,6 +241,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             rank=jax.process_index(),
             world=jax.process_count(),
             fast_decode=args.fast_decode,
+            output_dtype="uint8" if args.uint8_transfer else "float32",
         )
         log.info(
             "streaming %d image-text pairs from %s (rank %d/%d)",
@@ -262,6 +265,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             rank=jax.process_index(),
             world=jax.process_count(),
             fast_decode=args.fast_decode,
+            output_dtype="uint8" if args.uint8_transfer else "float32",
         )
         log.info(
             "streaming %d image-text pairs from %d tar shards "
@@ -288,6 +292,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             seed=cfg.train.seed,
             image_size=cfg.model.image_size,
             drop_remainder=True,
+            output_dtype="uint8" if args.uint8_transfer else "float32",
         )
         log.info("pretraining on %d images, %d classes",
                  len(index.samples), len(idx_to_name))
@@ -501,6 +506,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
             image_size=cfg.model.image_size,
             shuffle_buffer=1,
             seed=cfg.train.seed,
+            output_dtype="uint8" if args.uint8_transfer else "float32",
         )
         validate = make_validation_fn(cfg.model)
         log.info("validation: %d held-out pairs (cap %d per epoch)",

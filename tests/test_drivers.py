@@ -315,3 +315,23 @@ def test_pretrain_cli_distill(tmp_path, domain_tree):
         ]
     )
     assert out2["best_acc"] >= 0
+
+
+def test_pretrain_cli_uint8_transport(tmp_path, domain_tree):
+    """--uint8-transfer switches the loader to uint8 batches; the step
+    normalizes on device bit-identically, so one epoch over the same data
+    with the same seed gives the same loss as float transport."""
+    from tapclip_tpu import pretrain_cli
+
+    common = [
+        "--preset", "tiny",
+        "--data-root", os.path.join(domain_tree, "Real World"),
+        "--epochs", "1", "--batch-size", "8", "--lr", "1e-3",
+    ]
+    f32 = pretrain_cli.main(common + ["--output-root", str(tmp_path / "a")])
+    u8 = pretrain_cli.main(
+        common + ["--uint8-transfer", "--output-root", str(tmp_path / "b")]
+    )
+    np.testing.assert_allclose(
+        u8["loss_history"], f32["loss_history"], rtol=1e-5
+    )

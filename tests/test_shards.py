@@ -167,3 +167,27 @@ def test_native_decode_matches_pil_loader(tmp_path):
     for (ia, ta), (ib, tb) in zip(a, b):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(ta, tb)
+
+
+def test_uint8_output_mode(shard_dir):
+    """uint8 batches == rint(f32*255) of the float mode, same order."""
+    from tapclip_tpu.data.shards import ShardLoader, list_shards
+
+    kw = dict(tokenize=_tok, image_size=32, shuffle_buffer=4, seed=3)
+    f32 = list(ShardLoader(list_shards(shard_dir), 4, **kw))
+    u8 = list(ShardLoader(list_shards(shard_dir), 4,
+                          output_dtype="uint8", **kw))
+    assert len(f32) == len(u8) and len(f32) > 0
+    for (fi, ft), (ui, ut) in zip(f32, u8):
+        assert ui.dtype == np.uint8
+        np.testing.assert_array_equal(ft, ut)
+        # float mode is CLIP-normalized; uint8 mode normalizes on device
+        from tapclip_tpu.data.preprocess import device_normalize
+
+        np.testing.assert_allclose(
+            np.asarray(device_normalize(ui)), fi, atol=1e-6
+        )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="output_dtype"):
+        ShardLoader(list_shards(shard_dir), 4, output_dtype="f16", **kw)
