@@ -290,11 +290,17 @@ constexpr float kStd[3] = {0.26862954f, 0.26130258f, 0.27577711f};
 
 inline float clamp255(float v) { return v < 0.f ? 0.f : (v > 255.f ? 255.f : v); }
 
-// Full per-image pipeline into out[out_size*out_size*3].
-bool process_image(Image& img, int out_size, int do_normalize, float* out) {
+// Shared resize+crop geometry — the ROUNDING-CRITICAL piece both output
+// dtypes must agree on (CLAUDE.md: bit-exact with PIL, don't "fix" it):
+// shorter side -> out_size with the long side TRUNCATED like torchvision's
+// _compute_resized_output_size (int(size * long / short)); center crop via
+// Python round() = round-half-EVEN semantics (std::nearbyint under the
+// default FE_TONEAREST mode — lround would shift half-cases by one). The
+// crop window is fused INTO the resample (cropped-away rows/cols never
+// computed).
+bool resample_center_crop(Image& img, int out_size,
+                          std::vector<unsigned char>* resized) {
   if (img.w <= 0 || img.h <= 0) return false;
-  // shorter side -> out_size; long side TRUNCATED like torchvision's
-  // _compute_resized_output_size: int(size * long / short).
   int rw, rh;
   if (img.w <= img.h) {
     rw = out_size;
@@ -303,14 +309,16 @@ bool process_image(Image& img, int out_size, int do_normalize, float* out) {
     rh = out_size;
     rw = std::max(1, int(double(out_size) * img.w / img.h));
   }
-  // center crop. torchvision/PIL use Python round() = round-half-EVEN;
-  // nearbyint under the default FE_TONEAREST mode matches that, lround does
-  // not (half away from zero -> off-by-one crop shift). The crop window is
-  // fused INTO the resample (cropped-away columns/rows never computed).
   int left = int(std::nearbyint((rw - out_size) / 2.0));
   int top = int(std::nearbyint((rh - out_size) / 2.0));
+  resize_bicubic_cropped(img, rw, rh, left, top, out_size, out_size, resized);
+  return true;
+}
+
+// Full per-image pipeline into out[out_size*out_size*3].
+bool process_image(Image& img, int out_size, int do_normalize, float* out) {
   std::vector<unsigned char> resized;
-  resize_bicubic_cropped(img, rw, rh, left, top, out_size, out_size, &resized);
+  if (!resample_center_crop(img, out_size, &resized)) return false;
   for (int y = 0; y < out_size; ++y) {
     const unsigned char* src = resized.data() + size_t(y) * out_size * 3;
     float* dst = out + size_t(y) * out_size * 3;
@@ -342,20 +350,10 @@ bool process_bytes(const unsigned char* data, size_t len, int out_size,
 // crop-window copy with no float conversion at all — bit-identical to
 // quantizing the float path's unnormalized output (whose values are exactly
 // k/255).  Normalization happens on device (preprocess.device_normalize).
+// Geometry is the SAME resample_center_crop the float path uses.
 bool process_image_u8(Image& img, int out_size, unsigned char* out) {
-  if (img.w <= 0 || img.h <= 0) return false;
-  int rw, rh;
-  if (img.w <= img.h) {
-    rw = out_size;
-    rh = std::max(1, int(double(out_size) * img.h / img.w));
-  } else {
-    rh = out_size;
-    rw = std::max(1, int(double(out_size) * img.w / img.h));
-  }
-  int left = int(std::nearbyint((rw - out_size) / 2.0));
-  int top = int(std::nearbyint((rh - out_size) / 2.0));
   std::vector<unsigned char> resized;
-  resize_bicubic_cropped(img, rw, rh, left, top, out_size, out_size, &resized);
+  if (!resample_center_crop(img, out_size, &resized)) return false;
   memcpy(out, resized.data(), resized.size());
   return true;
 }

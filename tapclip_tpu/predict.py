@@ -221,8 +221,17 @@ def predict_corpus(
             from tapclip_tpu.utils.plotting import save_saliency_overlay
             from tapclip_tpu.utils.saliency import patch_saliency
 
-            grids = patch_saliency(model.clip_params, cfg, xb,
-                                   method=saliency)[np.asarray(mask)]
+            # Chunked: the rollout materializes per-layer [b, H, T, T]
+            # attention stacks, so a full 256-image batch would blow HBM on
+            # the bigger towers (ViT-L: ~26 GB at b=256). 16 at a time keeps
+            # it <0.4 GB while still amortizing dispatch.
+            masked_images = np.asarray(images)[np.asarray(mask)]
+            grids = np.concatenate([
+                patch_saliency(model.clip_params, cfg,
+                               jnp.asarray(masked_images[s : s + 16]),
+                               method=saliency)
+                for s in range(0, len(masked_images), 16)
+            ]) if len(masked_images) else np.zeros((0, 1, 1))
         for bi, (path, idx, p) in enumerate(zip(metas, order, probs)):
             row = {
                 "path": path,
@@ -234,8 +243,8 @@ def predict_corpus(
                 png = os.path.join(
                     saliency_dir, f"{len(rows):05d}_{stem}_saliency.png"
                 )
-                disp = np.asarray(images[np.asarray(mask)][bi], np.float32)
-                disp = disp / 255.0  # uint8 transport is forced above
+                # uint8 transport is forced above
+                disp = masked_images[bi].astype(np.float32) / 255.0
                 row["saliency_png"] = save_saliency_overlay(
                     disp, grids[bi], png,
                     title=f"{row['labels'][0]} ({saliency})",

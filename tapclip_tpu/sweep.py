@@ -12,7 +12,8 @@ grid).  This driver runs the whole study in one process the TPU-shaped way:
 - each cell gets a fresh, seeded ``FullModel`` (independent trainable
   init), the same early-stopping loop as ``train.py``;
 - artifacts: ``sweep.csv`` (one row per cell, all axes + best accuracy +
-  epochs), ``best.json``, and optionally the best cell's checkpoint.
+  epochs) and ``best.json`` (retrain the winning cell with ``train.py`` to
+  produce a deployable checkpoint).
 
 Usage:
     python -m tapclip_tpu.sweep --data-root data/.../Real\\ World \\
@@ -61,6 +62,14 @@ def run_sweep(
     from tapclip_tpu.models.model_wrapper import FullModel
     from tapclip_tpu.trainer import PathFeatureCache, fit_prompt_model
 
+    # Validate the grid BEFORE any training: a bad axis value must not
+    # throw away hours of completed cells mid-grid.
+    bad_shots = [n for n in shots if n <= 0]
+    if bad_shots:
+        raise ValueError(
+            f"shots={bad_shots}: zero-shot cells don't belong in a tuning "
+            "sweep (every cell trains; use zero_shot_eval for 0-shot rows)"
+        )
     index = ImageFolderIndex.scan(data_root)
     # One tower pass for the whole sweep: the cache is keyed by image path
     # and the tower is frozen, so every (lr, shots, adjustor, prompt_len,
@@ -87,11 +96,6 @@ def run_sweep(
             tokenizer=tokenizer, rng=jax.random.PRNGKey(seed),
         )
         split = few_shot_split(index, list(class_names), n_shots, seed=seed)
-        if not split.train:
-            raise ValueError(
-                f"cell {ci}: num_shots={n_shots} produced no train split "
-                "(zero-shot cells don't belong in a tuning sweep)"
-            )
         t0 = time.perf_counter()
         result = fit_prompt_model(
             model,

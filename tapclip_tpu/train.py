@@ -315,32 +315,42 @@ def main(argv: Optional[List[str]] = None) -> dict:
     )
     log.info("attribution chart saved to %s", attr_path)
 
-    if args.confusion:
-        from tapclip_tpu.utils.eval_metrics import confusion_matrix
-        from tapclip_tpu.utils.plotting import save_confusion_matrix
-
-        cm = confusion_matrix(model, val_loader)
-        cm_csv = os.path.join(paths["csv_dir"], f"{cfg.version}_confusion.csv")
-        np.savetxt(cm_csv, cm, fmt="%d", delimiter=",",
-                   header=",".join(model.class_names), comments="")
-        cm_png = save_confusion_matrix(
-            cm, model.class_names,
-            os.path.join(paths["plot_dir"], f"{cfg.version}_confusion.png"),
+    if args.confusion or args.calibrate:
+        # ONE val pass feeds both readouts (each extra pass re-decodes and
+        # re-encodes the whole val set — a real cost on the tunnel).
+        from tapclip_tpu.utils.calibration import (
+            calibrate_from_logits,
+            collect_logits,
         )
-        log.info("confusion matrix saved to %s / %s", cm_csv, cm_png)
 
-    calib = None
-    if args.calibrate:
-        from tapclip_tpu.utils.calibration import calibrate
+        logits, labels, vmask = collect_logits(model, val_loader)
+        if args.confusion:
+            from tapclip_tpu.utils.plotting import save_confusion_matrix
 
-        calib = calibrate(model, val_loader)
-        log.info(
-            "calibration: T=%.3f  ECE %.4f -> %.4f (n=%d)",
-            calib["temperature"], calib["ece_before"], calib["ece_after"],
-            calib["n"],
-        )
-        with open(os.path.join(paths["csv_dir"], "calibration.json"), "w") as f:
-            json.dump(calib, f, indent=2)
+            keep = vmask.astype(bool)
+            cm = np.zeros((model.n_cls,) * 2, np.int64)
+            np.add.at(cm, (labels[keep], logits.argmax(axis=1)[keep]), 1)
+            cm_csv = os.path.join(
+                paths["csv_dir"], f"{cfg.version}_confusion.csv"
+            )
+            np.savetxt(cm_csv, cm, fmt="%d", delimiter=",",
+                       header=",".join(model.class_names), comments="")
+            cm_png = save_confusion_matrix(
+                cm, model.class_names,
+                os.path.join(paths["plot_dir"], f"{cfg.version}_confusion.png"),
+            )
+            log.info("confusion matrix saved to %s / %s", cm_csv, cm_png)
+        if args.calibrate:
+            calib = calibrate_from_logits(logits, labels, vmask)
+            log.info(
+                "calibration: T=%.3f  ECE %.4f -> %.4f (n=%d)",
+                calib["temperature"], calib["ece_before"], calib["ece_after"],
+                calib["n"],
+            )
+            with open(
+                os.path.join(paths["csv_dir"], "calibration.json"), "w"
+            ) as f:
+                json.dump(calib, f, indent=2)
 
     with open(os.path.join(paths["csv_dir"], "history.json"), "w") as f:
         json.dump(

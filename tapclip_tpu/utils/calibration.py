@@ -102,10 +102,11 @@ def collect_logits(model, dataloader) -> Tuple[np.ndarray, np.ndarray, np.ndarra
     return np.concatenate(ls), np.concatenate(ys), np.concatenate(ms)
 
 
-def calibrate(model, dataloader) -> dict:
-    """Fit T on a validation loader; returns
-    ``{"temperature", "ece_before", "ece_after", "n"}``."""
-    logits, labels, mask = collect_logits(model, dataloader)
+def calibrate_from_logits(logits, labels, mask=None) -> dict:
+    """Fit T on already-collected logits; returns
+    ``{"temperature", "ece_before", "ece_after", "n"}``.  Use this when a
+    val pass already produced logits (e.g. alongside a confusion matrix) —
+    every extra pass re-decodes and re-encodes the whole val set."""
     T = fit_temperature(logits, labels, mask)
 
     def softmax(z):
@@ -113,11 +114,18 @@ def calibrate(model, dataloader) -> dict:
         e = np.exp(z)
         return e / e.sum(-1, keepdims=True)
 
+    n = len(labels) if mask is None else int(np.asarray(mask).sum())
     return {
         "temperature": T,
         "ece_before": expected_calibration_error(softmax(logits), labels, mask),
         "ece_after": expected_calibration_error(
             softmax(logits / T), labels, mask
         ),
-        "n": int(np.asarray(mask).sum()),
+        "n": n,
     }
+
+
+def calibrate(model, dataloader) -> dict:
+    """Fit T on a validation loader (one forward pass);
+    see :func:`calibrate_from_logits`."""
+    return calibrate_from_logits(*collect_logits(model, dataloader))

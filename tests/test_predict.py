@@ -179,3 +179,44 @@ def test_saliency_overlays(image_dir, tiny_cfg, tiny_params, tmp_path):
     assert len(os.listdir(sal_dir)) == 3
     with pytest.raises(ValueError, match="saliency"):
         P.predict_corpus(model, paths, saliency="nope", saliency_dir=sal_dir)
+
+
+def test_saliency_chunking_matches_single_call(tiny_cfg, tiny_params, tmp_path):
+    """>16 images exercises the chunked saliency path; grids must equal the
+    one-call result (chunk boundaries must not change per-image rollout)."""
+    import jax.numpy as jnp
+
+    from tapclip_tpu.models.model_wrapper import FullModel
+    from tapclip_tpu.utils.saliency import patch_saliency
+
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(18):
+        arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        p = tmp_path / f"{i:02d}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+
+    model = FullModel(["Backpack", "Pen"], tiny_params, tiny_cfg)
+    sal_dir = str(tmp_path / "sal")
+    rows, _ = P.predict_corpus(
+        model, paths, batch_size=18, saliency="last", saliency_dir=sal_dir
+    )
+    assert len(rows) == 18 and len(os.listdir(sal_dir)) == 18
+
+    from tapclip_tpu.data.preprocess import preprocess_pil_uint8
+
+    imgs = np.stack([
+        preprocess_pil_uint8(Image.open(p).convert("RGB"), tiny_cfg.image_size)
+        for p in paths
+    ])
+    ref = patch_saliency(tiny_params, tiny_cfg, jnp.asarray(imgs),
+                         method="last")
+    # overlay PNGs already written from chunked grids; re-derive the chunked
+    # grids to compare directly
+    chunked = np.concatenate([
+        patch_saliency(tiny_params, tiny_cfg, jnp.asarray(imgs[s : s + 16]),
+                       method="last")
+        for s in range(0, 18, 16)
+    ])
+    np.testing.assert_allclose(chunked, ref, atol=1e-5)
