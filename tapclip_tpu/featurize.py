@@ -133,19 +133,25 @@ def make_text_embed_fn(cfg: CLIPConfig, mesh=None) -> Callable:
 # ---------------------------------------------------------------------------
 
 def iter_shard_samples_deterministic(
-    shard_dir: str, image_size: int, output_dtype: str = "float32"
+    shard_dir: str, image_size: int, output_dtype: str = "float32",
+    rank: int = 0, world: int = 1,
 ) -> Iterator[Tuple[np.ndarray, str]]:
     """Every (decoded image, caption) of a shard dir, in shard-name +
     in-tar order — featurization wants exact, reproducible coverage, so
     this bypasses ``ShardLoader``'s shuffle + full-batches-only epoch
-    semantics."""
+    semantics.  ``rank``/``world`` partition the SHARD list (the multihost
+    pattern): each rank featurizes a disjoint subset; concatenating the
+    per-rank outputs in rank order re-forms the corpus (shard-granular, so
+    order within a rank is preserved)."""
     from PIL import Image
 
     from tapclip_tpu.data.preprocess import preprocess_pil, preprocess_pil_uint8
     from tapclip_tpu.data.shards import _iter_shard, list_shards
 
+    if world < 1 or not (0 <= rank < world):
+        raise ValueError(f"bad rank/world {rank}/{world}")
     pre = preprocess_pil if output_dtype == "float32" else preprocess_pil_uint8
-    for path in list_shards(shard_dir):
+    for path in list_shards(shard_dir)[rank::world]:
         for img_bytes, caption in _iter_shard(path):
             with Image.open(io.BytesIO(img_bytes)) as im:
                 arr = pre(im.convert("RGB"), image_size)
@@ -261,6 +267,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel devices (0 = single device)")
+    p.add_argument("--rank", type=int, default=0,
+                   help="this worker's corpus partition (multi-host "
+                        "featurization: each rank writes its own --out; "
+                        "search --index accepts all of them together)")
+    p.add_argument("--world", type=int, default=1,
+                   help="total workers partitioning the corpus")
     p.add_argument("--platform", default=None, help="e.g. cpu (tests)")
     return p
 
@@ -296,10 +308,14 @@ def main(argv: Optional[List[str]] = None) -> dict:
     manifest_rows: List[Tuple] = []
     captions: List[str] = []
 
+    if args.world > 1 and not (0 <= args.rank < args.world):
+        raise SystemExit(f"bad --rank {args.rank} for --world {args.world}")
     if args.image_root:
         from tapclip_tpu.data.imagefolder import ImageFolderIndex, Loader
 
         index = ImageFolderIndex.scan(args.image_root)
+        if args.world > 1:
+            index.samples = index.samples[args.rank :: args.world]
         loader = Loader(
             index.samples, args.batch_size, shuffle=False,
             image_size=cfg.image_size, output_dtype=dtype,
@@ -320,7 +336,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 yield arr, cap
 
         stream = iter_shard_samples_deterministic(
-            args.shard_dir, cfg.image_size, dtype
+            args.shard_dir, cfg.image_size, dtype,
+            rank=args.rank, world=args.world,
         )
         feats = featurize_images(
             params, cfg, _batched(tee_captions(stream), args.batch_size),

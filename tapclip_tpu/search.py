@@ -62,13 +62,19 @@ class SearchIndex:
         self.n, self.dim = embeddings.shape
 
     @classmethod
-    def load(cls, index_dir: str, *, text: bool = False) -> "SearchIndex":
-        """Load ``{index_dir}/image_embeddings.npy`` (or text_) + manifest."""
+    def load(cls, index_dir, *, text: bool = False) -> "SearchIndex":
+        """Load featurize output dir(s): ``image_embeddings.npy`` (or
+        ``text_``) + manifest.  A list/tuple of dirs concatenates them in
+        order (the multi-host featurize pattern: each rank writes its own
+        partition; loading them together forms the global index)."""
+        dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
         name = "text_embeddings.npy" if text else "image_embeddings.npy"
-        emb = np.load(os.path.join(index_dir, name))
-        with open(os.path.join(index_dir, "manifest.csv")) as f:
-            rows = list(csv.reader(f))[1:]  # drop header
-        return cls(emb, rows)
+        embs, rows = [], []
+        for d in dirs:
+            embs.append(np.load(os.path.join(d, name)))
+            with open(os.path.join(d, "manifest.csv")) as f:
+                rows.extend(list(csv.reader(f))[1:])  # drop header
+        return cls(np.concatenate(embs) if len(embs) > 1 else embs[0], rows)
 
     @functools.cached_property
     def _query_fn(self):
@@ -112,7 +118,7 @@ class SearchIndex:
 
 def main(argv: Optional[List[str]] = None) -> List[dict]:
     p = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
-    p.add_argument("--index", required=True,
+    p.add_argument("--index", required=True, nargs="+",
                    help="featurize.py output directory")
     p.add_argument("--text", help="text query (encodes with the text tower)")
     p.add_argument("--image", help="image-file query")
@@ -137,10 +143,19 @@ def main(argv: Optional[List[str]] = None) -> List[dict]:
 
     if args.row is not None:
         # mmap: slicing one query row must not re-read the multi-GB index.
-        emb = np.load(
-            os.path.join(args.index, "image_embeddings.npy"), mmap_mode="r"
-        )
-        q = np.array(emb[args.row : args.row + 1], np.float32)
+        # Global row index across the concatenated dirs (multi-dir loads).
+        row = args.row
+        q = None
+        for d in args.index:
+            emb = np.load(
+                os.path.join(d, "image_embeddings.npy"), mmap_mode="r"
+            )
+            if row < emb.shape[0]:
+                q = np.array(emb[row : row + 1], np.float32)
+                break
+            row -= emb.shape[0]
+        if q is None:
+            raise SystemExit(f"--row {args.row} out of range ({index.n} rows)")
     else:
         from tapclip_tpu.config import MODEL_PRESETS, preset
         from tapclip_tpu.featurize import (

@@ -184,3 +184,78 @@ def test_int8_tower_featurize_close_to_f32(params, image_root):
     np.testing.assert_allclose(np.linalg.norm(i8, axis=-1), 1.0, atol=2e-3)
     cos = (f32 * i8).sum(-1)
     assert cos.min() >= 0.99, cos.min()
+
+
+def test_rank_world_partition_shards(tmp_path, shard_dir_featurize=None):
+    """Per-rank featurize outputs concatenated (rank order) == the world=1
+    run: same rows, same embeddings, search loads them as one index."""
+    import io
+
+    from PIL import Image
+
+    from tapclip_tpu.data.shards import write_shards
+    from tapclip_tpu.featurize import main as feat_main
+    from tapclip_tpu.search import SearchIndex
+
+    rng = np.random.default_rng(0)
+
+    def jpeg():
+        arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    shard_root = str(tmp_path / "shards")
+    write_shards([(jpeg(), f"cap {i}") for i in range(12)], shard_root,
+                 shard_size=3)  # 4 shards
+
+    common = ["--shard-dir", shard_root, "--preset", "tiny",
+              "--batch-size", "4", "--platform", "cpu"]
+    feat_main(common + ["--out", str(tmp_path / "all")])
+    feat_main(common + ["--out", str(tmp_path / "r0"), "--rank", "0",
+                        "--world", "2"])
+    feat_main(common + ["--out", str(tmp_path / "r1"), "--rank", "1",
+                        "--world", "2"])
+
+    full = SearchIndex.load(str(tmp_path / "all"))
+    merged = SearchIndex.load([str(tmp_path / "r0"), str(tmp_path / "r1")])
+    assert merged.n == full.n == 12
+    # shard-granular partition: ranks cover disjoint shards; the merged
+    # caption multiset equals the full one
+    caps_full = sorted(r[-1] for r in full.manifest)
+    caps_merged = sorted(r[-1] for r in merged.manifest)
+    assert caps_full == caps_merged
+    # embeddings agree per caption (order differs by shard interleave)
+    by_cap_full = {r[-1]: np.asarray(full._index[i], np.float32)
+                   for i, r in enumerate(full.manifest)}
+    for i, r in enumerate(merged.manifest):
+        np.testing.assert_allclose(
+            np.asarray(merged._index[i], np.float32), by_cap_full[r[-1]],
+            atol=1e-3,
+        )
+
+
+def test_rank_world_imagefolder(tmp_path, synth_root=None):
+    import numpy as _np
+    from PIL import Image
+
+    from tapclip_tpu.featurize import main as feat_main
+
+    rng = _np.random.default_rng(1)
+    root = tmp_path / "imgs"
+    for name in ["A", "B"]:
+        (root / name).mkdir(parents=True)
+        for i in range(5):
+            Image.fromarray(
+                rng.integers(0, 255, (36, 36, 3), dtype=_np.uint8)
+            ).save(root / name / f"{i}.jpg")
+
+    common = ["--image-root", str(root), "--preset", "tiny",
+              "--batch-size", "4", "--platform", "cpu"]
+    r0 = feat_main(common + ["--out", str(tmp_path / "f0"), "--rank", "0",
+                             "--world", "3"])
+    r1 = feat_main(common + ["--out", str(tmp_path / "f1"), "--rank", "1",
+                             "--world", "3"])
+    r2 = feat_main(common + ["--out", str(tmp_path / "f2"), "--rank", "2",
+                             "--world", "3"])
+    assert r0["n"] + r1["n"] + r2["n"] == 10
