@@ -35,15 +35,27 @@ from tapclip_tpu.train import (
 
 def _append_metrics_row(path: str, row: dict) -> None:
     """Machine-readable per-epoch training metrics (results/.../csv/),
-    alongside the reference-style human logs."""
+    alongside the reference-style human logs.
+
+    The schema may grow mid-run (e.g. ``--zeroshot-frequency N`` adds its
+    column only on evaluated epochs): when a new key appears, the file is
+    rewritten with the union header so every row stays aligned (per-epoch
+    files are tiny)."""
     import csv
 
-    exists = os.path.exists(path)
-    with open(path, "a", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(row))
-        if not exists:
-            w.writeheader()
-        w.writerow(row)
+    rows = []
+    fields: list = []
+    if os.path.exists(path):
+        with open(path, newline="") as f:
+            r = csv.DictReader(f)
+            fields = list(r.fieldnames or [])
+            rows = list(r)
+    new_fields = fields + [k for k in row if k not in fields]
+    rows.append({k: row.get(k, "") for k in new_fields})
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=new_fields, restval="")
+        w.writeheader()
+        w.writerows(rows)
 
 
 def main(argv: Optional[List[str]] = None) -> dict:
@@ -131,6 +143,14 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    help="caption column name (open_clip default)")
     p.add_argument("--csv-sep", default="\t",
                    help="column delimiter (default: tab)")
+    p.add_argument("--zeroshot-val-root", default=None,
+                   help="labeled ImageFolder for per-epoch ZERO-SHOT "
+                        "accuracy validation (open_clip's "
+                        "--zeroshot-frequency pattern): class-name "
+                        "template classifier rebuilt from the live "
+                        "weights each time")
+    p.add_argument("--zeroshot-frequency", type=int, default=1,
+                   help="evaluate zero-shot accuracy every N epochs")
     p.add_argument("--val-shard-dir", default=None,
                    help="webdataset shards of held-out (image, caption) "
                         "pairs: per-epoch contrastive val loss + retrieval "
@@ -512,6 +532,20 @@ def main(argv: Optional[List[str]] = None) -> dict:
         log.info("validation: %d held-out pairs (cap %d per epoch)",
                  val_loader.num_samples, args.val_samples)
 
+    zs_index = zs_loader = None
+    if args.zeroshot_val_root:
+        from tapclip_tpu.data.imagefolder import ImageFolderIndex, Loader
+
+        zs_index = ImageFolderIndex.scan(args.zeroshot_val_root)
+        zs_loader = Loader(
+            zs_index.samples, cfg.train.batch_size, shuffle=False,
+            image_size=cfg.model.image_size,
+            output_dtype="uint8" if args.uint8_transfer else "float32",
+        )
+        log.info("zero-shot validation: %d images, %d classes (every %d "
+                 "epoch(s))", len(zs_index.samples), len(zs_index.classes),
+                 max(1, args.zeroshot_frequency))
+
     def _run_validation(tree, tag=""):
         # fixed subset every epoch: pin the val stream back to epoch 0
         val_loader.restore({"epoch": 0, "shards_done": 0})
@@ -623,6 +657,35 @@ def main(argv: Optional[List[str]] = None) -> dict:
                     **{k: round(v, 4) for k, v in entry.items()
                        if k.startswith(("i2t_", "t2i_"))},
                 })
+            if zs_loader is not None and (
+                epoch % max(1, args.zeroshot_frequency) == 0
+            ):
+                from tapclip_tpu.zero_shot import (
+                    build_zero_shot_classifier,
+                    evaluate_zero_shot,
+                )
+
+                def _zs_acc(tree):
+                    clf = build_zero_shot_classifier(
+                        tree, cfg.model, zs_index.classes, tokenizer
+                    )
+                    return evaluate_zero_shot(
+                        tree, cfg.model, clf, iter(zs_loader)
+                    )
+
+                tree = params
+                if lora is not None:
+                    from tapclip_tpu.peft import merge_lora
+
+                    tree = merge_lora(params, lora, alpha=args.lora_alpha)
+                acc = _zs_acc(tree)
+                row["zeroshot_acc"] = round(acc, 4)
+                msg = f"[Epoch {epoch}] zero-shot val accuracy: {acc:.2f}%"
+                if ema_params is not None:
+                    ema_acc = _zs_acc(ema_params)
+                    row["zeroshot_acc_ema"] = round(ema_acc, 4)
+                    msg += f" | ema {ema_acc:.2f}%"
+                log.info(msg)
             _append_metrics_row(
                 os.path.join(paths["csv_dir"], "pretrain_metrics.csv"), row
             )

@@ -335,3 +335,27 @@ def test_pretrain_cli_uint8_transport(tmp_path, domain_tree):
     np.testing.assert_allclose(
         u8["loss_history"], f32["loss_history"], rtol=1e-5
     )
+
+
+def test_pretrain_cli_zeroshot_validation(tmp_path, domain_tree):
+    """--zeroshot-val-root logs per-epoch zero-shot accuracy and records it
+    in pretrain_metrics.csv."""
+    import csv as _csv
+
+    from tapclip_tpu import pretrain_cli
+
+    out = pretrain_cli.main([
+        "--preset", "tiny",
+        "--data-root", os.path.join(domain_tree, "Real World"),
+        "--epochs", "2", "--batch-size", "8", "--lr", "1e-3",
+        "--zeroshot-val-root", os.path.join(domain_tree, "Art"),
+        "--zeroshot-frequency", "2",
+        "--output-root", str(tmp_path / "zs"),
+    ])
+    csv_dir = os.path.dirname(out["ckpt"]).replace("models", "csv")
+    with open(os.path.join(csv_dir, "pretrain_metrics.csv")) as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 2
+    # frequency 2: epoch 1 has no zero-shot column value, epoch 2 does
+    assert not rows[0].get("zeroshot_acc")
+    assert 0.0 <= float(rows[1]["zeroshot_acc"]) <= 100.0
