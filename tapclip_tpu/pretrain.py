@@ -539,6 +539,42 @@ def make_accum_pretrain_step(
     return step
 
 
+def lock_tower_optimizer(optimizer, *, lock_image: bool = False,
+                         lock_text: bool = False):
+    """LiT-style locked-tower fine-tuning (Zhai et al., "LiT: Zero-Shot
+    Transfer with Locked-image text Tuning"; open_clip's
+    ``--lock-image`` / ``--lock-text``).
+
+    ``optax.multi_transform``: the locked tower's subtree routes to
+    ``set_to_zero`` (no updates, no AdamW moments, no weight decay) — the
+    frozen weights stay bit-identical, not merely small-lr.  (NOT
+    ``optax.masked``, which PASSES THROUGH the raw gradients of unmasked
+    leaves instead of zeroing them.)  ``logit_scale`` (and any other
+    top-level extras, e.g. the SigLIP bias) stay trainable.
+    """
+    import optax
+
+    if not (lock_image or lock_text):
+        return optimizer
+    if lock_image and lock_text:
+        raise ValueError("locking BOTH towers leaves nothing to train")
+    locked = {"visual"} if lock_image else set()
+    if lock_text:
+        locked.add("text")
+
+    def labels(params):
+        return {
+            k: jax.tree.map(
+                lambda _: "freeze" if k in locked else "train", v
+            )
+            for k, v in params.items()
+        }
+
+    return optax.multi_transform(
+        {"train": optimizer, "freeze": optax.set_to_zero()}, labels
+    )
+
+
 def make_ema_update(decay: float) -> Callable:
     """Jitted EMA tracker for pretraining (open_clip/BYOL-style model
     averaging): ``ema = decay * ema + (1 - decay) * params``, donated so the

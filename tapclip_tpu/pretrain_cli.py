@@ -166,6 +166,13 @@ def main(argv: Optional[List[str]] = None) -> dict:
                         "(open_clip-style)")
     p.add_argument("--warmup-steps", type=int, default=0,
                    help="linear warmup steps (cosine schedule)")
+    p.add_argument("--lock-image-tower", action="store_true",
+                   help="LiT-style fine-tuning: freeze the image tower "
+                        "(optax.masked — zero updates, no optimizer state); "
+                        "train the text tower + logit_scale only")
+    p.add_argument("--lock-text-tower", action="store_true",
+                   help="freeze the text tower; train the image tower + "
+                        "logit_scale only")
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off)")
     p.add_argument("--remat", default=None, choices=["none", "dots", "full"],
@@ -381,6 +388,21 @@ def main(argv: Optional[List[str]] = None) -> dict:
     else:
         lr = cfg.train.lr
     optimizer = optax.adamw(lr, weight_decay=cfg.train.weight_decay)
+    if args.lock_image_tower or args.lock_text_tower:
+        if args.lora_rank:
+            raise ValueError(
+                "--lock-*-tower composes oddly with --lora-rank (adapters "
+                "already restrict the trainable set); pick one"
+            )
+        from tapclip_tpu.pretrain import lock_tower_optimizer
+
+        optimizer = lock_tower_optimizer(
+            optimizer,
+            lock_image=args.lock_image_tower,
+            lock_text=args.lock_text_tower,
+        )
+        log.info("locked towers: image=%s text=%s (LiT-style)",
+                 args.lock_image_tower, args.lock_text_tower)
     if args.grad_clip > 0:
         optimizer = optax.chain(
             optax.clip_by_global_norm(args.grad_clip), optimizer

@@ -380,3 +380,81 @@ def test_cli_accum_rejects_lora_and_distill(tmp_path):
         main(["--preset", "tiny", "--synthetic-data", "--epochs", "1",
               "--batch-size", "4", "--output-root", str(tmp_path),
               "--accum-full-negatives", "2", "--lora-rank", "2"])
+
+
+class TestLockedTowers:
+    def test_locked_image_tower_frozen_bitwise(self, tiny_cfg, tiny_params):
+        import optax
+
+        from tapclip_tpu.pretrain import lock_tower_optimizer, make_pretrain_step
+
+        opt = lock_tower_optimizer(
+            optax.adamw(1e-2, weight_decay=0.1), lock_image=True
+        )
+        step = make_pretrain_step(tiny_cfg, opt)
+        params = jax.tree.map(jnp.copy, tiny_params)
+        state = opt.init(params)
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(
+            rng.standard_normal((8, tiny_cfg.image_size, tiny_cfg.image_size, 3)),
+            jnp.float32,
+        )
+        ids = jnp.asarray(
+            rng.integers(0, tiny_cfg.vocab_size, (8, tiny_cfg.context_length)),
+            jnp.int32,
+        )
+        losses = []
+        for _ in range(5):
+            params, state, m = step(params, state, images, ids)
+            losses.append(float(m["loss"]))
+        # image tower BIT-identical; text tower + logit_scale moved
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a, b),
+            params["visual"], tiny_params["visual"],
+        )
+        assert not np.allclose(
+            np.asarray(params["text"]["text_projection"]),
+            np.asarray(tiny_params["text"]["text_projection"]),
+        )
+        assert float(params["logit_scale"]) != float(tiny_params["logit_scale"])
+        assert losses[-1] < losses[0]  # still learns through the text side
+
+    def test_locked_text_tower(self, tiny_cfg, tiny_params):
+        import optax
+
+        from tapclip_tpu.pretrain import lock_tower_optimizer, make_pretrain_step
+
+        opt = lock_tower_optimizer(
+            optax.adamw(1e-2, weight_decay=0.1), lock_text=True
+        )
+        step = make_pretrain_step(tiny_cfg, opt)
+        params = jax.tree.map(jnp.copy, tiny_params)
+        state = opt.init(params)
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(
+            rng.standard_normal((8, tiny_cfg.image_size, tiny_cfg.image_size, 3)),
+            jnp.float32,
+        )
+        ids = jnp.asarray(
+            rng.integers(0, tiny_cfg.vocab_size, (8, tiny_cfg.context_length)),
+            jnp.int32,
+        )
+        params, state, _ = step(params, state, images, ids)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a, b),
+            params["text"], tiny_params["text"],
+        )
+        assert not np.allclose(
+            np.asarray(params["visual"]["proj"]),
+            np.asarray(tiny_params["visual"]["proj"]),
+        )
+
+    def test_lock_both_rejected(self):
+        import optax
+
+        from tapclip_tpu.pretrain import lock_tower_optimizer
+
+        with pytest.raises(ValueError, match="BOTH"):
+            lock_tower_optimizer(
+                optax.adamw(1e-2), lock_image=True, lock_text=True
+            )
