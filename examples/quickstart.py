@@ -115,8 +115,31 @@ def main():
     print(f"[7] attribution {attr.shape} rows sum "
           f"{np.asarray(attr).sum(-1)[:2].round(3)}; saliency grid "
           f"{grid.shape}")
+
+    # -- batch predict over an unlabeled folder (tuned prompts) ------------
+    from tapclip_tpu.predict import main as predict_main
+
+    preds = predict_main(["--image-root", os.path.join(tmp, "data"),
+                          "--out", os.path.join(tmp, "preds"),
+                          "--preset", "tiny", "--classes", *model.class_names,
+                          "--ckpt", ckpt, "--batch-size", "8", "--top-k", "2"])
+    print(f"[8] batch predict: {preds['n']} rows -> {preds['csv']}")
+
+    # -- AOT deployment artifact (StableHLO; loads with jax alone) ---------
+    from tapclip_tpu.utils.model_export import export_model, load_exported
+
+    exp_dir = export_model(os.path.join(tmp, "export"), model.clip_params,
+                           cfg, model.prompt_cfg, model.trainable,
+                           model.prompt_learner.bank, batch=2,
+                           functions=("encode_image",))
+    fns = load_exported(exp_dir)
+    emb = fns["encode_image"](model.clip_params, images[:2])
+    print(f"[9] exported encode_image rehydrated: {np.asarray(emb).shape} "
+          "unit-norm features")
+
     print("quickstart complete.")
-    return {"acc0": acc0, "acc1": acc1, "probe": probe["train_acc"]}
+    return {"acc0": acc0, "acc1": acc1, "probe": probe["train_acc"],
+            "n_preds": preds["n"]}
 
 
 if __name__ == "__main__":
