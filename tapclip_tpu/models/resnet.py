@@ -146,9 +146,16 @@ def _bn(x: jnp.ndarray, p: Params) -> jnp.ndarray:
 
 
 def _avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    return jax.lax.reduce_window(
-        x, jnp.asarray(0, x.dtype), jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID"
-    ) / jnp.asarray(k * k, x.dtype)
+    # Reshape-mean (window == stride == k, VALID): equivalent to
+    # nn.AvgPool2d and, unlike the generic ``lax.reduce_window(add)`` form,
+    # differentiable under jit on jax 0.9 ("Linearization failed to produce
+    # known values" — hit when pretraining RN towers). Tail rows/cols are
+    # cropped exactly like VALID padding.
+    B, H, W, C = x.shape
+    Hk, Wk = (H // k) * k, (W // k) * k
+    x = x[:, :Hk, :Wk, :]
+    x = x.reshape(B, Hk // k, k, Wk // k, k, C)
+    return x.sum(axis=(2, 4)) / jnp.asarray(k * k, x.dtype)
 
 
 def _bottleneck(x: jnp.ndarray, p: Params, stride: int) -> jnp.ndarray:

@@ -540,7 +540,7 @@ def make_accum_pretrain_step(
 
 
 def lock_tower_optimizer(optimizer, *, lock_image: bool = False,
-                         lock_text: bool = False):
+                         lock_text: bool = False, unlocked_groups: int = 0):
     """LiT-style locked-tower fine-tuning (Zhai et al., "LiT: Zero-Shot
     Transfer with Locked-image text Tuning"; open_clip's
     ``--lock-image`` / ``--lock-text``).
@@ -551,6 +551,15 @@ def lock_tower_optimizer(optimizer, *, lock_image: bool = False,
     ``optax.masked``, which PASSES THROUGH the raw gradients of unmasked
     leaves instead of zeroing them.)  ``logit_scale`` (and any other
     top-level extras, e.g. the SigLIP bias) stay trainable.
+
+    ``unlocked_groups`` (open_clip's ``lock_*_tower(unlocked_groups=N)``):
+    the tower's groups are [stem, block_0, ..., block_{L-1}, head]; the
+    LAST N stay trainable (N=1 -> the projection head only, N=2 -> head +
+    final block, ...).  Transformer (stacked-blocks) towers only.  Because
+    the block stack is ONE stacked leaf per weight, per-layer freezing is
+    applied as an update mask over the leading layer axis AFTER the inner
+    optimizer — frozen layers stay bit-identical (the mask also kills
+    their weight-decay term, which rides inside AdamW's update).
     """
     import optax
 
@@ -562,17 +571,61 @@ def lock_tower_optimizer(optimizer, *, lock_image: bool = False,
     if lock_text:
         locked.add("text")
 
-    def labels(params):
-        return {
-            k: jax.tree.map(
-                lambda _: "freeze" if k in locked else "train", v
-            )
-            for k, v in params.items()
-        }
+    if unlocked_groups <= 0:
 
-    return optax.multi_transform(
-        {"train": optimizer, "freeze": optax.set_to_zero()}, labels
+        def labels(params):
+            return {
+                k: jax.tree.map(
+                    lambda _: "freeze" if k in locked else "train", v
+                )
+                for k, v in params.items()
+            }
+
+        return optax.multi_transform(
+            {"train": optimizer, "freeze": optax.set_to_zero()}, labels
+        )
+
+    (tower,) = locked
+    head_keys = (
+        {"ln_post", "proj"} if tower == "visual"
+        else {"ln_final", "text_projection"}
     )
+
+    def _mask_tower(updates):
+        sub = updates[tower]
+        if "blocks" not in sub:
+            raise ValueError(
+                "unlocked_groups requires a stacked-blocks (transformer) "
+                f"tower; {tower!r} has keys {sorted(sub)}"
+            )
+        L = jax.tree.leaves(sub["blocks"])[0].shape[0]
+        G = L + 2  # stem + L blocks + head
+        n = min(unlocked_groups, G)
+        first_unlocked_layer = L - max(0, n - 1)  # head is the last group
+        stem_unlocked = n >= G
+
+        def blk(x):
+            m = (jnp.arange(L) >= first_unlocked_layer).astype(x.dtype)
+            return x * m.reshape((L,) + (1,) * (x.ndim - 1))
+
+        out = {}
+        for k, v in sub.items():
+            if k == "blocks":
+                out[k] = jax.tree.map(blk, v)
+            elif k in head_keys or stem_unlocked:
+                out[k] = v
+            else:  # stem (embeddings / pre-LN): frozen until n == G
+                out[k] = jax.tree.map(jnp.zeros_like, v)
+        return dict(updates, **{tower: out})
+
+    def init(params):
+        return optimizer.init(params)
+
+    def update(grads, state, params=None):
+        updates, state = optimizer.update(grads, state, params)
+        return _mask_tower(updates), state
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_ema_update(decay: float) -> Callable:

@@ -173,6 +173,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
     p.add_argument("--lock-text-tower", action="store_true",
                    help="freeze the text tower; train the image tower + "
                         "logit_scale only")
+    p.add_argument("--lock-unlocked-groups", type=int, default=0,
+                   help="with --lock-*-tower: keep the LAST N tower groups "
+                        "trainable (open_clip unlocked_groups; groups = "
+                        "[stem, block_0..block_{L-1}, head]; 1 = head only)")
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="global-norm gradient clipping (0 = off)")
     p.add_argument("--remat", default=None, choices=["none", "dots", "full"],
@@ -400,9 +404,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
             optimizer,
             lock_image=args.lock_image_tower,
             lock_text=args.lock_text_tower,
+            unlocked_groups=args.lock_unlocked_groups,
         )
-        log.info("locked towers: image=%s text=%s (LiT-style)",
-                 args.lock_image_tower, args.lock_text_tower)
+        log.info("locked towers: image=%s text=%s unlocked_groups=%d "
+                 "(LiT-style)", args.lock_image_tower, args.lock_text_tower,
+                 args.lock_unlocked_groups)
     if args.grad_clip > 0:
         optimizer = optax.chain(
             optax.clip_by_global_norm(args.grad_clip), optimizer

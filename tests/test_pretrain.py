@@ -458,3 +458,117 @@ class TestLockedTowers:
             lock_tower_optimizer(
                 optax.adamw(1e-2), lock_image=True, lock_text=True
             )
+
+    def test_unlocked_groups_partial(self, tiny_cfg, tiny_params):
+        """unlocked_groups=2 on a locked image tower: head + final block
+        train; earlier blocks and the stem stay bit-identical."""
+        import optax
+
+        from tapclip_tpu.pretrain import lock_tower_optimizer, make_pretrain_step
+
+        opt = lock_tower_optimizer(
+            optax.adamw(1e-2, weight_decay=0.1), lock_image=True,
+            unlocked_groups=2,
+        )
+        step = make_pretrain_step(tiny_cfg, opt)
+        params = jax.tree.map(jnp.copy, tiny_params)
+        state = opt.init(params)
+        rng = np.random.default_rng(2)
+        images = jnp.asarray(
+            rng.standard_normal((8, tiny_cfg.image_size, tiny_cfg.image_size, 3)),
+            jnp.float32,
+        )
+        ids = jnp.asarray(
+            rng.integers(0, tiny_cfg.vocab_size, (8, tiny_cfg.context_length)),
+            jnp.int32,
+        )
+        for _ in range(3):
+            params, state, _ = step(params, state, images, ids)
+        L = jax.tree.leaves(tiny_params["visual"]["blocks"])[0].shape[0]
+        assert L >= 2
+        for leaf_new, leaf_old in zip(
+            jax.tree.leaves(params["visual"]["blocks"]),
+            jax.tree.leaves(tiny_params["visual"]["blocks"]),
+        ):
+            # layers 0..L-2 frozen bit-exact, layer L-1 moved
+            np.testing.assert_array_equal(
+                np.asarray(leaf_new)[: L - 1], np.asarray(leaf_old)[: L - 1]
+            )
+        assert not np.allclose(
+            np.asarray(params["visual"]["proj"]),
+            np.asarray(tiny_params["visual"]["proj"]),
+        )  # head trains
+        # at least one final-block leaf moved
+        moved = any(
+            not np.allclose(np.asarray(a)[L - 1], np.asarray(b)[L - 1])
+            for a, b in zip(
+                jax.tree.leaves(params["visual"]["blocks"]),
+                jax.tree.leaves(tiny_params["visual"]["blocks"]),
+            )
+        )
+        assert moved
+        # stem frozen
+        np.testing.assert_array_equal(
+            np.asarray(params["visual"]["positional_embedding"]),
+            np.asarray(tiny_params["visual"]["positional_embedding"]),
+        )
+
+    def test_unlocked_groups_rejects_resnet(self, tiny_cfg):
+        import optax
+
+        from tapclip_tpu.models import clip as C
+        from tapclip_tpu.pretrain import lock_tower_optimizer, make_pretrain_step
+
+        rn_cfg = tiny_cfg.replace(
+            vision_tower="resnet", resnet_layers=(1, 1, 1, 1),
+            vision_width=16, image_size=32,
+        )
+        params = C.init_clip_params(jax.random.PRNGKey(0), rn_cfg)
+        opt = lock_tower_optimizer(
+            optax.adamw(1e-2), lock_image=True, unlocked_groups=1
+        )
+        step = make_pretrain_step(rn_cfg, opt)
+        state = opt.init(params)
+        rng = np.random.default_rng(3)
+        images = jnp.asarray(
+            rng.standard_normal((4, rn_cfg.image_size, rn_cfg.image_size, 3)),
+            jnp.float32,
+        )
+        ids = jnp.asarray(
+            rng.integers(0, rn_cfg.vocab_size, (4, rn_cfg.context_length)),
+            jnp.int32,
+        )
+        with pytest.raises(ValueError, match="stacked-blocks"):
+            step(params, state, images, ids)
+
+
+def test_resnet_tower_pretrains(tiny_cfg, rng=None):
+    """RN towers must be differentiable under the jitted pretrain step
+    (regression: the generic reduce_window(add) avg-pool failed
+    linearization under jit on jax 0.9)."""
+    import optax
+
+    from tapclip_tpu.models import clip as C
+    from tapclip_tpu.pretrain import make_pretrain_step
+
+    cfg = tiny_cfg.replace(
+        vision_tower="resnet", resnet_layers=(1, 1, 1, 1),
+        vision_width=16, image_size=32,
+    )
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adamw(1e-2)
+    step = make_pretrain_step(cfg, opt)
+    state = opt.init(params)
+    nprng = np.random.default_rng(0)
+    images = jnp.asarray(
+        nprng.standard_normal((4, 32, 32, 3)), jnp.float32
+    )
+    ids = jnp.asarray(
+        nprng.integers(0, cfg.vocab_size, (4, cfg.context_length)), jnp.int32
+    )
+    losses = []
+    for _ in range(5):
+        params, state, m = step(params, state, images, ids)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
