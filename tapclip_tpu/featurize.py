@@ -139,10 +139,10 @@ def iter_shard_samples_deterministic(
     """Every (decoded image, caption) of a shard dir, in shard-name +
     in-tar order — featurization wants exact, reproducible coverage, so
     this bypasses ``ShardLoader``'s shuffle + full-batches-only epoch
-    semantics.  ``rank``/``world`` partition the SHARD list (the multihost
-    pattern): each rank featurizes a disjoint subset; concatenating the
-    per-rank outputs in rank order re-forms the corpus (shard-granular, so
-    order within a rank is preserved)."""
+    semantics.  ``rank``/``world`` partition the SHARD list into CONTIGUOUS
+    chunks (the multihost pattern): concatenating the per-rank outputs in
+    rank order reproduces the world=1 corpus EXACTLY, row for row — so
+    ``--row`` ids recorded against either form agree."""
     from PIL import Image
 
     from tapclip_tpu.data.preprocess import preprocess_pil, preprocess_pil_uint8
@@ -151,7 +151,10 @@ def iter_shard_samples_deterministic(
     if world < 1 or not (0 <= rank < world):
         raise ValueError(f"bad rank/world {rank}/{world}")
     pre = preprocess_pil if output_dtype == "float32" else preprocess_pil_uint8
-    for path in list_shards(shard_dir)[rank::world]:
+    shards = list_shards(shard_dir)
+    chunks = np.array_split(np.arange(len(shards)), world)
+    for si in chunks[rank]:
+        path = shards[int(si)]
         for img_bytes, caption in _iter_shard(path):
             with Image.open(io.BytesIO(img_bytes)) as im:
                 arr = pre(im.convert("RGB"), image_size)
@@ -308,14 +311,17 @@ def main(argv: Optional[List[str]] = None) -> dict:
     manifest_rows: List[Tuple] = []
     captions: List[str] = []
 
-    if args.world > 1 and not (0 <= args.rank < args.world):
+    if args.world < 1 or not (0 <= args.rank < args.world):
         raise SystemExit(f"bad --rank {args.rank} for --world {args.world}")
     if args.image_root:
         from tapclip_tpu.data.imagefolder import ImageFolderIndex, Loader
 
         index = ImageFolderIndex.scan(args.image_root)
         if args.world > 1:
-            index.samples = index.samples[args.rank :: args.world]
+            # contiguous chunks: per-rank outputs concatenate to EXACTLY
+            # the world=1 corpus order
+            chunks = np.array_split(np.arange(len(index.samples)), args.world)
+            index.samples = [index.samples[int(i)] for i in chunks[args.rank]]
         loader = Loader(
             index.samples, args.batch_size, shuffle=False,
             image_size=cfg.image_size, output_dtype=dtype,

@@ -190,6 +190,8 @@ def make_pretrain_step(
     seq_parallel: bool = False,
     fsdp: bool = False,
     augment=None,
+    lock_image: bool = False,
+    lock_text: bool = False,
 ) -> Callable:
     """Jitted CLIP pretraining step over (images, token_ids).
 
@@ -280,8 +282,25 @@ def make_pretrain_step(
     # backward's bottleneck; saved-activation HBM round trips cost as much.
 
     needs_rng = augment is not None or cfg.patch_dropout > 0.0
+    # Fully-locked towers (LiT): stop_gradient on the frozen subtree PRUNES
+    # its backward pass (open_clip's requires_grad=False economics — the
+    # optimizer-side set_to_zero alone would still compute, then discard,
+    # roughly half the step's FLOPs) and keeps the frozen tower's gradients
+    # out of any --grad-clip global norm. lock_tower_optimizer is still
+    # required on top: AdamW's weight decay moves params even at zero grad.
+    locked_keys = ({"visual"} if lock_image else set()) | (
+        {"text"} if lock_text else set()
+    )
 
     def loss_fn(params, images, token_ids, rng=None):
+        if locked_keys:
+            params = dict(
+                params,
+                **{
+                    k: jax.tree.map(jax.lax.stop_gradient, params[k])
+                    for k in locked_keys
+                },
+            )
         moe_losses = []
         pd_rng = None
         if needs_rng:

@@ -168,8 +168,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
                    help="linear warmup steps (cosine schedule)")
     p.add_argument("--lock-image-tower", action="store_true",
                    help="LiT-style fine-tuning: freeze the image tower "
-                        "(optax.masked — zero updates, no optimizer state); "
-                        "train the text tower + logit_scale only")
+                        "(multi_transform routes it to set_to_zero — no "
+                        "updates/weight decay; full locks also stop_gradient "
+                        "the tower, pruning its backward pass); train the "
+                        "text tower + logit_scale only")
     p.add_argument("--lock-text-tower", action="store_true",
                    help="freeze the text tower; train the image tower + "
                         "logit_scale only")
@@ -482,12 +484,15 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 mesh=mesh, loss=args.loss, augment=augment,
             )
         else:
+            full_lock = args.lock_unlocked_groups <= 0
             step = make_pretrain_step(
                 cfg.model, optimizer, mesh=mesh, loss=args.loss,
                 pp_microbatches=args.pp_microbatches,
                 seq_parallel=args.seq_parallel,
                 fsdp=args.fsdp and mesh is not None,
                 augment=augment,
+                lock_image=args.lock_image_tower and full_lock,
+                lock_text=args.lock_text_tower and full_lock,
             )
         opt_state = optimizer.init(params)
     start_epoch = 1
@@ -573,6 +578,18 @@ def main(argv: Optional[List[str]] = None) -> dict:
         log.info("zero-shot validation: %d images, %d classes (every %d "
                  "epoch(s))", len(zs_index.samples), len(zs_index.classes),
                  max(1, args.zeroshot_frequency))
+        # Hoisted jits: fresh jax.jit(lambda) wrappers key on function
+        # identity, so building them per epoch would retrace/compile every
+        # time (a remote-compile round trip each on the tunneled TPU).
+        from tapclip_tpu.models import clip as _clip_model
+        from tapclip_tpu.zero_shot import zero_shot_logits as _zs_logits
+
+        zs_encode_fn = jax.jit(
+            lambda pr, i: _clip_model.encode_text(pr, cfg.model, i)
+        )
+        zs_logits_fn = jax.jit(
+            lambda pr, c, x: _zs_logits(pr, cfg.model, c, x)
+        )
 
     def _run_validation(tree, tag=""):
         # fixed subset every epoch: pin the val stream back to epoch 0
@@ -695,10 +712,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
 
                 def _zs_acc(tree):
                     clf = build_zero_shot_classifier(
-                        tree, cfg.model, zs_index.classes, tokenizer
+                        tree, cfg.model, zs_index.classes, tokenizer,
+                        encode_fn=zs_encode_fn,
                     )
                     return evaluate_zero_shot(
-                        tree, cfg.model, clf, iter(zs_loader)
+                        tree, cfg.model, clf, iter(zs_loader),
+                        logits_fn=zs_logits_fn,
                     )
 
                 tree = params

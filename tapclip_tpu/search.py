@@ -142,6 +142,8 @@ def main(argv: Optional[List[str]] = None) -> List[dict]:
     index = SearchIndex.load(args.index)
 
     if args.row is not None:
+        if args.row < 0:
+            raise SystemExit(f"--row must be >= 0, got {args.row}")
         # mmap: slicing one query row must not re-read the multi-GB index.
         # Global row index across the concatenated dirs (multi-dir loads).
         row = args.row

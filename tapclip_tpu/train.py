@@ -325,11 +325,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
 
         logits, labels, vmask = collect_logits(model, val_loader)
         if args.confusion:
+            from tapclip_tpu.utils.eval_metrics import confusion_from_logits
             from tapclip_tpu.utils.plotting import save_confusion_matrix
 
-            keep = vmask.astype(bool)
-            cm = np.zeros((model.n_cls,) * 2, np.int64)
-            np.add.at(cm, (labels[keep], logits.argmax(axis=1)[keep]), 1)
+            cm = confusion_from_logits(logits, labels, vmask, model.n_cls)
             cm_csv = os.path.join(
                 paths["csv_dir"], f"{cfg.version}_confusion.csv"
             )

@@ -78,6 +78,24 @@ def evaluate_per_class_accuracy(
     return acc_dict
 
 
+def confusion_from_logits(
+    logits: np.ndarray,
+    labels: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    n_cls: Optional[int] = None,
+) -> np.ndarray:
+    """``[C, C]`` counts from collected logits (rows = true label)."""
+    logits = np.asarray(logits)
+    labels = np.asarray(labels)
+    keep = (
+        np.ones(len(labels), bool) if mask is None else np.asarray(mask, bool)
+    )
+    C = int(n_cls if n_cls is not None else logits.shape[-1])
+    cm = np.zeros((C, C), np.int64)
+    np.add.at(cm, (labels[keep], logits.argmax(axis=-1)[keep]), 1)
+    return cm
+
+
 def confusion_matrix(model, dataloader, n_cls: Optional[int] = None) -> np.ndarray:
     """``[C, C]`` counts, rows = true label, cols = prediction.
 
@@ -93,10 +111,7 @@ def confusion_matrix(model, dataloader, n_cls: Optional[int] = None) -> np.ndarr
     cm = np.zeros((C, C), np.int64)
     for images, labels, mask in background_iter(dataloader):
         logits = np.asarray(model(images)["logits"])
-        preds = logits.argmax(axis=1)
-        keep = np.asarray(mask)
-        labels = np.asarray(labels)
-        np.add.at(cm, (labels[keep], preds[keep]), 1)
+        cm += confusion_from_logits(logits, labels, mask, C)
     return cm
 
 

@@ -64,11 +64,17 @@ def build_zero_shot_classifier(
     templates: Sequence[str] = DEFAULT_TEMPLATES,
     raw_names: bool = False,
     batch_size: int = 64,
+    encode_fn=None,
 ) -> jnp.ndarray:
     """Return ``[n_cls, embed_dim]`` L2-normalized class weight matrix.
 
     Template-ensembled: each class's embedding is the L2-normalized mean of
     its per-template embeddings (standard CLIP zero-shot recipe).
+
+    ``encode_fn``: a pre-jitted ``(params, ids) -> feats`` — pass one when
+    calling repeatedly (e.g. per-epoch validation): the internal
+    ``jax.jit(lambda ...)`` keys on function identity, so a fresh wrapper
+    per call would retrace every time.
     """
     texts: List[str] = []
     for name in class_names:
@@ -76,7 +82,7 @@ def build_zero_shot_classifier(
         texts.extend(t.format(n) for t in templates)
     ids = tokenizer.tokenize(texts, cfg.context_length)
 
-    encode = jax.jit(
+    encode = encode_fn or jax.jit(
         lambda p, i: clip_model.encode_text(p, cfg, i), static_argnums=()
     )
     feats = []
@@ -105,9 +111,14 @@ def evaluate_zero_shot(
     cfg: CLIPConfig,
     classifier: jnp.ndarray,
     loader,
+    logits_fn=None,
 ) -> float:
-    """Overall accuracy (%) of the zero-shot classifier over a Loader."""
-    logits_fn = jax.jit(
+    """Overall accuracy (%) of the zero-shot classifier over a Loader.
+
+    ``logits_fn``: pre-jitted ``(params, classifier, images) -> logits``
+    for repeated callers (see ``build_zero_shot_classifier.encode_fn``).
+    """
+    logits_fn = logits_fn or jax.jit(
         lambda p, c, x: zero_shot_logits(p, cfg, c, x)
     )
     correct = total = 0

@@ -220,19 +220,14 @@ def test_rank_world_partition_shards(tmp_path, shard_dir_featurize=None):
     full = SearchIndex.load(str(tmp_path / "all"))
     merged = SearchIndex.load([str(tmp_path / "r0"), str(tmp_path / "r1")])
     assert merged.n == full.n == 12
-    # shard-granular partition: ranks cover disjoint shards; the merged
-    # caption multiset equals the full one
-    caps_full = sorted(r[-1] for r in full.manifest)
-    caps_merged = sorted(r[-1] for r in merged.manifest)
-    assert caps_full == caps_merged
-    # embeddings agree per caption (order differs by shard interleave)
-    by_cap_full = {r[-1]: np.asarray(full._index[i], np.float32)
-                   for i, r in enumerate(full.manifest)}
-    for i, r in enumerate(merged.manifest):
-        np.testing.assert_allclose(
-            np.asarray(merged._index[i], np.float32), by_cap_full[r[-1]],
-            atol=1e-3,
-        )
+    # CONTIGUOUS partition: merged == world=1 EXACTLY, row for row, so
+    # recorded --row ids agree between the two forms
+    assert [r[-1] for r in merged.manifest] == [r[-1] for r in full.manifest]
+    np.testing.assert_allclose(
+        np.asarray(merged._index, np.float32),
+        np.asarray(full._index, np.float32),
+        atol=1e-3,
+    )
 
 
 def test_rank_world_imagefolder(tmp_path, synth_root=None):

