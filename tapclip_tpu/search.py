@@ -123,6 +123,10 @@ def main(argv: Optional[List[str]] = None) -> List[dict]:
     p.add_argument("--text", help="text query (encodes with the text tower)")
     p.add_argument("--image", help="image-file query")
     p.add_argument("--row", type=int, help="corpus-row query (more-like-this)")
+    p.add_argument("--corpus", default="image", choices=["image", "text"],
+                   help="which featurized matrix to search: image embeddings "
+                        "(default) or the text embeddings written by "
+                        "featurize --embed-text")
     p.add_argument("-k", type=int, default=5)
     p.add_argument("--model", default="ViT-B-16")
     p.add_argument("--preset", default=None)
@@ -139,7 +143,7 @@ def main(argv: Optional[List[str]] = None) -> List[dict]:
     if n_modes != 1:
         raise SystemExit("pass exactly one of --text / --image / --row")
 
-    index = SearchIndex.load(args.index)
+    index = SearchIndex.load(args.index, text=args.corpus == "text")
 
     if args.row is not None:
         if args.row < 0:
@@ -148,10 +152,10 @@ def main(argv: Optional[List[str]] = None) -> List[dict]:
         # Global row index across the concatenated dirs (multi-dir loads).
         row = args.row
         q = None
+        npy = ("text_embeddings.npy" if args.corpus == "text"
+               else "image_embeddings.npy")
         for d in args.index:
-            emb = np.load(
-                os.path.join(d, "image_embeddings.npy"), mmap_mode="r"
-            )
+            emb = np.load(os.path.join(d, npy), mmap_mode="r")
             if row < emb.shape[0]:
                 q = np.array(emb[row : row + 1], np.float32)
                 break

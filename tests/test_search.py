@@ -91,3 +91,39 @@ def test_cli_row_and_text(tmp_path, corpus):
     res = main(["--index", str(tmp_path), "--text", "a photo",
                 "-k", "2", "--preset", "tiny"])
     assert len(res) == 2 and all(-1.01 <= r["score"] <= 1.01 for r in res)
+
+
+def test_text_corpus_queryable(tmp_path, tiny_cfg, tiny_params):
+    """featurize --embed-text output is searchable via --corpus text
+    (text->text retrieval: a caption query finds its own embedding)."""
+    import io
+
+    import jax
+    from PIL import Image
+
+    from tapclip_tpu.data.shards import write_shards
+    from tapclip_tpu.featurize import main as feat_main
+    from tapclip_tpu.search import main as search_main
+
+    rng = np.random.default_rng(0)
+
+    def jpeg():
+        arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    shard_root = str(tmp_path / "shards")
+    # short: the byte-fallback tokenizer truncates at the tiny
+    # context_length, so the distinguishing char must fit
+    caps = [f"obj {i}" for i in range(6)]
+    write_shards([(jpeg(), c) for c in caps], shard_root, shard_size=3)
+    out = str(tmp_path / "feats")
+    feat_main(["--shard-dir", shard_root, "--out", out, "--preset", "tiny",
+               "--batch-size", "4", "--embed-text", "--platform", "cpu"])
+
+    results = search_main([
+        "--index", out, "--corpus", "text", "--text", caps[3], "-k", "1",
+        "--preset", "tiny", "--platform", "cpu",
+    ])
+    assert results[0]["meta"][-1] == caps[3]  # self-retrieval top-1
