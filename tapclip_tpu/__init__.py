@@ -35,6 +35,8 @@ _LAZY = {
     "featurize_images": ("tapclip_tpu.featurize", "featurize_images"),
     "SearchIndex": ("tapclip_tpu.search", "SearchIndex"),
     "fit_linear_probe": ("tapclip_tpu.linear_probe", "fit_linear_probe"),
+    "build_cache_model": ("tapclip_tpu.tip_adapter", "build_cache_model"),
+    "tip_logits": ("tapclip_tpu.tip_adapter", "tip_logits"),
     "patch_saliency": ("tapclip_tpu.utils.saliency", "patch_saliency"),
     "PredictService": ("tapclip_tpu.serve", "PredictService"),
     "predict_corpus": ("tapclip_tpu.predict", "predict_corpus"),
