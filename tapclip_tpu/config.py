@@ -116,6 +116,14 @@ class CLIPConfig:
     # Cuts vision-tower FLOPs ~proportionally — the published recipe masks
     # 50% for ~2x faster pretraining at near-equal zero-shot accuracy.
     patch_dropout: float = 0.0
+    # VPT-Shallow (Jia et al., "Visual Prompt Tuning"): this many learnable
+    # prompt tokens are inserted after the class token at the vision tower
+    # input (positions 1..P, patches shift right). The vision-side analogue
+    # of the reference's text prompt tuning — pair with pretrain_cli's
+    # --lock-image-tower for the standard "frozen backbone + visual
+    # prompts" fine-tune (the VPT tokens stay trainable through a lock).
+    # ViT towers only; 0 = off.
+    vpt_tokens: int = 0
 
     @property
     def grid_size(self) -> int:

@@ -73,6 +73,7 @@ def load_clip_params(cfg: CLIPConfig, pretrained: Optional[str], seed: int = 0):
             from tapclip_tpu.utils.torch_convert import load_openclip_checkpoint
 
             params = load_openclip_checkpoint(pretrained, cfg)
+        params = clip_model.ensure_vpt_params(params, cfg, seed=seed)
         return jax.tree.map(jnp.asarray, params)
     log.warning("no --pretrained given: using RANDOM CLIP weights")
     return clip_model.init_clip_params(jax.random.PRNGKey(seed), cfg)

@@ -57,6 +57,11 @@ def _init_clip_params_jit(key: jax.Array, cfg: CLIPConfig) -> Params:
                 "moe_experts applies to ViT towers only "
                 "(the RN-family tower has no per-block MLP bank)"
             )
+        if cfg.vpt_tokens > 0:
+            raise NotImplementedError(
+                "vpt_tokens applies to ViT towers only "
+                "(the RN-family tower has no token sequence to prompt)"
+            )
         visual = init_resnet_params(kv, cfg)
         return {
             "visual": visual,
@@ -84,6 +89,8 @@ def _init_clip_params_jit(key: jax.Array, cfg: CLIPConfig) -> Params:
         "ln_post": layers.init_layer_norm(vw),
         "proj": jax.random.normal(kvp, (vw, cfg.embed_dim), jnp.float32) * (vw ** -0.5),
     }
+    if cfg.vpt_tokens > 0:
+        visual["vpt"] = init_vpt_params(jax.random.fold_in(kv, 1), cfg)
     return {
         "visual": visual,
         "text": _init_text_params(kt, ke, kpe, ktp, cfg),
@@ -91,6 +98,41 @@ def _init_clip_params_jit(key: jax.Array, cfg: CLIPConfig) -> Params:
         # separate learnable copy per model_wrapper.py:26).
         "logit_scale": jnp.asarray(jnp.log(1.0 / 0.07), jnp.float32),
     }
+
+
+def init_vpt_params(key: jax.Array, cfg: CLIPConfig) -> jnp.ndarray:
+    """Fresh VPT-Shallow prompt tokens ``[vpt_tokens, vision_width]``."""
+    return jax.random.normal(
+        key, (cfg.vpt_tokens, cfg.vision_width), jnp.float32
+    ) * (cfg.vision_width ** -0.5)
+
+
+def ensure_vpt_params(params: Params, cfg: CLIPConfig, seed: int = 0) -> Params:
+    """Inject fresh VPT tokens into a loaded tree that predates them.
+
+    Pretrained checkpoints (open_clip ``.bin`` / Orbax trees saved without
+    ``vpt_tokens``) have no ``visual.vpt`` leaf; every loading path calls
+    this so ``--vpt-tokens N`` composes with ``--pretrained``.  A tree that
+    already carries prompts of a DIFFERENT length is a config mismatch —
+    fail loudly rather than silently re-initialize trained prompts.
+    """
+    if cfg.vpt_tokens <= 0 or cfg.vision_tower == "resnet":
+        return params
+    visual = params.get("visual", {})
+    if "vpt" in visual:
+        P = visual["vpt"].shape[0]
+        if P != cfg.vpt_tokens:
+            raise ValueError(
+                f"checkpoint carries {P} VPT tokens but cfg.vpt_tokens="
+                f"{cfg.vpt_tokens}; load with the matching config"
+            )
+        return params
+    return dict(
+        params,
+        visual=dict(
+            visual, vpt=init_vpt_params(jax.random.PRNGKey(seed), cfg)
+        ),
+    )
 
 
 def _init_text_params(kt, ke, kpe, ktp, cfg: CLIPConfig) -> Params:
@@ -230,6 +272,21 @@ def encode_image(
                 "pruning) do not compose — pick one per call"
             )
         x = _patch_dropout(x, cfg.patch_dropout, rng)
+    if cfg.vpt_tokens > 0:
+        if cfg.token_keep_ratio < 1.0:
+            raise NotImplementedError(
+                "vpt_tokens does not compose with token_keep_ratio "
+                "(pruning would silently drop the learned prompts)"
+            )
+        # VPT-Shallow: learned prompts at positions 1..P (class token stays
+        # at 0 for pooling; patches shift right). Inserted AFTER patch
+        # dropout so the prompts are never dropped, and AFTER the positional
+        # embedding so they carry no patch position (they are their own
+        # learned vectors, the paper's placement).
+        vpt = jnp.broadcast_to(
+            p["vpt"].astype(dtype), (x.shape[0], cfg.vpt_tokens, x.shape[-1])
+        )
+        x = jnp.concatenate([x[:, :1], vpt, x[:, 1:]], axis=1)
     x = layers.layer_norm(x, p["ln_pre"], cfg.ln_eps)
     # Run the tower at a sublane-aligned (multiple-of-8) sequence length:
     # XLA picks better schedules for the per-block dots, and the fused MHA

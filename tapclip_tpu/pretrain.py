@@ -292,14 +292,20 @@ def make_pretrain_step(
         {"text"} if lock_text else set()
     )
 
+    def _freeze_subtree(k, sub):
+        frozen = jax.tree.map(jax.lax.stop_gradient, sub)
+        if k == "visual" and isinstance(sub, dict) and "vpt" in sub:
+            # VPT fine-tuning: the learned visual prompts stay trainable
+            # through an image-tower lock (the whole point of
+            # --lock-image-tower --vpt-tokens N).
+            frozen = dict(frozen, vpt=sub["vpt"])
+        return frozen
+
     def loss_fn(params, images, token_ids, rng=None):
         if locked_keys:
             params = dict(
                 params,
-                **{
-                    k: jax.tree.map(jax.lax.stop_gradient, params[k])
-                    for k in locked_keys
-                },
+                **{k: _freeze_subtree(k, params[k]) for k in locked_keys},
             )
         moe_losses = []
         pd_rng = None
@@ -593,12 +599,20 @@ def lock_tower_optimizer(optimizer, *, lock_image: bool = False,
     if unlocked_groups <= 0:
 
         def labels(params):
-            return {
-                k: jax.tree.map(
-                    lambda _: "freeze" if k in locked else "train", v
-                )
-                for k, v in params.items()
-            }
+            def label_subtree(k, v):
+                if k not in locked:
+                    return jax.tree.map(lambda _: "train", v)
+                if k == "visual" and isinstance(v, dict) and "vpt" in v:
+                    # learned visual prompts train through the lock
+                    return {
+                        kk: jax.tree.map(
+                            lambda _: "train" if kk == "vpt" else "freeze", vv
+                        )
+                        for kk, vv in v.items()
+                    }
+                return jax.tree.map(lambda _: "freeze", v)
+
+            return {k: label_subtree(k, v) for k, v in params.items()}
 
         return optax.multi_transform(
             {"train": optimizer, "freeze": optax.set_to_zero()}, labels
@@ -631,7 +645,7 @@ def lock_tower_optimizer(optimizer, *, lock_image: bool = False,
         for k, v in sub.items():
             if k == "blocks":
                 out[k] = jax.tree.map(blk, v)
-            elif k in head_keys or stem_unlocked:
+            elif k in head_keys or k == "vpt" or stem_unlocked:
                 out[k] = v
             else:  # stem (embeddings / pre-LN): frozen until n == G
                 out[k] = jax.tree.map(jnp.zeros_like, v)

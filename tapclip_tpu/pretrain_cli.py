@@ -193,6 +193,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
                         "tokens per sample per step (class token kept) — "
                         "~proportional vision-FLOP cut; 0.5 is the "
                         "published ~2x-speedup recipe")
+    p.add_argument("--vpt-tokens", type=int, default=0,
+                   help="VPT-Shallow: insert N learnable prompt tokens into "
+                        "the vision sequence (CLIPConfig.vpt_tokens); they "
+                        "stay trainable through --lock-image-tower — the "
+                        "standard frozen-backbone visual-prompt fine-tune")
     p.add_argument("--augment", action="store_true",
                    help="on-device per-sample RandomResizedCrop of every "
                         "train batch (data/augment.py; open_clip-style "
@@ -218,7 +223,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
     setup_platform(args.platform)
     cfg = apply_overrides(preset(args.preset), args)
     if (args.remat or args.moe_experts or args.scan_unroll
-            or args.patch_dropout):
+            or args.patch_dropout or args.vpt_tokens):
         import dataclasses
 
         model_cfg = cfg.model
@@ -230,6 +235,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
             model_cfg = model_cfg.replace(scan_unroll=args.scan_unroll)
         if args.patch_dropout:
             model_cfg = model_cfg.replace(patch_dropout=args.patch_dropout)
+        if args.vpt_tokens:
+            model_cfg = model_cfg.replace(vpt_tokens=args.vpt_tokens)
         cfg = dataclasses.replace(cfg, model=model_cfg)
 
     import jax

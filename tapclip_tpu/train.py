@@ -145,6 +145,7 @@ def build_model(cfg: ExperimentConfig, *, bpe_path: Optional[str] = None, rng_se
             from tapclip_tpu.utils.torch_convert import load_openclip_checkpoint
 
             params = load_openclip_checkpoint(cfg.pretrained_path, cfg.model)
+        params = clip_model.ensure_vpt_params(params, cfg.model, seed=rng_seed)
         params = jax.tree.map(jnp.asarray, params)
         log.info("loaded pretrained CLIP weights from %s", cfg.pretrained_path)
     else:
