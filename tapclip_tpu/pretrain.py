@@ -661,6 +661,48 @@ def lock_tower_optimizer(optimizer, *, lock_image: bool = False,
     return optax.GradientTransformation(init, update)
 
 
+#: Param-tree leaf suffixes that BitFit trains (every additive bias term:
+#: LN/BN biases + the attention/MLP projection biases — "/b" is the
+#: RN-family attnpool projection bias; LN *scales* are multiplicative and
+#: stay frozen per the paper, as do BN running stats).
+BITFIT_SUFFIXES = ("/bias", "/b_qkv", "/b_out", "/b_fc", "/b_proj", "/b")
+
+
+def bitfit_optimizer(optimizer):
+    """BitFit (Ben Zaken et al. 2022): train ONLY the bias terms.
+
+    The third PEFT axis next to LoRA (low-rank weight deltas, ``peft.py``)
+    and VPT (input prompts): ~0.1% of the params train, everything else is
+    routed to ``optax.set_to_zero`` via ``multi_transform`` (bit-identical
+    frozen weights, no AdamW moments, no weight decay — same mechanics as
+    :func:`lock_tower_optimizer`).  Top-level extras outside the towers
+    (``logit_scale``, the SigLIP ``logit_bias``) stay trainable, matching
+    the locked-tower convention.  Unlike a tower lock there is no
+    stop-gradient pruning: biases live in every block, so the full
+    backward must run regardless.
+    """
+    import optax
+    from jax.tree_util import tree_map_with_path
+
+    def _leaf_path(path) -> str:
+        return "/".join(str(getattr(k, "key", k)) for k in path)
+
+    def labels(params):
+        def lab(path, _):
+            s = _leaf_path(path)
+            if not s.startswith(("visual/", "text/")):
+                return "train"  # logit_scale / logit_bias / kd_proj extras
+            if s == "visual/vpt":
+                return "train"  # VPT prompts are PEFT params, not weights
+            return "train" if s.endswith(BITFIT_SUFFIXES) else "freeze"
+
+        return tree_map_with_path(lab, params)
+
+    return optax.multi_transform(
+        {"train": optimizer, "freeze": optax.set_to_zero()}, labels
+    )
+
+
 def make_ema_update(decay: float) -> Callable:
     """Jitted EMA tracker for pretraining (open_clip/BYOL-style model
     averaging): ``ema = decay * ema + (1 - decay) * params``, donated so the

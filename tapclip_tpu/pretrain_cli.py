@@ -89,6 +89,10 @@ def main(argv: Optional[List[str]] = None) -> dict:
                         "weights, loadable via --pretrained everywhere")
     p.add_argument("--lora-alpha", type=float, default=16.0,
                    help="LoRA scaling (merged delta is alpha/r * A@B)")
+    p.add_argument("--bitfit", action="store_true",
+                   help="BitFit: train ONLY the bias terms (+ logit_scale/"
+                        "bias extras) — ~0.1%% of params; frozen weights "
+                        "stay bit-identical (pretrain.bitfit_optimizer)")
     p.add_argument("--scan-unroll", type=int, default=0,
                    help="lax.scan unroll for the block stacks (0 = rolled; "
                         "n_layers = full unroll, measured ~4%% faster "
@@ -401,6 +405,17 @@ def main(argv: Optional[List[str]] = None) -> dict:
     else:
         lr = cfg.train.lr
     optimizer = optax.adamw(lr, weight_decay=cfg.train.weight_decay)
+    if args.bitfit:
+        if args.lora_rank:
+            raise ValueError("--bitfit and --lora-rank are both PEFT "
+                             "restrictions of the trainable set; pick one")
+        if args.lock_image_tower or args.lock_text_tower:
+            raise ValueError("--bitfit already freezes every non-bias leaf; "
+                             "drop --lock-*-tower")
+        from tapclip_tpu.pretrain import bitfit_optimizer
+
+        optimizer = bitfit_optimizer(optimizer)
+        log.info("BitFit: training bias terms + extras only")
     if args.lock_image_tower or args.lock_text_tower:
         if args.lora_rank:
             raise ValueError(
