@@ -124,6 +124,12 @@ class CLIPConfig:
     # prompts" fine-tune (the VPT tokens stay trainable through a lock).
     # ViT towers only; 0 = off.
     vpt_tokens: int = 0
+    # VPT-Deep: fresh learned prompts at EVERY block input (the paper's
+    # stronger variant) — `visual.vpt` becomes [n_layers, P, W]; row 0 is
+    # inserted at the tower input, rows 1..L-1 overwrite the prompt slots
+    # at each subsequent block input inside the scan. Requires the
+    # sequential block runner (no pipeline/MoE override).
+    vpt_deep: bool = False
 
     @property
     def grid_size(self) -> int:

@@ -101,10 +101,15 @@ def _init_clip_params_jit(key: jax.Array, cfg: CLIPConfig) -> Params:
 
 
 def init_vpt_params(key: jax.Array, cfg: CLIPConfig) -> jnp.ndarray:
-    """Fresh VPT-Shallow prompt tokens ``[vpt_tokens, vision_width]``."""
-    return jax.random.normal(
-        key, (cfg.vpt_tokens, cfg.vision_width), jnp.float32
-    ) * (cfg.vision_width ** -0.5)
+    """Fresh VPT prompt tokens: ``[P, W]`` shallow, ``[L, P, W]`` deep."""
+    shape = (
+        (cfg.vision_layers, cfg.vpt_tokens, cfg.vision_width)
+        if cfg.vpt_deep
+        else (cfg.vpt_tokens, cfg.vision_width)
+    )
+    return jax.random.normal(key, shape, jnp.float32) * (
+        cfg.vision_width ** -0.5
+    )
 
 
 def ensure_vpt_params(params: Params, cfg: CLIPConfig, seed: int = 0) -> Params:
@@ -120,11 +125,17 @@ def ensure_vpt_params(params: Params, cfg: CLIPConfig, seed: int = 0) -> Params:
         return params
     visual = params.get("visual", {})
     if "vpt" in visual:
-        P = visual["vpt"].shape[0]
-        if P != cfg.vpt_tokens:
+        expected = (
+            (cfg.vision_layers, cfg.vpt_tokens, cfg.vision_width)
+            if cfg.vpt_deep
+            else (cfg.vpt_tokens, cfg.vision_width)
+        )
+        if tuple(visual["vpt"].shape) != expected:
             raise ValueError(
-                f"checkpoint carries {P} VPT tokens but cfg.vpt_tokens="
-                f"{cfg.vpt_tokens}; load with the matching config"
+                f"checkpoint carries VPT tokens of shape "
+                f"{tuple(visual['vpt'].shape)} but the config expects "
+                f"{expected} (vpt_tokens={cfg.vpt_tokens}, "
+                f"vpt_deep={cfg.vpt_deep}); load with the matching config"
             )
         return params
     return dict(
@@ -272,19 +283,32 @@ def encode_image(
                 "pruning) do not compose — pick one per call"
             )
         x = _patch_dropout(x, cfg.patch_dropout, rng)
+    layer_prompts = None
     if cfg.vpt_tokens > 0:
         if cfg.token_keep_ratio < 1.0:
             raise NotImplementedError(
                 "vpt_tokens does not compose with token_keep_ratio "
                 "(pruning would silently drop the learned prompts)"
             )
-        # VPT-Shallow: learned prompts at positions 1..P (class token stays
-        # at 0 for pooling; patches shift right). Inserted AFTER patch
-        # dropout so the prompts are never dropped, and AFTER the positional
+        # VPT: learned prompts at positions 1..P (class token stays at 0
+        # for pooling; patches shift right). Inserted AFTER patch dropout
+        # so the prompts are never dropped, and AFTER the positional
         # embedding so they carry no patch position (they are their own
-        # learned vectors, the paper's placement).
+        # learned vectors, the paper's placement). Deep variant: row 0 at
+        # the input, rows 1..L-1 overwrite the prompt slots at each block
+        # input inside the scan (layers.transformer_forward).
+        vpt_all = p["vpt"].astype(dtype)
+        if cfg.vpt_deep:
+            if transformer_fn is not None or cfg.moe_experts > 0:
+                raise NotImplementedError(
+                    "vpt_deep requires the sequential block scan "
+                    "(no pipeline/MoE transformer_fn override)"
+                )
+            vpt_in, layer_prompts = vpt_all[0], vpt_all[1:]
+        else:
+            vpt_in = vpt_all
         vpt = jnp.broadcast_to(
-            p["vpt"].astype(dtype), (x.shape[0], cfg.vpt_tokens, x.shape[-1])
+            vpt_in, (x.shape[0], cfg.vpt_tokens, x.shape[-1])
         )
         x = jnp.concatenate([x[:, :1], vpt, x[:, 1:]], axis=1)
     x = layers.layer_norm(x, p["ln_pre"], cfg.ln_eps)
@@ -321,6 +345,11 @@ def encode_image(
             remat=cfg.remat,
             act_sharding=act_sharding,
             unroll=cfg.scan_unroll,
+            **(
+                {"layer_prompts": layer_prompts}
+                if layer_prompts is not None
+                else {}
+            ),
         )
         if cfg.moe_experts > 0 and moe_loss_out is not None:
             moe_loss_out.append(tower_aux)  # layer-summed load-balance loss

@@ -304,8 +304,15 @@ def transformer_forward(
     remat: str = "none",
     act_sharding=None,
     unroll: int = 1,
+    layer_prompts=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run stacked transformer blocks via ``lax.scan``.
+
+    ``layer_prompts`` (VPT-Deep, ``[n_layers-1, P, W]``): row ``i``
+    overwrites token slots ``1..P`` of block ``i``'s OUTPUT — i.e. block
+    ``i+1`` sees fresh learned prompts at its input (the caller inserts
+    layer 0's prompts before the stack).  The final block's output is
+    never overwritten.
 
     The attribution aux output (attention-to-EOT column) is taken from the
     *last* block only — the reference hooks ``resblocks[-1].attn``
@@ -345,15 +352,45 @@ def transformer_forward(
         y, _ = body(carry, layer_params)
         return y, None
 
-    if remat == "dots":
-        scan_step = jax.checkpoint(
-            scan_step,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-        )
-    elif remat == "full":
-        scan_step = jax.checkpoint(scan_step)
-    elif remat != "none":
-        raise ValueError(f"unknown remat policy {remat!r}")
+    def _with_remat(f):
+        if remat == "dots":
+            return jax.checkpoint(
+                f,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        if remat == "full":
+            return jax.checkpoint(f)
+        if remat != "none":
+            raise ValueError(f"unknown remat policy {remat!r}")
+        return f
+
+    scan_step = _with_remat(scan_step)
+
+    if layer_prompts is not None:
+        if attn_to_idx is not None:
+            raise NotImplementedError(
+                "layer_prompts (VPT-Deep) with attn_to_idx aux is not wired "
+                "(deep prompts are a vision-tower feature)"
+            )
+        n_prompts = layer_prompts.shape[1]
+
+        def scan_step_deep(carry, xs):
+            layer_params, prompts = xs
+            if act_sharding is not None:
+                carry = jax.lax.with_sharding_constraint(carry, act_sharding)
+            y, _ = body(carry, layer_params)
+            y = y.at[:, 1 : 1 + n_prompts, :].set(prompts[None].astype(y.dtype))
+            return y, None
+
+        scan_step_deep = _with_remat(scan_step_deep)
+        if n_layers > 1:
+            head_blocks = jax.tree.map(lambda a: a[:-1], blocks)
+            x, _ = jax.lax.scan(
+                scan_step_deep, x, (head_blocks, layer_prompts), unroll=unroll
+            )
+        last = jax.tree.map(lambda a: a[-1], blocks)
+        x, _ = body(x, last)
+        return x, None
 
     if attn_to_idx is None:
         # No aux needed: scan over ALL layers (one trace, smaller program).

@@ -202,6 +202,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
                         "the vision sequence (CLIPConfig.vpt_tokens); they "
                         "stay trainable through --lock-image-tower — the "
                         "standard frozen-backbone visual-prompt fine-tune")
+    p.add_argument("--vpt-deep", action="store_true",
+                   help="VPT-Deep: fresh learned prompts at EVERY block "
+                        "input (requires --vpt-tokens; sequential scan only)")
     p.add_argument("--augment", action="store_true",
                    help="on-device per-sample RandomResizedCrop of every "
                         "train batch (data/augment.py; open_clip-style "
@@ -227,7 +230,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
     setup_platform(args.platform)
     cfg = apply_overrides(preset(args.preset), args)
     if (args.remat or args.moe_experts or args.scan_unroll
-            or args.patch_dropout or args.vpt_tokens):
+            or args.patch_dropout or args.vpt_tokens or args.vpt_deep):
         import dataclasses
 
         model_cfg = cfg.model
@@ -240,7 +243,11 @@ def main(argv: Optional[List[str]] = None) -> dict:
         if args.patch_dropout:
             model_cfg = model_cfg.replace(patch_dropout=args.patch_dropout)
         if args.vpt_tokens:
-            model_cfg = model_cfg.replace(vpt_tokens=args.vpt_tokens)
+            model_cfg = model_cfg.replace(
+                vpt_tokens=args.vpt_tokens, vpt_deep=args.vpt_deep
+            )
+        elif args.vpt_deep:
+            raise ValueError("--vpt-deep requires --vpt-tokens N")
         cfg = dataclasses.replace(cfg, model=model_cfg)
 
     import jax

@@ -71,6 +71,17 @@ def vision_attention_forward(
     )
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["positional_embedding"].astype(dtype)[None]
+    vpt_all = None
+    if cfg.vpt_tokens > 0:
+        # Mirror clip.encode_image's VPT insertion exactly (feature parity
+        # is pinned by tests); the prompt slots 1..P are sliced off the
+        # saliency rows downstream (patch_saliency).
+        vpt_all = p["vpt"].astype(dtype)
+        vpt_in = vpt_all[0] if cfg.vpt_deep else vpt_all
+        vpt = jnp.broadcast_to(
+            vpt_in, (x.shape[0], cfg.vpt_tokens, x.shape[-1])
+        )
+        x = jnp.concatenate([x[:, :1], vpt, x[:, 1:]], axis=1)
     x = L.layer_norm(x, p["ln_pre"], cfg.ln_eps)
 
     T = x.shape[1]
@@ -85,7 +96,13 @@ def vision_attention_forward(
         jax.tree.map(lambda a: a[i], p["blocks"]) for i in range(n_layers)
     ]
     all_probs = []
-    for blk in blocks:
+    for i, blk in enumerate(blocks):
+        if i > 0 and vpt_all is not None and cfg.vpt_deep:
+            # VPT-Deep: fresh prompts at every block input (clip.py's scan
+            # applies row i at block i's OUTPUT == block i+1's input).
+            x = x.at[:, 1 : 1 + cfg.vpt_tokens, :].set(
+                vpt_all[i][None].astype(x.dtype)
+            )
         y = L.layer_norm(x, blk["ln_1"], cfg.ln_eps)
         B, Tq, W = y.shape
         H = cfg.vision_heads
@@ -221,10 +238,11 @@ def patch_saliency(
         hi = grid.max(axis=(1, 2), keepdims=True)
         return (grid - lo) / np.maximum(hi - lo, 1e-12)
     _, probs = _jitted_forward(cfg)(params, images)
+    first_patch = 1 + cfg.vpt_tokens  # skip class token + any VPT prompts
     if method == "rollout":
-        cls_row = attention_rollout(probs)[:, 0, 1:]  # [B, n_patches]
+        cls_row = attention_rollout(probs)[:, 0, first_patch:]  # [B, n_patches]
     else:
-        cls_row = probs[-1].mean(axis=1)[:, 0, 1:]
+        cls_row = probs[-1].mean(axis=1)[:, 0, first_patch:]
     g = cfg.image_size // cfg.patch_size
     grid = np.asarray(cls_row, np.float32).reshape(-1, g, g)
     lo = grid.min(axis=(1, 2), keepdims=True)

@@ -175,3 +175,105 @@ def test_unlocked_groups_keep_prompts_trainable(vpt_cfg, vpt_params):
     np.testing.assert_array_equal(
         np.asarray(vis1["patch_embed"]["w"]), np.asarray(vis0["patch_embed"]["w"])
     )
+
+
+# ---------------------------------------------------------------------------
+# VPT-Deep
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def deep_cfg(tiny_cfg):
+    return dataclasses.replace(tiny_cfg, vpt_tokens=4, vpt_deep=True)
+
+
+@pytest.fixture(scope="module")
+def deep_params(deep_cfg):
+    return C.init_clip_params(jax.random.PRNGKey(0), deep_cfg)
+
+
+def test_deep_init_shape(deep_cfg, deep_params):
+    assert deep_params["visual"]["vpt"].shape == (
+        deep_cfg.vision_layers, 4, deep_cfg.vision_width
+    )
+
+
+def test_deep_differs_from_shallow(deep_cfg, deep_params):
+    """Running the SAME [L,P,W] prompts deep vs only row 0 shallow must
+    diverge (rows 1..L-1 overwrite the evolved prompt slots)."""
+    imgs = _images(deep_cfg)
+    deep_out = C.encode_image(deep_params, deep_cfg, imgs)
+    shallow_cfg = dataclasses.replace(deep_cfg, vpt_deep=False)
+    shallow_params = dict(
+        deep_params,
+        visual=dict(
+            deep_params["visual"], vpt=deep_params["visual"]["vpt"][0]
+        ),
+    )
+    shallow_out = C.encode_image(shallow_params, shallow_cfg, imgs)
+    assert not np.allclose(
+        np.asarray(deep_out), np.asarray(shallow_out), atol=1e-4
+    )
+
+
+def test_deep_grad_reaches_every_layer(deep_cfg, deep_params):
+    imgs = _images(deep_cfg)
+
+    def loss(vpt):
+        p = dict(deep_params, visual=dict(deep_params["visual"], vpt=vpt))
+        return jnp.sum(C.encode_image(p, deep_cfg, imgs) ** 2)
+
+    g = np.asarray(jax.grad(loss)(deep_params["visual"]["vpt"]))
+    per_layer = np.abs(g).max(axis=(1, 2))
+    assert (per_layer > 0).all(), per_layer
+
+
+def test_deep_remat_matches_none(deep_cfg, deep_params):
+    imgs = _images(deep_cfg)
+    cfg_r = dataclasses.replace(deep_cfg, remat="full")
+
+    def loss(cfg):
+        def f(vpt):
+            p = dict(deep_params, visual=dict(deep_params["visual"], vpt=vpt))
+            return jnp.sum(C.encode_image(p, cfg, imgs) ** 2)
+        return jax.grad(f)(deep_params["visual"]["vpt"])
+
+    np.testing.assert_allclose(
+        np.asarray(loss(deep_cfg)), np.asarray(loss(cfg_r)), rtol=1e-5
+    )
+
+
+def test_deep_rejects_moe(deep_cfg):
+    cfg = dataclasses.replace(deep_cfg, moe_experts=2)
+    params = C.init_clip_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(NotImplementedError, match="sequential block scan"):
+        C.encode_image(params, cfg, _images(cfg))
+
+
+def test_deep_ensure_rejects_shallow_checkpoint(tiny_params, deep_cfg):
+    shallow_cfg = dataclasses.replace(deep_cfg, vpt_deep=False)
+    shallow = C.ensure_vpt_params(tiny_params, shallow_cfg, seed=1)
+    with pytest.raises(ValueError, match="VPT tokens"):
+        C.ensure_vpt_params(shallow, deep_cfg)
+
+
+def test_saliency_feature_parity_with_vpt(vpt_cfg, vpt_params,
+                                          deep_cfg, deep_params):
+    """saliency.vision_attention_forward must stay feature-exact with
+    encode_image under shallow AND deep prompts, and the saliency grid
+    keeps the patch geometry (prompt rows sliced off)."""
+    from tapclip_tpu.utils.saliency import patch_saliency, vision_attention_forward
+
+    for cfg, params in ((vpt_cfg, vpt_params), (deep_cfg, deep_params)):
+        imgs = _images(cfg, n=2)
+        feats, probs = vision_attention_forward(params, cfg, imgs)
+        ref = C.encode_image(params, cfg, imgs)
+        np.testing.assert_allclose(
+            np.asarray(feats), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+        T = 1 + cfg.vpt_tokens + cfg.num_patches
+        assert probs.shape[-2:] == (T, T)
+        g = cfg.image_size // cfg.patch_size
+        sal = patch_saliency(params, cfg, imgs, method="last")
+        assert sal.shape == (2, g, g)
+        assert np.isfinite(sal).all() and sal.min() >= 0 and sal.max() <= 1
