@@ -37,6 +37,8 @@ _LAZY = {
     "fit_linear_probe": ("tapclip_tpu.linear_probe", "fit_linear_probe"),
     "build_cache_model": ("tapclip_tpu.tip_adapter", "build_cache_model"),
     "tip_logits": ("tapclip_tpu.tip_adapter", "tip_logits"),
+    "fit_clip_adapter": ("tapclip_tpu.clip_adapter", "fit_clip_adapter"),
+    "fit_maple": ("tapclip_tpu.maple", "fit_maple"),
     "patch_saliency": ("tapclip_tpu.utils.saliency", "patch_saliency"),
     "PredictService": ("tapclip_tpu.serve", "PredictService"),
     "predict_corpus": ("tapclip_tpu.predict", "predict_corpus"),

@@ -278,6 +278,15 @@ class PromptConfig:
     # genuinely differ.  Costs a text pass per (sample, class) pair.
     image_conditioned: bool = False
     meta_hidden: int = 0  # 0 -> embed_dim // 16 (CoCoOp's bottleneck)
+    # MaPLe (Khattak et al., CVPR 2023) multi-modal prompt depth J: deep
+    # SHARED text prompts overwrite the context slots at text blocks
+    # 1..J-1, and per-layer linear projections of the text prompts are
+    # inserted as vision prompts (VPT placement) at vision blocks 0..J-1 —
+    # the two towers' prompts are coupled, and the VISION tower becomes
+    # prompt-dependent (image features cannot be cached while training).
+    # 0 disables.  Layer-0's text prompts are the (per-class) TAP context;
+    # its vision projection takes the class-masked mean context.
+    maple_depth: int = 0
     # "ref_compat": bare text transformer on [ctx || 77-token emb] with no
     #   positional embedding, no causal mask, no ln_final, pool position -1
     #   (model_wrapper.py:58,72-74).

@@ -212,8 +212,17 @@ def encode_image(
     transformer_fn=None,
     act_sharding=None,
     moe_loss_out=None,
+    maple_prompts=None,
 ) -> jnp.ndarray:
     """Images ``[B, H, W, 3]`` (preprocessed) -> features ``[B, embed_dim]``.
+
+    ``maple_prompts`` (MaPLe coupled vision prompts): a tuple
+    ``(input_prompts [P, W], deep_prompts [n_layers-1, P, W] | None,
+    deep_mask [n_layers-1] | None)`` of prompts COMPUTED by the caller
+    (projections of the text prompts — ``model_wrapper.py``'s MaPLe
+    branch) instead of read from ``params["visual"]["vpt"]``; insertion
+    placement is identical to VPT.  Mutually exclusive with
+    ``cfg.vpt_tokens``.
 
     Matches open_clip ``VisionTransformer.forward`` + projection; the caller
     L2-normalizes (as ``model_wrapper.py:41`` does).
@@ -234,6 +243,11 @@ def encode_image(
             raise NotImplementedError(
                 "patch_dropout applies to ViT towers only "
                 "(the RN-family tower has no patch-token sequence)"
+            )
+        if maple_prompts is not None:
+            raise NotImplementedError(
+                "MaPLe vision prompts apply to ViT towers only "
+                "(the RN-family tower has no token sequence)"
             )
         from tapclip_tpu.models.resnet import resnet_encode_image
 
@@ -284,7 +298,32 @@ def encode_image(
             )
         x = _patch_dropout(x, cfg.patch_dropout, rng)
     layer_prompts = None
-    if cfg.vpt_tokens > 0:
+    prompt_mask = None
+    if maple_prompts is not None:
+        if cfg.vpt_tokens > 0:
+            raise NotImplementedError(
+                "maple prompts and vpt_tokens both claim the prompt slots "
+                "— pick one prompt source per model"
+            )
+        if cfg.token_keep_ratio < 1.0:
+            raise NotImplementedError(
+                "maple prompts do not compose with token_keep_ratio "
+                "(pruning would silently drop the coupled prompts)"
+            )
+        if transformer_fn is not None or cfg.moe_experts > 0:
+            raise NotImplementedError(
+                "maple prompts require the sequential block scan "
+                "(no pipeline/MoE transformer_fn override)"
+            )
+        m_in, layer_prompts, prompt_mask = maple_prompts
+        m_in = m_in.astype(dtype)
+        if layer_prompts is not None:
+            layer_prompts = layer_prompts.astype(dtype)
+        vpt = jnp.broadcast_to(
+            m_in, (x.shape[0], m_in.shape[0], x.shape[-1])
+        )
+        x = jnp.concatenate([x[:, :1], vpt, x[:, 1:]], axis=1)
+    elif cfg.vpt_tokens > 0:
         if cfg.token_keep_ratio < 1.0:
             raise NotImplementedError(
                 "vpt_tokens does not compose with token_keep_ratio "
@@ -346,7 +385,7 @@ def encode_image(
             act_sharding=act_sharding,
             unroll=cfg.scan_unroll,
             **(
-                {"layer_prompts": layer_prompts}
+                {"layer_prompts": layer_prompts, "prompt_mask": prompt_mask}
                 if layer_prompts is not None
                 else {}
             ),
@@ -541,8 +580,17 @@ def text_forward_embeds(
     attn_to_idx=None,
     kv_valid_len=None,
     impl: Optional[str] = None,
+    deep_prompts=None,
+    deep_prompt_mask=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Text transformer over raw embeddings ``[B, T, W]``.
+
+    ``deep_prompts`` (``[n_text_layers-1, P, W]``, MaPLe): row ``i``
+    overwrites the context-token slots at block ``i+1``'s input — slots
+    start at position 0 in ref_compat mode (``[ctx || tokens]``) and at
+    position 1 in idiomatic mode (``[sot, ctx, ...]``).
+    ``deep_prompt_mask`` limits the prompt depth (see
+    ``layers.transformer_forward``).
 
     mode="ref_compat" reproduces the reference's bare-transformer call
     (``model_wrapper.py:58,72``): NO positional embedding, NO causal mask,
@@ -581,6 +629,18 @@ def text_forward_embeds(
         raise ValueError(f"unknown text mode {mode!r}")
 
     run = _pick_transformer_fn(cfg, None)
+    deep_kwargs = {}
+    if deep_prompts is not None:
+        if cfg.moe_experts > 0:
+            raise NotImplementedError(
+                "deep text prompts (MaPLe) require the dense block scan "
+                "(no MoE transformer)"
+            )
+        deep_kwargs = dict(
+            layer_prompts=deep_prompts.astype(dtype),
+            prompt_offset=0 if mode == "ref_compat" else 1,
+            prompt_mask=deep_prompt_mask,
+        )
     x, aux = run(
         x,
         p["blocks"],
@@ -591,6 +651,7 @@ def text_forward_embeds(
         kv_valid_len=kv_valid_len,
         attn_to_idx=attn_to_idx,
         impl=impl if impl is not None else cfg.attn_impl,
+        **deep_kwargs,
     )
     if cfg.moe_experts > 0 and attn_to_idx is None:
         aux = None  # second output is the lb loss, not attribution aux

@@ -305,14 +305,21 @@ def transformer_forward(
     act_sharding=None,
     unroll: int = 1,
     layer_prompts=None,
+    prompt_offset: int = 1,
+    prompt_mask=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run stacked transformer blocks via ``lax.scan``.
 
-    ``layer_prompts`` (VPT-Deep, ``[n_layers-1, P, W]``): row ``i``
-    overwrites token slots ``1..P`` of block ``i``'s OUTPUT — i.e. block
-    ``i+1`` sees fresh learned prompts at its input (the caller inserts
-    layer 0's prompts before the stack).  The final block's output is
-    never overwritten.
+    ``layer_prompts`` (VPT-Deep / MaPLe, ``[n_layers-1, P, W]``): row ``i``
+    overwrites token slots ``prompt_offset..prompt_offset+P`` of block
+    ``i``'s OUTPUT — i.e. block ``i+1`` sees fresh learned prompts at its
+    input (the caller inserts layer 0's prompts before the stack).  The
+    final block's output is never overwritten.  ``prompt_mask``
+    (``[n_layers-1]`` bool) deactivates rows per layer (MaPLe's prompt
+    depth J < n_layers: rows >= J-1 are inert and the last inserted
+    prompts' outputs propagate as ordinary tokens); ``None`` means all
+    rows active.  ``prompt_offset`` is 1 for vision towers (slot 0 is the
+    class token) and 0/1 for ref_compat/idiomatic text sequences.
 
     The attribution aux output (attention-to-EOT column) is taken from the
     *last* block only — the reference hooks ``resblocks[-1].attn``
@@ -367,30 +374,33 @@ def transformer_forward(
     scan_step = _with_remat(scan_step)
 
     if layer_prompts is not None:
-        if attn_to_idx is not None:
-            raise NotImplementedError(
-                "layer_prompts (VPT-Deep) with attn_to_idx aux is not wired "
-                "(deep prompts are a vision-tower feature)"
-            )
         n_prompts = layer_prompts.shape[1]
+        if prompt_mask is None:
+            prompt_mask = jnp.ones((layer_prompts.shape[0],), bool)
 
         def scan_step_deep(carry, xs):
-            layer_params, prompts = xs
+            layer_params, prompts, active = xs
             if act_sharding is not None:
                 carry = jax.lax.with_sharding_constraint(carry, act_sharding)
             y, _ = body(carry, layer_params)
-            y = y.at[:, 1 : 1 + n_prompts, :].set(prompts[None].astype(y.dtype))
+            overwritten = y.at[
+                :, prompt_offset : prompt_offset + n_prompts, :
+            ].set(prompts[None].astype(y.dtype))
+            y = jnp.where(active, overwritten, y)
             return y, None
 
         scan_step_deep = _with_remat(scan_step_deep)
         if n_layers > 1:
             head_blocks = jax.tree.map(lambda a: a[:-1], blocks)
             x, _ = jax.lax.scan(
-                scan_step_deep, x, (head_blocks, layer_prompts), unroll=unroll
+                scan_step_deep,
+                x,
+                (head_blocks, layer_prompts, prompt_mask),
+                unroll=unroll,
             )
         last = jax.tree.map(lambda a: a[-1], blocks)
-        x, _ = body(x, last)
-        return x, None
+        x, aux = body(x, last, attn_to_idx=attn_to_idx)
+        return x, aux
 
     if attn_to_idx is None:
         # No aux needed: scan over ALL layers (one trace, smaller program).

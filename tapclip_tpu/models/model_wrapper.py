@@ -75,6 +75,35 @@ def init_trainable(
             "w2": jnp.zeros((h, D), jnp.float32),
             "b2": jnp.zeros((D,), jnp.float32),
         }
+    if prompt_cfg.maple_depth > 0:
+        cfg = prompt_learner.clip_cfg
+        J = prompt_cfg.maple_depth
+        if prompt_cfg.image_conditioned:
+            raise NotImplementedError(
+                "maple_depth does not compose with image_conditioned "
+                "(both re-route the prompt pipeline)"
+            )
+        if cfg.vision_tower == "resnet":
+            raise NotImplementedError(
+                "maple_depth requires a ViT vision tower "
+                "(vision prompts are token insertions)"
+            )
+        if J > min(cfg.text_layers, cfg.vision_layers):
+            raise ValueError(
+                f"maple_depth={J} exceeds the tower depth "
+                f"(text {cfg.text_layers}, vision {cfg.vision_layers})"
+            )
+        D = cfg.text_width
+        P = prompt_cfg.prompt_len
+        kt, kp = jax.random.split(jax.random.fold_in(key, 7))
+        # Deep shared text prompts (layers 1..J-1) + per-layer Dt->Wv
+        # projections producing the coupled vision prompts (MaPLe's F_k).
+        out["maple"] = {
+            "txt": 0.02 * jax.random.normal(kt, (J - 1, P, D), jnp.float32),
+            "proj_w": jax.random.normal(kp, (J, D, cfg.vision_width), jnp.float32)
+            * (D ** -0.5),
+            "proj_b": jnp.zeros((J, cfg.vision_width), jnp.float32),
+        }
     return out
 
 
@@ -107,8 +136,14 @@ def text_features_with_attribution(
     clip_cfg: CLIPConfig,
     prompt_cfg: PromptConfig,
     adjustor_params: Dict[str, Any],
+    deep_ctx=None,
 ):
     """Class-batched attribution -> adjust -> encode. Returns (feats, attribution).
+
+    ``deep_ctx`` (MaPLe): ``(prompts [n_text_layers-1, P, D], mask)`` deep
+    shared text prompts overwriting the context slots at every masked
+    block input — stop-gradient'ed in the attribution pass (like the
+    context itself), live in the encoding pass.
 
     feats: [C, embed_dim] L2-normalized; attribution: [C, P] f32.
 
@@ -122,6 +157,14 @@ def text_features_with_attribution(
     P = prompt_cfg.prompt_len
     mode = prompt_cfg.text_mode
     encode_impl = None
+    dp_attr = {}
+    dp_enc = {}
+    if deep_ctx is not None:
+        dp, dpm = deep_ctx
+        dp_attr = dict(
+            deep_prompts=jax.lax.stop_gradient(dp), deep_prompt_mask=dpm
+        )
+        dp_enc = dict(deep_prompts=dp, deep_prompt_mask=dpm)
 
     if mode == "ref_compat":
         # [ctx || full-77-token-embedding] -> 82-token sequence
@@ -131,7 +174,8 @@ def text_features_with_attribution(
         seq = build_prompts(jax.lax.stop_gradient(ctx), token_embs)
         T = seq.shape[1]
         _, aux = clip_model.text_forward_embeds(
-            clip_params, clip_cfg, seq, mode="ref_compat", attn_to_idx=T - 1
+            clip_params, clip_cfg, seq, mode="ref_compat", attn_to_idx=T - 1,
+            **dp_attr,
         )
         attribution = jax.lax.stop_gradient(
             attribution_scores(aux, P, prompt_cfg.normalize_attribution)
@@ -140,7 +184,7 @@ def text_features_with_attribution(
         seq2 = build_prompts(adjusted_ctx, token_embs)
         feats, _ = clip_model.text_forward_embeds(
             clip_params, clip_cfg, seq2, mode="ref_compat", pool_idx=T - 1,
-            impl=encode_impl,
+            impl=encode_impl, **dp_enc,
         )
     elif mode == "idiomatic":
         # CoOp-style: [sot, ctx(P), template tokens 1..77-P-1]; positional
@@ -163,6 +207,7 @@ def text_features_with_attribution(
             jax.lax.stop_gradient(seq),
             mode="idiomatic",
             attn_to_idx=eot,
+            **dp_attr,
         )
         # ctx occupies query positions 1..P+1.
         attribution = jax.lax.stop_gradient(
@@ -179,7 +224,7 @@ def text_features_with_attribution(
         )
         feats, _ = clip_model.text_forward_embeds(
             clip_params, clip_cfg, seq2, mode="idiomatic", pool_idx=eot,
-            impl=encode_impl,
+            impl=encode_impl, **dp_enc,
         )
     else:
         raise ValueError(f"unknown text mode {mode!r}")
@@ -211,6 +256,42 @@ def full_model_forward(
     (unnormalized) must be given; the image tower is frozen, so callers may
     cache features across epochs — numerically identical, massively cheaper.
     """
+    deep_ctx = None
+    if prompt_cfg.maple_depth > 0:
+        # MaPLe: the vision tower sees prompts PROJECTED from the live text
+        # prompts, so its features depend on the trainable state — cached
+        # features would silently freeze the coupling.
+        if image_feats is not None:
+            raise ValueError(
+                "maple_depth makes the vision tower prompt-dependent: "
+                "pass raw images, not cached image_feats"
+            )
+        mp = trainable["maple"]
+        J = prompt_cfg.maple_depth
+        ctx32 = trainable["ctx"].astype(jnp.float32)
+        m = bank.class_mask.astype(jnp.float32)
+        # Layer-0 "shared" text prompts = class-masked mean of the per-class
+        # TAP context (identical to every row at template init, the paper's
+        # shared-ctx behavior; stays coupled to the tuned context after).
+        t0 = jnp.einsum("cpd,c->pd", ctx32, m) / jnp.maximum(m.sum(), 1.0)
+        t_all = jnp.concatenate([t0[None], mp["txt"]], axis=0)  # [J, P, D]
+        v_all = (
+            jnp.einsum("jpd,jdw->jpw", t_all, mp["proj_w"])
+            + mp["proj_b"][:, None, :]
+        )  # [J, P, Wv]
+        n_lv = clip_cfg.vision_layers - 1
+        v_deep = v_mask = None
+        if J > 1 and n_lv > 0:
+            v_deep = jnp.pad(v_all[1:], [(0, n_lv - (J - 1)), (0, 0), (0, 0)])
+            v_mask = jnp.arange(n_lv) < (J - 1)
+        image_feats = clip_model.encode_image(
+            clip_params, clip_cfg, images,
+            maple_prompts=(v_all[0], v_deep, v_mask),
+        )
+        n_lt = clip_cfg.text_layers - 1
+        if J > 1 and n_lt > 0:
+            t_deep = jnp.pad(mp["txt"], [(0, n_lt - (J - 1)), (0, 0), (0, 0)])
+            deep_ctx = (t_deep, jnp.arange(n_lt) < (J - 1))
     if image_feats is None:
         image_feats = clip_model.encode_image(clip_params, clip_cfg, images)
     img = clip_model.l2_normalize(image_feats)  # model_wrapper.py:41
@@ -252,6 +333,7 @@ def full_model_forward(
             clip_cfg,
             prompt_cfg,
             trainable["adjustor"],
+            deep_ctx=deep_ctx,
         )
         logits = scale * jnp.einsum(
             "be,ce->bc",

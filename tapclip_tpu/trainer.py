@@ -214,6 +214,12 @@ def fit_prompt_model(
     saves optimizer state, SURVEY.md §5 — we do).
     """
     epochs = epochs if epochs is not None else train_cfg.epochs
+    if model.prompt_cfg.maple_depth > 0:
+        raise NotImplementedError(
+            "fit_prompt_model trains over CACHED image features; MaPLe's "
+            "vision prompts make features trainable-dependent — use "
+            "tapclip_tpu.maple.fit_maple"
+        )
     encoder = make_image_encoder(model.clip_cfg)
     # Loaders and pre-cached feature sets are both accepted.
     train_cache = (
