@@ -260,6 +260,9 @@ class PromptConfig:
     """
 
     prompt_len: int = 5
+    # Accepted-and-unused beyond the construction banner, exactly like the
+    # reference (prompt_learner.py:10,21 — its context bank is per-class
+    # unconditionally regardless of this flag).
     class_specific: bool = True
     use_init_prompt: bool = True
     adjustor_method: str = "scale"  # 'scale' | 'gate' | 'residual'

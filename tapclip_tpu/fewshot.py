@@ -38,6 +38,7 @@ log = logging.getLogger("tapclip_tpu")
 
 ALL_METHODS = (
     "zero-shot",
+    "knn",
     "linear-probe",
     "tip-adapter",
     "tip-adapter-f",
@@ -45,6 +46,42 @@ ALL_METHODS = (
     "prompt",
     "maple",
 )
+
+
+def knn_classify(
+    train_feats,
+    train_labels,
+    query_feats,
+    num_classes: int,
+    *,
+    k: int = 20,
+    temperature: float = 0.07,
+):
+    """Weighted k-NN over L2-normalized features -> ``[B, C]`` scores.
+
+    The DINO/self-supervised eval protocol (Caron et al. 2021, after Wu
+    et al. 2018): each query's k nearest train features vote with weight
+    ``exp(cos_sim / T)``.  One GEMM + ``top_k`` on device — the TPU shape
+    of a k-NN (no trees; exact search is a [B, N] matmul at CLIP scales,
+    same argument as ``search.SearchIndex``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    X = jnp.asarray(train_feats, jnp.float32)
+    y = jnp.asarray(train_labels, jnp.int32)
+    Q = jnp.asarray(query_feats, jnp.float32)
+    k = min(k, X.shape[0])
+
+    @jax.jit
+    def scores(Q):
+        sims = Q @ X.T  # [B, N] cosine (inputs are unit-norm)
+        topv, topi = jax.lax.top_k(sims, k)
+        w = jnp.exp(topv / temperature)  # [B, k]
+        votes = jax.nn.one_hot(y[topi], num_classes)  # [B, k, C]
+        return jnp.einsum("bk,bkc->bc", w, votes)
+
+    return scores(Q)
 
 
 def run_fewshot_benchmark(
@@ -142,6 +179,11 @@ def run_fewshot_benchmark(
         t0 = time.monotonic()
         pred = (Xva @ zs_classifier.T).argmax(-1)
         record("zero-shot", 100.0 * (pred == yva).mean(), time.monotonic() - t0)
+
+    if "knn" in methods:
+        t0 = time.monotonic()
+        pred = np.asarray(knn_classify(Xtr, ytr, Xva, n_cls)).argmax(-1)
+        record("knn", 100.0 * (pred == yva).mean(), time.monotonic() - t0)
 
     if "linear-probe" in methods:
         from tapclip_tpu.linear_probe import fit_linear_probe, probe_accuracy

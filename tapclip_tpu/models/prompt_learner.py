@@ -98,6 +98,14 @@ class PromptLearner:
             class_mask=jnp.zeros((cap,), bool),
             eot_pos=jnp.zeros((cap,), jnp.int32),
         )
+        # Construction banner, byte-identical to the reference's
+        # (prompt_learner.py:21).  Note ``class_specific`` is stored and
+        # printed but never otherwise consumed by the reference either —
+        # its context bank is per-class unconditionally; we mirror that.
+        print(
+            f"cls_specific: {prompt_cfg.class_specific}, "
+            f"use_init_prompt: {prompt_cfg.use_init_prompt}"
+        )
         for name in class_names:
             self.add_class_prompt(name)
 

@@ -26,6 +26,37 @@ def color_folder(tmp_path_factory):
     return str(root)
 
 
+def test_knn_classify_oracle():
+    """Weighted k-NN matches a numpy recomputation and solves blobs."""
+    from tapclip_tpu.fewshot import knn_classify
+
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((4, 16)) * 4.0
+
+    def draw(n_per):
+        X = np.concatenate(
+            [centers[i] + rng.standard_normal((n_per, 16)) for i in range(4)]
+        ).astype(np.float32)
+        X /= np.linalg.norm(X, axis=-1, keepdims=True)
+        return X, np.repeat(np.arange(4), n_per).astype(np.int32)
+
+    Xtr, ytr = draw(8)
+    Xva, yva = draw(8)
+    scores = np.asarray(knn_classify(Xtr, ytr, Xva, 4, k=5, temperature=0.1))
+    assert scores.shape == (32, 4)
+    assert (scores.argmax(-1) == yva).mean() >= 0.9
+    # numpy oracle for one query
+    sims = Xva[0] @ Xtr.T
+    top = np.argsort(-sims)[:5]
+    expect = np.zeros(4)
+    for i in top:
+        expect[ytr[i]] += np.exp(sims[i] / 0.1)
+    np.testing.assert_allclose(scores[0], expect, rtol=1e-4)
+    # k larger than the train set clamps instead of failing
+    s2 = np.asarray(knn_classify(Xtr, ytr, Xva, 4, k=999))
+    assert s2.shape == (32, 4)
+
+
 def test_unknown_method_rejected(color_folder):
     from tapclip_tpu.fewshot import run_fewshot_benchmark
 
@@ -47,7 +78,7 @@ def test_all_methods_end_to_end(color_folder, tmp_path):
     ])
     by_method = {r["Method"]: r for r in results}
     assert set(by_method) == {
-        "zero-shot", "linear-probe", "tip-adapter", "tip-adapter-f",
+        "zero-shot", "knn", "linear-probe", "tip-adapter", "tip-adapter-f",
         "clip-adapter", "prompt", "maple",
     }
     for r in results:
@@ -55,6 +86,7 @@ def test_all_methods_end_to_end(color_folder, tmp_path):
         assert 0.0 <= r["Accuracy"] <= 100.0
         assert r["TrainSeconds"] >= 0.0
     # the signal-carrying learners must solve the separable task
+    assert by_method["knn"]["Accuracy"] >= 90.0
     assert by_method["linear-probe"]["Accuracy"] >= 90.0
     assert by_method["tip-adapter"]["Accuracy"] >= 90.0
     assert by_method["prompt"]["Accuracy"] >= 90.0
