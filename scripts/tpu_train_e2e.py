@@ -103,9 +103,34 @@ def main():
     print(f"held-out batch accuracy: {acc:.1f}%")
     assert acc >= 95.0, acc
 
-    # --- 2. pretraining chain: contrastive loss falls ---------------------
+    # --- 1b. MaPLe: coupled deep prompts through BOTH towers on hardware --
+    # (vision prompts projected from the live text prompts; the deep-prompt
+    # scan overwrite + attribution-aux composition runs under the fused
+    # kernels in bf16 — the path the CPU suite can only check in XLA.)
     import optax
 
+    from tapclip_tpu.maple import make_maple_train_step
+
+    mpcfg = PromptConfig(prompt_len=4, max_classes=8, maple_depth=2)
+    mlearner = PromptLearner(
+        CLASSES, params, CFG, mpcfg, get_tokenizer(context_length=CFG.context_length)
+    )
+    mtrainable = init_trainable(jax.random.PRNGKey(3), mlearner, mpcfg)
+    mopt = optax.adamw(5e-2)
+    mstate = mopt.init({k: mtrainable[k] for k in ("ctx", "maple")})
+    mstep = make_maple_train_step(CFG, mpcfg, mopt)
+    mlosses = []
+    for i in range(30):
+        images, labels = gen(jax.random.PRNGKey(300 + i), B)
+        mtrainable, mstate, ml = mstep(
+            params, mtrainable, mstate, mlearner.bank, images, labels, mask
+        )
+        mlosses.append(ml)
+    mlosses = [float(x) for x in mlosses]
+    print(f"maple loss: {mlosses[0]:.4f} -> {mlosses[-1]:.4f}")
+    assert mlosses[-1] < mlosses[0] / 3, (mlosses[0], mlosses[-1])
+
+    # --- 2. pretraining chain: contrastive loss falls ---------------------
     from tapclip_tpu.pretrain import make_pretrain_step
 
     popt = optax.adamw(3e-4, weight_decay=0.02)
