@@ -115,6 +115,49 @@ class SearchIndex:
     def lookup(self, rows: Sequence[int]) -> List[List[str]]:
         return [self.manifest[int(r)] for r in rows]
 
+    def find_duplicates(
+        self, threshold: float = 0.96, *, chunk: int = 1024
+    ) -> List[Tuple[int, int, float]]:
+        """Near-duplicate pairs ``(i, j, cosine)`` with ``i < j`` and
+        ``cosine >= threshold``, sorted by descending similarity.
+
+        Data-curation dedup over the featurized corpus: a chunked
+        self-GEMM scores ``[chunk, N]`` per dispatch against the resident
+        bf16 index (exact — no LSH; at CLIP scale a [B, N] matmul per
+        chunk IS the cheap TPU shape, same argument as :meth:`search`).
+        The upper triangle is masked on device so only ``j > i`` pairs
+        return; exact-duplicate cosines land at ~0.996+ through the bf16
+        index, so thresholds >= 0.99 are not meaningful — 0.95-0.98
+        separates near-duplicates in practice.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def chunk_hits(index, start, thr, n_rows):
+            q = jax.lax.dynamic_slice_in_dim(index, start, n_rows)
+            scores = jnp.dot(
+                q, index.T, preferred_element_type=jnp.float32
+            )  # [chunk, N]
+            cols = jnp.arange(scores.shape[1])[None, :]
+            rows = start + jnp.arange(n_rows)[:, None]
+            return jnp.where(cols > rows, scores, -jnp.inf) >= thr, scores
+
+        pairs: List[Tuple[int, int, float]] = []
+        thr = jnp.float32(threshold)
+        for start in range(0, self.n, chunk):
+            n_rows = min(chunk, self.n - start)
+            if n_rows < chunk and self.n > chunk:
+                start = self.n - chunk  # full-size tail window (one program)
+                n_rows = chunk
+            hit, scores = chunk_hits(self._index, start, thr, n_rows)
+            hi, hj = np.nonzero(np.asarray(hit))
+            s = np.asarray(scores)
+            for a, b in zip(hi.tolist(), hj.tolist()):
+                pairs.append((start + a, b, float(s[a, b])))
+        pairs = sorted(set(pairs), key=lambda t: -t[2])
+        return pairs
+
 
 def main(argv: Optional[List[str]] = None) -> List[dict]:
     p = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
@@ -123,6 +166,11 @@ def main(argv: Optional[List[str]] = None) -> List[dict]:
     p.add_argument("--text", help="text query (encodes with the text tower)")
     p.add_argument("--image", help="image-file query")
     p.add_argument("--row", type=int, help="corpus-row query (more-like-this)")
+    p.add_argument("--dedup", type=float, default=None, metavar="THRESHOLD",
+                   help="report near-duplicate pairs with cosine >= THRESHOLD "
+                        "instead of querying (data-curation mode)")
+    p.add_argument("--dedup-out", default=None,
+                   help="write the duplicate pairs to this CSV")
     p.add_argument("--corpus", default="image", choices=["image", "text"],
                    help="which featurized matrix to search: image embeddings "
                         "(default) or the text embeddings written by "
@@ -139,11 +187,48 @@ def main(argv: Optional[List[str]] = None) -> List[dict]:
 
         jax.config.update("jax_platforms", args.platform)
     logging.basicConfig(level=logging.INFO)
-    n_modes = sum(x is not None for x in (args.text, args.image, args.row))
+    n_modes = sum(
+        x is not None for x in (args.text, args.image, args.row, args.dedup)
+    )
     if n_modes != 1:
-        raise SystemExit("pass exactly one of --text / --image / --row")
+        raise SystemExit(
+            "pass exactly one of --text / --image / --row / --dedup"
+        )
 
     index = SearchIndex.load(args.index, text=args.corpus == "text")
+
+    if args.dedup is not None:
+        pairs = index.find_duplicates(args.dedup)
+
+        def path(i):  # manifest rows are (index, path, ...) per featurize.py
+            m = index.manifest[i]
+            return m[1] if len(m) > 1 else m[0]
+
+        results = [
+            {
+                "row_a": i,
+                "path_a": path(i),
+                "row_b": j,
+                "path_b": path(j),
+                "score": round(s, 4),
+            }
+            for i, j, s in pairs
+        ]
+        log.info("dedup: %d pairs >= %.3f over %d rows",
+                 len(results), args.dedup, index.n)
+        for r in results[:20]:
+            log.info("  %.4f  %s == %s", r["score"], r["path_a"], r["path_b"])
+        if args.dedup_out:
+            import csv as _csv
+
+            with open(args.dedup_out, "w", newline="") as f:
+                w = _csv.DictWriter(
+                    f, fieldnames=["row_a", "path_a", "row_b", "path_b", "score"]
+                )
+                w.writeheader()
+                w.writerows(results)
+            log.info("dedup csv: %s", args.dedup_out)
+        return results
 
     if args.row is not None:
         if args.row < 0:

@@ -127,3 +127,59 @@ def test_text_corpus_queryable(tmp_path, tiny_cfg, tiny_params):
         "--preset", "tiny", "--platform", "cpu",
     ])
     assert results[0]["meta"][-1] == caps[3]  # self-retrieval top-1
+
+def test_find_duplicates_exact_pairs(corpus):
+    emb, manifest = corpus
+    emb = emb.copy()
+    emb[20] = emb[3]                   # exact duplicate pair (3, 20)
+    emb[30] = 0.8 * emb[7] + 0.2 * emb[8]  # near-duplicate of 7 (cos ~0.97)
+    emb[30] /= np.linalg.norm(emb[30])
+    idx = SearchIndex(emb, manifest)
+    pairs = idx.find_duplicates(0.95)
+    keys = {(i, j) for i, j, _ in pairs}
+    assert (3, 20) in keys
+    assert (7, 30) in keys
+    # ordering invariants: i < j, descending score, no self pairs
+    for i, j, s in pairs:
+        assert i < j
+        assert s >= 0.95
+    scores = [s for _, _, s in pairs]
+    assert scores == sorted(scores, reverse=True)
+    # a tighter threshold keeps only the exact duplicate
+    top = idx.find_duplicates(0.99)
+    assert {(i, j) for i, j, _ in top} == {(3, 20)}
+
+
+def test_find_duplicates_chunked_matches_single(corpus):
+    emb, manifest = corpus
+    emb = emb.copy()
+    emb[35] = emb[1]
+    idx = SearchIndex(emb, manifest)
+    one = idx.find_duplicates(0.9, chunk=idx.n)
+    many = idx.find_duplicates(0.9, chunk=8)
+    assert {(i, j) for i, j, _ in one} == {(i, j) for i, j, _ in many}
+
+
+def test_cli_dedup(tmp_path, corpus):
+    import csv
+
+    emb, manifest = corpus
+    emb = emb.copy().astype(np.float16)
+    emb[10] = emb[4]
+    np.save(tmp_path / "image_embeddings.npy", emb)
+    with open(tmp_path / "manifest.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(("index", "path", "class"))
+        w.writerows((r[0], f"img_{r[0]}.jpg", "c") for r in manifest)
+
+    out_csv = tmp_path / "dups.csv"
+    res = main(["--index", str(tmp_path), "--dedup", "0.99",
+                "--dedup-out", str(out_csv)])
+    assert any(r["row_a"] == 4 and r["row_b"] == 10 for r in res)
+    assert all(r["path_a"].startswith("img_") for r in res)
+    lines = out_csv.read_text().splitlines()
+    assert lines[0] == "row_a,path_a,row_b,path_b,score"
+    assert len(lines) == 1 + len(res)
+
+    with pytest.raises(SystemExit, match="exactly one"):
+        main(["--index", str(tmp_path), "--dedup", "0.9", "--row", "1"])
