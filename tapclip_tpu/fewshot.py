@@ -1,8 +1,9 @@
 """Unified few-shot adaptation benchmark: every method, one command.
 
-The framework ships seven few-shot adaptation paths over the same frozen
-CLIP towers — zero-shot, linear probe, Tip-Adapter (+F), CLIP-Adapter,
-TAP prompt tuning (the reference's method), and MaPLe.  This driver runs
+The framework ships eight adaptation paths over the same frozen CLIP
+towers — zero-shot, weighted k-NN, linear probe, Tip-Adapter (+F),
+CLIP-Adapter, TAP prompt tuning (the reference's method), MaPLe, and TPT
+(test-time tuning, which uses no training shots at all).  This driver runs
 any subset on ONE dataset/shots split and emits a comparison table:
 
     Method,Shots,Accuracy,TrainSeconds   (fewshot.csv + grouped bar PNG)
@@ -45,6 +46,7 @@ ALL_METHODS = (
     "clip-adapter",
     "prompt",
     "maple",
+    "tpt",
 )
 
 
@@ -98,6 +100,7 @@ def run_fewshot_benchmark(
     lr: float = 2e-3,
     maple_depth: int = 3,
     maple_prompt_len: int = 2,
+    tpt_views: int = 8,
     search_hp: bool = True,
     ensemble: bool = False,
     seed: int = 0,
@@ -153,7 +156,7 @@ def run_fewshot_benchmark(
     )
 
     # One shared frozen-tower pass serves every feature-space method.
-    needs_feats = [m for m in methods if m not in ("maple",)]
+    needs_feats = [m for m in methods if m not in ("maple", "tpt")]
     Xtr = ytr = Xva = yva = None
     if needs_feats:
         Xtr, ytr = _extract_split(cfg, params, split.train, batch_size)
@@ -296,6 +299,28 @@ def run_fewshot_benchmark(
         )
         record("maple", res["best_acc"], time.monotonic() - t0)
 
+    if "tpt" in methods:
+        # Test-time tuning: no training shots consumed — the table row is
+        # the zero-shot-regime baseline the paper reports (template-init
+        # context, per-sample entropy minimization on the eval images).
+        from tapclip_tpu.models.model_wrapper import FullModel
+        from tapclip_tpu.tpt import TPTConfig, evaluate_tpt
+
+        t0 = time.monotonic()
+        model = FullModel(
+            class_names, params, cfg,
+            prompt_cfg=PromptConfig(max_classes=max(8, n_cls)),
+            tokenizer=tokenizer,
+            rng=jax.random.PRNGKey(seed),
+        )
+        res = evaluate_tpt(
+            model, val_samples,
+            tpt=TPTConfig(n_views=tpt_views, steps=1),
+            batch_size=min(batch_size, 16),
+            seed=seed, verbose=False,
+        )
+        record("tpt", res["accuracy"], time.monotonic() - t0)
+
     return results
 
 
@@ -335,6 +360,7 @@ def main(argv: Optional[List[str]] = None) -> List[Dict]:
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--maple-depth", type=int, default=3)
     p.add_argument("--maple-prompt-len", type=int, default=2)
+    p.add_argument("--tpt-views", type=int, default=8)
     p.add_argument("--no-search", action="store_true",
                    help="fixed tip/adapter hyperparameters (no eval-split search)")
     p.add_argument("--ensemble", action="store_true")
@@ -366,6 +392,7 @@ def main(argv: Optional[List[str]] = None) -> List[Dict]:
         lr=args.lr,
         maple_depth=args.maple_depth,
         maple_prompt_len=args.maple_prompt_len,
+        tpt_views=args.tpt_views,
         search_hp=not args.no_search,
         ensemble=args.ensemble,
         seed=args.seed,

@@ -101,6 +101,13 @@ def evaluate_robustness(
             "robustness eval uses cached text features; CoCoOp models "
             "recompute text per sample (run predict per corruption instead)"
         )
+    if pcfg.maple_depth > 0:
+        raise NotImplementedError(
+            "robustness eval runs the plain frozen image tower; MaPLe's "
+            "trainable vision prompts would be silently dropped — evaluate "
+            "maple checkpoints with evaluate_accuracy over a corrupted "
+            "loader instead"
+        )
     bank = model.prompt_learner.bank
 
     text_fn = jax.jit(

@@ -111,3 +111,21 @@ def test_method_subset(color_folder):
         cfg=TINY_TEST, params=params, batch_size=16, verbose=False,
     )
     assert [r["Method"] for r in results] == ["zero-shot", "tip-adapter"]
+
+
+def test_tpt_method(color_folder):
+    """The test-time row runs without any cached-feature pass and scores
+    a plausible accuracy on the separable folder."""
+    import jax
+
+    from tapclip_tpu.fewshot import run_fewshot_benchmark
+    from tapclip_tpu.models.clip import init_clip_params
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    results = run_fewshot_benchmark(
+        color_folder, shots=2, methods=("tpt",),
+        cfg=TINY_TEST, params=params, batch_size=16, tpt_views=3,
+        verbose=False,
+    )
+    assert [r["Method"] for r in results] == ["tpt"]
+    assert 0.0 <= results[0]["Accuracy"] <= 100.0

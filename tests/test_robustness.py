@@ -128,3 +128,17 @@ def test_unknown_corruption_rejected(tmp_path):
 
     with pytest.raises(KeyError, match="unknown corruptions"):
         evaluate_robustness(None, [], corruptions=("nope",))
+
+
+def test_maple_rejected(tiny_cfg, tiny_params, tiny_prompt_cfg):
+    """MaPLe's trainable vision prompts would be silently dropped by the
+    frozen-tower classify program — must refuse."""
+    import dataclasses
+
+    from tapclip_tpu.models.model_wrapper import FullModel
+    from tapclip_tpu.robustness import evaluate_robustness
+
+    pcfg = dataclasses.replace(tiny_prompt_cfg, maple_depth=2)
+    model = FullModel(["A", "B"], tiny_params, tiny_cfg, prompt_cfg=pcfg)
+    with pytest.raises(NotImplementedError, match="maple"):
+        evaluate_robustness(model, [])
