@@ -311,6 +311,10 @@ class TrainConfig:
     seed: int = 0
     attr_lambda: float = 1.0  # accepted-and-unused in reference (model_wrapper.py:24)
     stab_lambda: float = 0.1  # accepted-and-unused in reference (model_wrapper.py:25)
+    # KgCoOp (Yao et al., CVPR 2023): anchor the learned text features to the
+    # frozen zero-shot classifier with lambda * mean_c(1 - cos(w_c, w_c^zs)).
+    # 0.0 (default) keeps the reference's CE-only loss exactly.
+    kg_lambda: float = 0.0
 
 
 @dataclass(frozen=True)

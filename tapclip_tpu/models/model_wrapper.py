@@ -235,7 +235,7 @@ def text_features_with_attribution(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("clip_cfg", "prompt_cfg", "with_loss"),
+    static_argnames=("clip_cfg", "prompt_cfg", "with_loss", "return_text_feats"),
 )
 def full_model_forward(
     clip_params,
@@ -249,6 +249,7 @@ def full_model_forward(
     with_loss: bool = False,
     image_feats: Optional[jnp.ndarray] = None,
     batch_mask: Optional[jnp.ndarray] = None,
+    return_text_feats: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """The fused forward (reference FullModel.forward, model_wrapper.py:28-100).
 
@@ -344,6 +345,14 @@ def full_model_forward(
     logits = jnp.where(bank.class_mask[None, :], logits, NEG_INF)
 
     out = {"logits": logits, "attribution": attribution}
+    if return_text_feats:
+        # [C, E] (or [B, C, E] image-conditioned), L2-normalized — for loss
+        # terms over the class embeddings (e.g. the KgCoOp anchor).
+        out["text_feats"] = (
+            text_feats.reshape(img.shape[0], -1, text_feats.shape[-1])
+            if prompt_cfg.image_conditioned
+            else text_feats
+        )
     if with_loss:
         lse = jax.nn.logsumexp(logits, axis=-1)
         ll = jnp.take_along_axis(logits, labels[:, None], axis=1)[:, 0]

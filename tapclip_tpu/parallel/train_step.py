@@ -74,15 +74,56 @@ def init_train_state(
     )
 
 
-@functools.lru_cache(maxsize=32)
 def make_train_step(
     clip_cfg: CLIPConfig,
     prompt_cfg: PromptConfig,
     optimizer: optax.GradientTransformation,
     trainable_keys: Tuple[str, ...] = ("ctx",),
     use_image_feats: bool = True,
+    kg_lambda: float = 0.0,
+    kg_feats=None,
 ) -> Callable:
-    """Returns jitted ``step(clip_params, state, bank, images_or_feats, labels, mask)``."""
+    """Returns jitted ``step(clip_params, state, bank, images_or_feats, labels, mask)``.
+
+    ``kg_lambda``/``kg_feats``: the KgCoOp anchor (Yao et al. 2023) — adds
+    ``kg_lambda * mean_c(1 - cos(text_feats_c, kg_feats_c))`` over the valid
+    classes, pulling the learned class embeddings toward the frozen
+    zero-shot classifier ``kg_feats [C_max, E]`` (L2-normalized, padded to
+    the bank width).  Off by default: the reference's loss is CE-only.
+    The CE-only form is lru-cached (hashable args); the kg form closes over
+    its KB-sized anchor, so each distinct anchor builds a fresh step.
+    """
+    if kg_lambda > 0.0:
+        if kg_feats is None:
+            raise ValueError(
+                "kg_lambda > 0 requires kg_feats (the zero-shot anchor)"
+            )
+        return _make_train_step_impl(
+            clip_cfg, prompt_cfg, optimizer, trainable_keys, use_image_feats,
+            kg_lambda, jnp.asarray(kg_feats, jnp.float32),
+        )
+    return _make_train_step_cached(
+        clip_cfg, prompt_cfg, optimizer, trainable_keys, use_image_feats
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_train_step_cached(clip_cfg, prompt_cfg, optimizer, trainable_keys,
+                            use_image_feats):
+    return _make_train_step_impl(clip_cfg, prompt_cfg, optimizer,
+                                 trainable_keys, use_image_feats, 0.0, None)
+
+
+def _make_train_step_impl(
+    clip_cfg: CLIPConfig,
+    prompt_cfg: PromptConfig,
+    optimizer: optax.GradientTransformation,
+    trainable_keys: Tuple[str, ...],
+    use_image_feats: bool,
+    kg_lambda: float,
+    kg_feats,
+) -> Callable:
+    use_kg = kg_lambda > 0.0
 
     def loss_fn(diff_params, rest_params, clip_params, bank, x, labels, mask):
         trainable = {**rest_params, **diff_params}
@@ -97,7 +138,15 @@ def make_train_step(
             with_loss=True,
             image_feats=x if use_image_feats else None,
             batch_mask=mask,
+            return_text_feats=use_kg,
         )
+        if use_kg:
+            tf = out["text_feats"].astype(jnp.float32)  # [C,E] or [B,C,E]
+            cos = (tf * kg_feats).sum(-1)  # [..., C]
+            cm = bank.class_mask.astype(jnp.float32)
+            kg = ((1.0 - cos) * cm).sum(-1) / jnp.maximum(cm.sum(), 1.0)
+            out["loss_kg"] = kg.mean()  # mean over B in the conditioned case
+            out["loss"] = out["loss"] + kg_lambda * out["loss_kg"]
         return out["loss"], out
 
     # NOTE: no buffer donation — trainable state is KB-sized and callers
@@ -121,6 +170,8 @@ def make_train_step(
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
         }
+        if "loss_kg" in out:
+            metrics["loss_kg"] = out["loss_kg"]
         return new_state, metrics
 
     return step

@@ -47,6 +47,10 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--patience", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--weight-decay", type=float, default=None)
+    p.add_argument("--kg-lambda", type=float, default=None,
+                   help="KgCoOp: anchor learned text features to the "
+                        "zero-shot classifier with this weight (0 = the "
+                        "reference's CE-only loss)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--num-shots", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -97,7 +101,7 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
     for field, arg in [("epochs", args.epochs), ("patience", args.patience),
                        ("lr", args.lr), ("weight_decay", args.weight_decay),
                        ("batch_size", args.batch_size), ("num_shots", args.num_shots),
-                       ("seed", args.seed)]:
+                       ("seed", args.seed), ("kg_lambda", args.kg_lambda)]:
         if arg is not None:
             train = dataclasses.replace(train, **{field: arg})
     return dataclasses.replace(

@@ -251,8 +251,23 @@ def fit_prompt_model(
         model.trainable = state.params
     else:
         state = init_train_state(model.trainable, optimizer, trainable_keys)
+    kg_feats = None
+    if train_cfg.kg_lambda > 0.0:
+        # KgCoOp anchor: the frozen zero-shot classifier, computed once and
+        # padded to the bank width (padding rows are class-masked out of the
+        # penalty inside the step).
+        from tapclip_tpu.zero_shot import build_zero_shot_classifier
+
+        zs = build_zero_shot_classifier(
+            model.clip_params, model.clip_cfg, list(model.class_names),
+            model.tokenizer,
+        )
+        c_max = model.prompt_learner.bank.class_mask.shape[0]
+        kg_feats = jnp.pad(zs, ((0, c_max - zs.shape[0]), (0, 0)))
     step_fn = make_train_step(model.clip_cfg, model.prompt_cfg, optimizer,
-                              trainable_keys=trainable_keys)
+                              trainable_keys=trainable_keys,
+                              kg_lambda=train_cfg.kg_lambda,
+                              kg_feats=kg_feats)
     bank = model.prompt_learner.bank
     clip_params = model.clip_params
 
