@@ -5,7 +5,8 @@ for chunk in \
   "tests/test_pretrain.py tests/test_fsdp.py tests/test_distill.py" \
   "tests/test_drivers.py tests/test_serve.py tests/test_convert_script.py" \
   "tests/test_clip_model.py tests/test_full_model_oracle.py tests/test_grad_oracle.py tests/test_model_wrapper.py" \
-  "tests/test_kernel_grads.py tests/test_fused_mha.py tests/test_fused_mlp.py tests/test_flash_blocked.py tests/test_attention.py tests/test_int8.py"; do
+  "tests/test_kernel_grads.py tests/test_fused_mha.py tests/test_fused_mlp.py tests/test_flash_blocked.py tests/test_attention.py tests/test_int8.py" \
+  "tests/test_maple.py tests/test_fewshot.py tests/test_tpt.py tests/test_kgcoop.py tests/test_base_to_new.py tests/test_robustness.py tests/test_clip_adapter.py tests/test_tip_adapter.py"; do
   echo "=== chunk: $chunk"
   timeout 720 python -m pytest $chunk -q 2>&1 | tail -1
 done
@@ -20,5 +21,8 @@ timeout 720 python -m pytest tests/ -q \
   --ignore=tests/test_model_wrapper.py \
   --ignore=tests/test_kernel_grads.py --ignore=tests/test_fused_mha.py --ignore=tests/test_fused_mlp.py \
   --ignore=tests/test_flash_blocked.py --ignore=tests/test_attention.py --ignore=tests/test_int8.py \
+  --ignore=tests/test_maple.py --ignore=tests/test_fewshot.py --ignore=tests/test_tpt.py \
+  --ignore=tests/test_kgcoop.py --ignore=tests/test_base_to_new.py --ignore=tests/test_robustness.py \
+  --ignore=tests/test_clip_adapter.py --ignore=tests/test_tip_adapter.py \
   2>&1 | tail -1
 echo "FULL_SUITE_DONE"
