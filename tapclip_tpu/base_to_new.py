@@ -101,6 +101,14 @@ def run_base_to_new(
         base, params, cfg, prompt_cfg=pcfg, tokenizer=tokenizer,
         rng=jax.random.PRNGKey(seed),
     )
+    # Train the class-agnostic leaves too: ctx is per-class and never
+    # transfers, so New-class accuracy can only respond to training (and to
+    # --kg-lambda) through the shared adjustor / logit scale / meta-net.
+    # The reference's default optimized set is ctx-only — the wider set here
+    # is what makes the base-to-new protocol measure generalization at all.
+    train_keys = ["ctx", "adjustor", "logit_scale"]
+    if pcfg.image_conditioned:
+        train_keys.append("meta_net")
     fit = fit_prompt_model(
         model,
         Loader(split_b.train, batch_size, shuffle=True, seed=seed, **mk),
@@ -108,9 +116,17 @@ def run_base_to_new(
         TrainConfig(lr=lr, epochs=epochs, batch_size=min(batch_size, 64),
                     seed=seed, kg_lambda=kg_lambda),
         verbose=False,
+        trainable_keys=tuple(train_keys),
     )
     model.trainable = fit.best_trainable
-    base_acc = fit.best_acc
+    # Re-evaluate the selected state rather than reporting fit.best_acc:
+    # best_acc is the model-selection maximum on this split and would
+    # optimistically bias Base (and H) vs the literature's evaluate-the-
+    # selected-checkpoint protocol.
+    base_acc = evaluate_accuracy(
+        model, Loader(split_b.val, batch_size, shuffle=False, **mk),
+        verbose=False,
+    )
 
     # New half: fresh template contexts, trained class-agnostic leaves.
     split_n = few_shot_split(index, new, 0, seed=seed)
@@ -142,13 +158,17 @@ def run_base_to_new(
 
 
 def save_artifacts(rows: List[Dict], out_dir: str) -> str:
-    """Append-style ``base_to_new.csv`` (one row per run/config)."""
+    """Append-style ``base_to_new.csv`` (one row per run/config).
+
+    Successive runs pointing ``--out`` at the same directory accumulate
+    rows (header written once), matching the fewshot.csv convention.
+    """
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
     csv_path = os.path.join(out_dir, "base_to_new.csv")
     pd.DataFrame(rows, columns=["Base", "New", "H", "Shots", "KgLambda"]).to_csv(
-        csv_path, index=False
+        csv_path, index=False, mode="a", header=not os.path.exists(csv_path)
     )
     return csv_path
 

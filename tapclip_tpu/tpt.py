@@ -87,10 +87,17 @@ def make_tpt_predict_fn(clip_cfg, prompt_cfg, tpt: TPTConfig = TPTConfig()):
     (logits [B, C], aux)`` where ``images`` is a preprocessed float batch
     (augmentation commutes with CLIP normalization — ``data/augment.py``),
     ``logits`` scores the CLEAN view under the per-sample tuned context, and
-    ``aux = {"entropy_before", "entropy_after"}`` are mask-weighted batch
-    means of the selected-marginal entropy at the initial / final context
-    (samples never interact, so padding rows cannot perturb real rows — the
-    mask only keeps them out of the telemetry).
+    ``aux = {"entropy_before", "entropy_after", "baseline_logits"}`` carries
+    mask-weighted batch means of the selected-marginal entropy at the
+    initial / final context plus the clean-view logits at the INITIAL
+    context (samples never interact, so padding rows cannot perturb real
+    rows — the mask only keeps them out of the telemetry).
+
+    ``baseline_logits`` rides along from the first tuning step's forward
+    (``value_and_grad`` aux) at zero extra cost, so callers that want the
+    untuned baseline (``evaluate_tpt``) need no second jitted program — a
+    ``steps=0`` twin would double compile time (remote compiles can exceed
+    10 min here) and re-run the frozen image tower over all ``B*V`` views.
     """
     import jax
     import jax.numpy as jnp
@@ -171,19 +178,24 @@ def make_tpt_predict_fn(clip_cfg, prompt_cfg, tpt: TPTConfig = TPTConfig()):
             return jnp.where(cmask[None, None, :], logits, NEG_INF)
 
         def loss_fn(ctx_b):
-            logp = jax.nn.log_softmax(view_logits(ctx_b), axis=-1)
+            logits = view_logits(ctx_b)
+            logp = jax.nn.log_softmax(logits, axis=-1)
             ent_b = _selected_marginal_entropy(logp, K)  # [B]
-            return ent_b.sum(), ent_b
+            return ent_b.sum(), (ent_b, logits[:, 0])
 
         ctx = jnp.broadcast_to(
             trainable["ctx"].astype(jnp.float32)[None], (B, C_, P, D)
         )
         ent_before = None
+        base_logits = None
         opt_state = opt.init(ctx)
         for _ in range(steps):
-            (_, ent_b), g = jax.value_and_grad(loss_fn, has_aux=True)(ctx)
+            (_, (ent_b, clean0)), g = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(ctx)
             if ent_before is None:
                 ent_before = (ent_b * bm).sum() / bm_sum
+                base_logits = clean0  # initial-context clean-view logits
             updates, opt_state = opt.update(g, opt_state, ctx)
             ctx = optax.apply_updates(ctx, updates)
 
@@ -192,11 +204,13 @@ def make_tpt_predict_fn(clip_cfg, prompt_cfg, tpt: TPTConfig = TPTConfig()):
         ent_after = (
             _selected_marginal_entropy(logp, K) * bm
         ).sum() / bm_sum
-        if ent_before is None:  # steps == 0: report the (only) entropy twice
+        if ent_before is None:  # steps == 0: tuned == untuned
             ent_before = ent_after
+            base_logits = logits[:, 0]
         return logits[:, 0], {
             "entropy_before": ent_before,
             "entropy_after": ent_after,
+            "baseline_logits": base_logits,
         }
 
     return predict
@@ -216,8 +230,9 @@ def evaluate_tpt(
     ``model`` is a ``FullModel`` (template-initialized context reproduces the
     paper's zero-shot setting; a trained prompt checkpoint gives TPT-on-top).
     Returns ``{"accuracy", "baseline_accuracy", "entropy_before",
-    "entropy_after"}`` — baseline is steps=0 (same views, untuned context),
-    measured from the same batches.
+    "entropy_after"}`` — baseline is the untuned (initial-context)
+    clean-view prediction, read from the main program's ``baseline_logits``
+    aux so no second compile or image-tower pass is paid for it.
     """
     import jax
     import jax.numpy as jnp
@@ -226,9 +241,6 @@ def evaluate_tpt(
 
     cfg = model.clip_cfg
     predict = make_tpt_predict_fn(cfg, model.prompt_cfg, tpt)
-    base_predict = make_tpt_predict_fn(
-        cfg, model.prompt_cfg, dataclasses.replace(tpt, steps=0)
-    )
     loader = Loader(samples, batch_size, shuffle=False, image_size=cfg.image_size)
     bank = model.prompt_learner.bank
 
@@ -242,11 +254,8 @@ def evaluate_tpt(
         logits, aux = predict(
             model.clip_params, model.trainable, bank, images, rng, jmask
         )
-        base_logits, _ = base_predict(
-            model.clip_params, model.trainable, bank, images, rng, jmask
-        )
         pred = np.asarray(logits).argmax(-1)
-        base_pred = np.asarray(base_logits).argmax(-1)
+        base_pred = np.asarray(aux["baseline_logits"]).argmax(-1)
         labels, mask = np.asarray(labels), np.asarray(mask)
         correct += int(((pred == labels) & mask).sum())
         base_correct += int(((base_pred == labels) & mask).sum())

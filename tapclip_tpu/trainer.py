@@ -206,12 +206,19 @@ def fit_prompt_model(
     resume_state=None,
     checkpoint_cb: Optional[Callable] = None,
     checkpoint_every: int = 0,
+    trainable_keys: Optional[Tuple[str, ...]] = None,
 ) -> FitResult:
     """Reference train loop (train.py:90-128) over cached features.
 
     ``resume_state``: a restored ``{"trainable": ..., "opt_state": ...,
     "step": int}`` dict for exact mid-training resume (the reference never
     saves optimizer state, SURVEY.md §5 — we do).
+
+    ``trainable_keys``: which leaves of ``model.trainable`` the optimizer
+    sees.  Default ``None`` mirrors the reference exactly — prompt context
+    only (train.py:65-67), plus the meta-net when image-conditioned.
+    Protocols that transfer class-agnostic machinery (base-to-new) pass
+    e.g. ``("ctx", "adjustor", "logit_scale")``.
     """
     epochs = epochs if epochs is not None else train_cfg.epochs
     if model.prompt_cfg.maple_depth > 0:
@@ -220,6 +227,21 @@ def fit_prompt_model(
             "vision prompts make features trainable-dependent — use "
             "tapclip_tpu.maple.fit_maple"
         )
+    # The optimized set mirrors the reference (prompt context only,
+    # train.py:65-67); the CoCoOp-style meta-net joins it when enabled —
+    # image conditioning is inert unless the meta-net trains.  Validated
+    # before the (expensive) feature-caching pass so misuse fails fast.
+    if trainable_keys is None:
+        trainable_keys = ("ctx", "meta_net") if model.prompt_cfg.image_conditioned \
+            else ("ctx",)
+    else:
+        trainable_keys = tuple(trainable_keys)
+        missing = [k for k in trainable_keys if k not in model.trainable]
+        if missing:
+            raise ValueError(
+                f"trainable_keys {missing} not in model.trainable "
+                f"(have {sorted(model.trainable)})"
+            )
     encoder = make_image_encoder(model.clip_cfg)
     # Loaders and pre-cached feature sets are both accepted.
     train_cache = (
@@ -234,11 +256,6 @@ def fit_prompt_model(
     )
 
     optimizer = make_optimizer(train_cfg)
-    # The optimized set mirrors the reference (prompt context only,
-    # train.py:65-67); the CoCoOp-style meta-net joins it when enabled —
-    # image conditioning is inert unless the meta-net trains.
-    trainable_keys = ("ctx", "meta_net") if model.prompt_cfg.image_conditioned \
-        else ("ctx",)
     if resume_state is not None:
         from tapclip_tpu.parallel.train_step import TrainState
 
@@ -253,17 +270,32 @@ def fit_prompt_model(
         state = init_train_state(model.trainable, optimizer, trainable_keys)
     kg_feats = None
     if train_cfg.kg_lambda > 0.0:
-        # KgCoOp anchor: the frozen zero-shot classifier, computed once and
-        # padded to the bank width (padding rows are class-masked out of the
-        # penalty inside the step).
-        from tapclip_tpu.zero_shot import build_zero_shot_classifier
-
-        zs = build_zero_shot_classifier(
-            model.clip_params, model.clip_cfg, list(model.class_names),
-            model.tokenizer,
+        # KgCoOp anchor (Yao et al. 2023): the frozen zero-shot class
+        # embeddings, built through the SAME pipeline the tuned features use
+        # (template-initialized context -> attribution -> adjust -> encode
+        # under prompt_cfg.text_mode).  Using build_zero_shot_classifier here
+        # would put the anchor in a different embedding geometry whenever
+        # text_mode='ref_compat' (no pos emb / ln_final, T-1 pooling), so the
+        # penalty would pull toward a cross-mode target and be large even at
+        # init.  With the same-pipeline anchor, loss_kg == 0 exactly at the
+        # template init, matching the paper's construction.
+        from tapclip_tpu.models.model_wrapper import (
+            text_features_with_attribution,
         )
-        c_max = model.prompt_learner.bank.class_mask.shape[0]
-        kg_feats = jnp.pad(zs, ((0, c_max - zs.shape[0]), (0, 0)))
+
+        anchor_fn = jax.jit(
+            lambda ctx, adj: text_features_with_attribution(
+                model.clip_params, ctx, model.prompt_learner.bank,
+                model.clip_cfg, model.prompt_cfg, adj,
+            )[0]
+        )
+        # bank.ctx is the frozen template initialization; the adjustor is
+        # untrained under trainable_keys (and the anchor must not track it
+        # anyway), so init-state params give the model's own zero-shot
+        # features.  Already padded to the bank width [C_max, E]; padding
+        # rows are class-masked out of the penalty inside the step.
+        kg_feats = anchor_fn(model.prompt_learner.bank.ctx,
+                             model.trainable["adjustor"])
     step_fn = make_train_step(model.clip_cfg, model.prompt_cfg, optimizer,
                               trainable_keys=trainable_keys,
                               kg_lambda=train_cfg.kg_lambda,

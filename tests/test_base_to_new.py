@@ -70,6 +70,65 @@ def test_kg_lambda_plumbs_through(four_class_folder):
     assert np.isfinite(out["H"])
 
 
+def test_training_moves_transfer_keys(four_class_folder):
+    """The protocol must actually train the class-agnostic leaves it
+    transfers: with ctx-only training (the old behavior) the adjustor and
+    logit scale never move, New is training-invariant, and the driver
+    cannot measure generalization (round-3 advisor finding)."""
+    import jax
+
+    from tapclip_tpu.base_to_new import TRANSFER_KEYS, run_base_to_new
+    from tapclip_tpu.config import PromptConfig
+    from tapclip_tpu.data.imagefolder import ImageFolderIndex, few_shot_split, Loader
+    from tapclip_tpu.models.clip import init_clip_params
+    from tapclip_tpu.models.model_wrapper import FullModel
+    from tapclip_tpu.trainer import fit_prompt_model
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    index = ImageFolderIndex.scan(four_class_folder)
+    base = list(index.classes)[:2]
+    split = few_shot_split(index, base, 4, seed=0)
+    pcfg = PromptConfig(max_classes=8)
+    model = FullModel(base, params, TINY_TEST, prompt_cfg=pcfg,
+                      rng=jax.random.PRNGKey(0))
+    init_leaves = {k: jax.tree.map(np.asarray, model.trainable[k])
+                   for k in TRANSFER_KEYS if k in model.trainable}
+    mk = dict(image_size=TINY_TEST.image_size)
+    fit = fit_prompt_model(
+        model,
+        Loader(split.train, 8, shuffle=True, seed=0, **mk),
+        Loader(split.val, 8, shuffle=False, **mk),
+        __import__("tapclip_tpu.config", fromlist=["TrainConfig"]).TrainConfig(
+            lr=5e-2, epochs=3, batch_size=8, seed=0),
+        verbose=False,
+        trainable_keys=("ctx", "adjustor", "logit_scale"),
+    )
+    moved = False
+    for k, before in init_leaves.items():
+        after = jax.tree.map(np.asarray, fit.best_trainable[k])
+        pairs = zip(jax.tree.leaves(before), jax.tree.leaves(after))
+        if any(not np.array_equal(b, a) for b, a in pairs):
+            moved = True
+    assert moved, "adjustor/logit_scale did not train — New would be inert"
+
+
+def test_fit_rejects_unknown_trainable_key(four_class_folder):
+    import jax
+    import pytest as _pytest
+
+    from tapclip_tpu.models.clip import init_clip_params
+    from tapclip_tpu.models.model_wrapper import FullModel
+    from tapclip_tpu.trainer import fit_prompt_model
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_TEST)
+    model = FullModel(["Blue", "Red"], params, TINY_TEST)
+    with _pytest.raises(ValueError, match="trainable_keys"):
+        fit_prompt_model(model, None, None,
+                         __import__("tapclip_tpu.config",
+                                    fromlist=["TrainConfig"]).TrainConfig(),
+                         trainable_keys=("ctx", "frobnicate"))
+
+
 def test_class_split_seed_changes_halves(four_class_folder):
     """A seeded shuffle must be able to produce a different base set than
     the alphabetical split (checked via the split log, cheaply: just run

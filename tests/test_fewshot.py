@@ -79,8 +79,11 @@ def test_all_methods_end_to_end(color_folder, tmp_path):
     by_method = {r["Method"]: r for r in results}
     assert set(by_method) == {
         "zero-shot", "knn", "linear-probe", "tip-adapter", "tip-adapter-f",
-        "clip-adapter", "prompt", "maple",
+        "clip-adapter", "prompt", "maple", "tpt",
     }
+    # tpt is test-time-only (anchored at zero-shot quality) so it is NOT in
+    # the signal-carrying >=90% group below — random tiny towers give it no
+    # trained signal to amplify; its range/schema assertions still apply.
     for r in results:
         assert r["Shots"] == "5-shot"
         assert 0.0 <= r["Accuracy"] <= 100.0

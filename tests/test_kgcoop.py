@@ -123,6 +123,38 @@ def test_fit_prompt_model_integration(model, tiny_cfg, rng):
     assert np.isfinite(fit.best_acc)
 
 
+def test_trainer_anchor_is_same_geometry(model, tiny_cfg, rng):
+    """The trainer's anchor must live in the SAME embedding geometry as the
+    tuned features (round-3 advisor finding: a build_zero_shot_classifier
+    anchor uses the standard encoder while training uses text_mode=
+    'ref_compat', making loss_kg O(1) at template init).  With the
+    same-pipeline anchor, loss_kg == 0 at init, so a huge kg_lambda barely
+    changes the first-epoch loss."""
+    import copy
+
+    from tapclip_tpu.trainer import CachedSet, fit_prompt_model
+
+    X = rng.standard_normal((24, tiny_cfg.embed_dim)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=-1, keepdims=True)
+    y = np.asarray(rng.integers(0, len(CLASSES), 24), np.int32)
+    cached = CachedSet(X, y)
+
+    def first_epoch_loss(kg_lambda):
+        m = copy.deepcopy(model)
+        fit = fit_prompt_model(
+            m, cached, cached,
+            TrainConfig(lr=1e-5, epochs=1, batch_size=8, seed=0,
+                        kg_lambda=kg_lambda),
+            verbose=False,
+        )
+        return fit.loss_history[0]
+
+    l0 = first_epoch_loss(0.0)
+    l_kg = first_epoch_loss(200.0)
+    # cross-geometry anchor would add ~200 * (1 - cos) = O(100) here
+    assert abs(l_kg - l0) < 0.5, (l0, l_kg)
+
+
 def test_image_conditioned_composition(tiny_cfg, tiny_params, tiny_prompt_cfg,
                                        batch, rng):
     """The penalty also applies on the CoCoOp [B, C, E] text-feature path."""
