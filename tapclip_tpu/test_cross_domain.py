@@ -36,7 +36,44 @@ def add_cross_domain_args(p):
     p.add_argument("--shots", nargs="+", type=int, default=None)
     p.add_argument("--seen-classes", nargs="+", default=None)
     p.add_argument("--unseen-classes", nargs="+", default=["Clipboards"])
+    p.add_argument("--ref-artifacts", action="store_true",
+                   help="write artifacts under 'visible results/' with the "
+                        "reference's exact filename pattern (quirks included)")
+    p.add_argument("--artifact-root", default=".",
+                   help="base dir for --ref-artifacts (reference uses cwd)")
     return p
+
+
+def ref_artifact_names(results, checkpoint: Optional[str], epochs_fallback: int,
+                       expand: bool):
+    """The reference's artifact filenames, quirks and all.
+
+    ``/root/reference/test_cross_domain.py:89,115`` writes
+    ``visible results/cross_domain_results_{epochs}_{acc}_{expand}.csv`` and
+    ``.../cross_domain_accuracy_bar_{epochs}_{acc}_{expand}.png`` where:
+
+    * ``epochs``/``acc`` start as constants describing the loaded checkpoint
+      (``best_model_epoch{epochs}_acc{acc}.pt``, :21-22), but ``acc`` is then
+      SHADOWED by the eval loop (:84) — the saved filename carries the LAST
+      grid cell's accuracy, not the checkpoint's.  Reproduced faithfully.
+    * ``expand`` is the unseen-class-append flag (True in the reference).
+
+    ``epochs`` is parsed from the checkpoint basename when it matches the
+    reference's pattern; otherwise ``epochs_fallback`` (config epochs).
+    """
+    import re
+
+    epochs = epochs_fallback
+    if checkpoint:
+        m = re.search(r"best_model_epoch(\d+)_acc", os.path.basename(checkpoint))
+        if m:
+            epochs = int(m.group(1))
+    last_acc = results[-1]["Accuracy"] if results else 0.0
+    suffix = f"{epochs}_{last_acc}_{expand}"
+    return (
+        f"cross_domain_results_{suffix}.csv",
+        f"cross_domain_accuracy_bar_{suffix}.png",
+    )
 
 
 def evaluate_grid(
@@ -141,13 +178,25 @@ def main(argv: Optional[List[str]] = None) -> dict:
         batch_size=cfg.train.batch_size, seed=cfg.train.seed,
     )
 
-    csv_path = save_results_csv(
-        results, os.path.join(paths["csv_dir"], "cross_domain_results.csv")
-    )
+    if args.ref_artifacts:
+        # Reference-exact output tree: 'visible results/' under cwd (or
+        # --artifact-root) with the {epochs}_{acc}_{expand} suffix
+        # (test_cross_domain.py:89,115 — see ref_artifact_names for quirks).
+        csv_name, png_name = ref_artifact_names(
+            results, args.checkpoint, cfg.train.epochs, expand=bool(unseen)
+        )
+        vis_dir = os.path.join(args.artifact_root, "visible results")
+        csv_path = save_results_csv(results, os.path.join(vis_dir, csv_name))
+        plot_dest = os.path.join(vis_dir, png_name)
+    else:
+        csv_path = save_results_csv(
+            results, os.path.join(paths["csv_dir"], "cross_domain_results.csv")
+        )
+        plot_dest = os.path.join(paths["plot_dir"], "cross_domain_accuracy_bar.png")
     log.info("✅ Results saved to %s", csv_path)
     plot_path = save_cross_domain_bar(
         results,
-        os.path.join(paths["plot_dir"], "cross_domain_accuracy_bar.png"),
+        plot_dest,
         # Reference pins the y-axis to 80-100 for this chart specifically
         # (test_cross_domain.py:110; the fine-tune driver uses 0-100).
         ylim=(80, 100),

@@ -86,6 +86,52 @@ def test_cross_domain_driver(tmp_path, domain_tree):
     assert os.path.exists(out["plot"])
 
 
+def test_cross_domain_ref_artifact_names(tmp_path, domain_tree):
+    """--ref-artifacts reproduces the reference's exact output tree:
+    'visible results/cross_domain_results_{epochs}_{acc}_{expand}.csv' and
+    '..._accuracy_bar_{...}.png', where acc is the LAST grid cell's accuracy
+    (the reference's shadowed loop variable, test_cross_domain.py:84,89,115)
+    and epochs comes from the checkpoint basename when parseable."""
+    out = test_cross_domain.main(
+        [
+            "--preset", "tiny",
+            "--domain-root", domain_tree,
+            "--domains", "Real World",
+            "--shots", "0",
+            "--seen-classes", *CLASSES,
+            "--unseen-classes", "Clipboards",
+            "--batch-size", "8",
+            "--output-root", str(tmp_path),
+            "--ref-artifacts", "--artifact-root", str(tmp_path),
+        ]
+    )
+    last_acc = out["results"][-1]["Accuracy"]
+    vis = tmp_path / "visible results"
+    # no checkpoint given -> epochs falls back to the tiny preset's config
+    from tapclip_tpu.config import preset
+
+    epochs = preset("tiny").train.epochs
+    assert out["csv"] == str(vis / f"cross_domain_results_{epochs}_{last_acc}_True.csv")
+    assert out["plot"] == str(
+        vis / f"cross_domain_accuracy_bar_{epochs}_{last_acc}_True.png"
+    )
+    assert os.path.exists(out["csv"]) and os.path.exists(out["plot"])
+
+
+def test_ref_artifact_names_checkpoint_parse():
+    from tapclip_tpu.test_cross_domain import ref_artifact_names
+
+    rows = [{"Domain": "Art", "Shots": "Zero-Shot", "Accuracy": 93.75}]
+    csv, png = ref_artifact_names(
+        rows, "Best Models/best_model_epoch27_acc99.71.pt", 5, expand=True
+    )
+    # epochs from the checkpoint name; acc is the last cell's (shadowing quirk)
+    assert csv == "cross_domain_results_27_93.75_True.csv"
+    assert png == "cross_domain_accuracy_bar_27_93.75_True.png"
+    csv2, _ = ref_artifact_names(rows, None, 5, expand=False)
+    assert csv2 == "cross_domain_results_5_93.75_False.csv"
+
+
 def test_cross_domain2_driver_with_checkpoint(tmp_path, domain_tree):
     # 1. Train briefly, save checkpoint.
     trained = train.main(
