@@ -25,6 +25,15 @@ all-reduce-equivalent DP already pays; memory drops by ``~3x/dp`` for
 the (param, mu, nu) triple.  See ``jax-ml.github.io/scaling-book``'s
 FSDP recipe — this is that, with the tensor-parallel dim kept for the
 ``model`` axis.
+
+FSDP composes with pipeline parallelism: the pipe axis owns the leading
+layer dim, FSDP's data dim lands on a trailing non-TP GEMM dim, so a
+block weight can shard all three ways at once (``w_qkv [L, W, 3W] ->
+P("pipe", "data", "model")``).  Memory multiplies (1/pp of the layers x
+1/dp of each layer's triple); the cost is that GSPMD's just-in-time
+weight all-gather happens inside the GPipe tick loop, i.e. once per
+tick rather than once per step — the standard ZeRO+GPipe trade.  Pinned
+in tests/test_fsdp.py::test_fsdp_composes_with_pipeline.
 """
 
 from __future__ import annotations
@@ -110,11 +119,6 @@ def clip_param_specs(params: Dict[str, Any], mesh: Mesh,
     """PartitionSpec pytree for the CLIP param tree."""
     tp = mesh.shape.get(MODEL_AXIS, 1) > 1
     pp = mesh.shape.get(PIPE_AXIS, 1) > 1
-    if fsdp and pp:
-        raise NotImplementedError(
-            "fsdp + pipeline parallelism: both spread the param/optimizer "
-            "memory; pick one (the pipe axis already shards the layer dim)"
-        )
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: _guard_rank(
             _spec_for_path(_path_str(path), tp, pp, fsdp), leaf

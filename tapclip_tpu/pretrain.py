@@ -223,7 +223,10 @@ def make_pretrain_step(
       all-gathers weights just-in-time and reduce-scatters their grads.
       The step re-pins the updated params to the FSDP layout so they never
       drift back to replicated across iterations.  Numerically identical
-      to plain DP (pinned in tests/test_fsdp.py).
+      to plain DP (pinned in tests/test_fsdp.py).  Composes with tp AND
+      with pp (block weights shard ``P("pipe", "data", "model")``); under
+      pp the just-in-time weight gather runs once per GPipe tick instead
+      of once per step — pay that only when the 1/(dp*pp) memory is needed.
 
     Stochastic training knobs (both run INSIDE the jitted step and make it
     take a trailing per-step ``rng`` argument):
@@ -243,11 +246,6 @@ def make_pretrain_step(
     if fsdp:
         if mesh is None or mesh.shape.get(DATA_AXIS, 1) <= 1:
             raise ValueError("fsdp needs a mesh with a 'data' axis > 1")
-        if pp > 1:
-            raise NotImplementedError(
-                "fsdp + pipeline parallelism: both spread param/optimizer "
-                "memory; pick one"
-            )
     transformer_fn = None
     if pp > 1:
         from tapclip_tpu.parallel.pipeline import (

@@ -11,7 +11,8 @@ reduce-scatters.  These tests pin:
 * memory — the param and moment leaves really are 1/dp per rank
   (addressable-shard shapes), and a step does not silently re-replicate
   them;
-* composition — fsdp x tp works; fsdp + pp is a loud error.
+* composition — fsdp x tp works, and fsdp x pp x tp shards block weights
+  three ways at once while matching plain-DP losses.
 """
 
 import jax
@@ -142,12 +143,29 @@ def test_fsdp_composes_with_tp(tiny_cfg, rng):
     assert w_qkv.addressable_shards[0].data.shape[1:] == (W // 4, 3 * W // 2)
 
 
-def test_fsdp_rejects_pipeline(tiny_cfg):
+def test_fsdp_composes_with_pipeline(tiny_cfg, rng):
+    """dp x pp x fsdp: ZeRO sharding under the GPipe schedule.
+
+    Block weights shard three ways at once under dp x pp x tp
+    (``w_qkv [L, W, 3W] -> P("pipe", "data", "model")``); the loss
+    trajectory must match plain DP (the pipeline is numerics-preserving —
+    test_pipeline.py — and FSDP is layout-only).  The cost model (weight
+    all-gather per GPipe tick) is documented in parallel/sharding.py.
+    """
+    images, ids = _batch(tiny_cfg, rng)
+    mesh_ref = make_mesh(dp=8, tp=1)
+    _, _, losses_ref = _run(tiny_cfg, mesh_ref, False, images, ids)
+
     mesh = make_mesh(dp=2, pp=2, tp=2)
-    with pytest.raises(NotImplementedError, match="fsdp \\+ pipeline"):
-        make_pretrain_step(
-            tiny_cfg, optax.adam(1e-3), mesh=mesh, fsdp=True
-        )
-    params = C.init_clip_params(jax.random.PRNGKey(0), tiny_cfg)
-    with pytest.raises(NotImplementedError, match="fsdp \\+ pipeline"):
-        shard_params(params, mesh, fsdp=True)
+    params_d, opt_state, losses = _run(tiny_cfg, mesh, True, images, ids)
+    np.testing.assert_allclose(losses_ref, losses, rtol=1e-5)
+
+    W = tiny_cfg.vision_width
+    L = tiny_cfg.vision_layers
+    w_qkv = _leaf_by_suffix(params_d["visual"], "attn/w_qkv")
+    # [L, W, 3W]: layers over pipe (L/2), dim-1 over data (W/2),
+    # dim-2 over model (3W/2) — and the step must not re-replicate any axis.
+    assert w_qkv.addressable_shards[0].data.shape == (L // 2, W // 2, 3 * W // 2)
+    # ZeRO: moments mirror the three-way layout.
+    mu_qkv = _leaf_by_suffix(opt_state, "visual/blocks/attn/w_qkv")
+    assert mu_qkv.addressable_shards[0].data.shape == (L // 2, W // 2, 3 * W // 2)
