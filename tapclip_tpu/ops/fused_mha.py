@@ -398,6 +398,7 @@ def _attn_block_kernel(
     valid: int,
     eps: float,
     causal: bool = False,
+    pair_packed: bool = False,
 ):
     """Per head-group the q/k/v projections are computed as column slices of
     the qkv GEMM inside the group loop (instead of one monolithic GEMM into a
@@ -444,6 +445,51 @@ def _attn_block_kernel(
         )
         return o / l
 
+    def pair_packed_group(qg, kg, vg):
+        """Both heads of a Dh=64 group as ONE full-geometry contraction pair.
+
+        Per-head score/output GEMMs waste half the 128-deep MXU (K=Dh=64)
+        and round the [Tp] lane axis up per head (Tp=264 -> 384 at ViT-L).
+        Packing the pair block-diagonally — Kbd/Vbd [2Tp, 128] with head 0
+        in rows [0,Tp) lanes [0,Dh) and head 1 in rows [Tp,2Tp) lanes
+        [Dh,128) — makes both GEMMs full 128-deep/128-wide while the added
+        operand entries are EXACT zeros: each partial sum is unchanged, so
+        the result differs from the per-head path only by reduction-tree
+        pairing (bit-identical on the MXU's sequential K accumulation,
+        ulp-level elsewhere).  Tile arithmetic: useful/padded
+        MACs rise from (64/128)·(264/384)=34% to (2·264·64)/(640·128)=41%
+        at ViT-L geometry (the win is the 2Tp=528->640 lane round-up
+        amortization; at ViT-B's Tp=200, 400->512 = 2·256 is a wash).
+        Non-causal only (the causal mask is not block-diagonal-segment
+        uniform)."""
+        T2 = 2 * Tp
+        rr = jax.lax.broadcasted_iota(jnp.int32, (T2, 2 * Dh), 0)
+        ll = jax.lax.broadcasted_iota(jnp.int32, (T2, 2 * Dh), 1)
+        bd = ((rr < Tp) == (ll < Dh))[None]  # block-diagonal selector
+        kbd = jnp.where(bd, jnp.concatenate([kg, kg], axis=1), 0.0)
+        s = jax.lax.dot_general(  # [bB, Tp, 2Tp] — both heads' scores
+            qg, kbd, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (Tp, T2), 1)
+        seg1 = (col >= Tp)[None]
+        keypos = col - jnp.where(col >= Tp, Tp, 0)
+        s = jnp.where((keypos < valid)[None], s * (scale * _LOG2E), neg)
+        m0 = jnp.max(jnp.where(seg1, neg, s), axis=-1, keepdims=True)
+        m1 = jnp.max(jnp.where(seg1, s, neg), axis=-1, keepdims=True)
+        p = jnp.exp2(s - jnp.where(seg1, m1, m0))  # segment-wise softmax
+        l0 = jnp.sum(jnp.where(seg1, 0.0, p), axis=-1, keepdims=True)
+        l1 = jnp.sum(jnp.where(seg1, p, 0.0), axis=-1, keepdims=True)
+        vbd = jnp.where(
+            bd, jnp.concatenate([vg, vg], axis=1), jnp.zeros((), vg.dtype)
+        )
+        o = jax.lax.dot_general(  # [bB, Tp, 128] = [o_h0 | o_h1]
+            p.astype(vg.dtype), vbd, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        lane_o = jax.lax.broadcasted_iota(jnp.int32, (Tp, 2 * Dh), 1)
+        return o / jnp.where((lane_o < Dh)[None], l0, l1)
+
     def proj_group(col_off):
         g = jax.lax.dot_general(
             y2,
@@ -458,14 +504,17 @@ def _attn_block_kernel(
         qg = proj_group(off)
         kg = proj_group(W + off)
         vg = proj_group(2 * W + off).astype(x.dtype)
-        outs = [
-            one_head_batched(
-                qg[:, :, i * Dh : (i + 1) * Dh],
-                kg[:, :, i * Dh : (i + 1) * Dh],
-                vg[:, :, i * Dh : (i + 1) * Dh],
-            )
-            for i in range(heads_per_group)
-        ]
+        if pair_packed:
+            outs = [pair_packed_group(qg, kg, vg)]
+        else:
+            outs = [
+                one_head_batched(
+                    qg[:, :, i * Dh : (i + 1) * Dh],
+                    kg[:, :, i * Dh : (i + 1) * Dh],
+                    vg[:, :, i * Dh : (i + 1) * Dh],
+                )
+                for i in range(heads_per_group)
+            ]
         attn_s[:, :, pl.ds(off, group_w)] = jnp.concatenate(outs, axis=-1).astype(
             attn_s.dtype
         )
@@ -506,6 +555,7 @@ def _attn_block_bwd_kernel(
     valid: int,
     eps: float,
     causal: bool = False,
+    stage_batched: bool = False,
 ):
     """Dedicated attention half-block backward (the MLP backward's design
     applied to attention): recompute LN + per-head-group qkv + probabilities
@@ -596,21 +646,97 @@ def _attn_block_bwd_kernel(
         )
         return o, dq, dk, dv
 
+    def stage_batched_heads(qg, kg, vg, gg):
+        # Stage-batched schedule: run each stage of the softmax-gradient
+        # chain for ALL heads in the group before advancing.  Per head the
+        # chain is strictly serial (s->softmax->o/dv/dp->ds->dq/dk) so the
+        # MXU idles through every VPU stage and vice versa; batching the
+        # stages puts head h+1's independent GEMMs adjacent to head h's
+        # VPU work, letting Mosaic's static scheduler overlap the units.
+        # Costs ~1 extra live [Tp, Tp] f32 tile per extra head (see
+        # _attn_block_bwd_fits).
+        H = heads_per_group
+        sls = [slice(h * Dh, (h + 1) * Dh) for h in range(H)]
+        qs = [qg[:, :, sl] for sl in sls]
+        ks = [kg[:, :, sl] for sl in sls]
+        vs = [vg[:, :, sl] for sl in sls]
+        gs = [gg[:, :, sl] for sl in sls]
+        ss = [
+            jnp.where(
+                key_mask[None],
+                jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * (scale * _LOG2E),
+                neg,
+            )
+            for q, k in zip(qs, ks)
+        ]
+        ps = [
+            jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True)) for s in ss
+        ]
+        ps = [e / jnp.sum(e, axis=-1, keepdims=True) for e in ps]
+        pcs = [p.astype(dt) for p in ps]
+        os_ = [
+            jax.lax.dot_general(
+                pc, v.astype(dt), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for pc, v in zip(pcs, vs)
+        ]
+        dvs = [
+            jax.lax.dot_general(
+                pc, gh.astype(dt), (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for pc, gh in zip(pcs, gs)
+        ]
+        dps = [
+            jax.lax.dot_general(
+                gh, v, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for gh, v in zip(gs, vs)
+        ]
+        dss = [
+            p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+            for p, dp in zip(ps, dps)
+        ]
+        dqs = [
+            jax.lax.dot_general(
+                ds, k, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for ds, k in zip(dss, ks)
+        ]
+        dks = [
+            jax.lax.dot_general(
+                ds, q, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for ds, q in zip(dss, qs)
+        ]
+        return os_, dqs, dks, dvs
+
     def body(grp, carry):
         off = pl.multiple_of(grp * group_w, group_w)
         qg = proj_group(off)
         kg = proj_group(W + off)
         vg = proj_group(2 * W + off)
         gg = datt_group(off)
-        os_, dqs, dks, dvs = [], [], [], []
-        for h in range(heads_per_group):
-            sl = slice(h * Dh, (h + 1) * Dh)
-            o, dq, dk, dv = one_head(qg[:, :, sl], kg[:, :, sl], vg[:, :, sl],
-                                     gg[:, :, sl])
-            os_.append(o)
-            dqs.append(dq)
-            dks.append(dk)
-            dvs.append(dv)
+        if stage_batched:
+            os_, dqs, dks, dvs = stage_batched_heads(qg, kg, vg, gg)
+        else:
+            os_, dqs, dks, dvs = [], [], [], []
+            for h in range(heads_per_group):
+                sl = slice(h * Dh, (h + 1) * Dh)
+                o, dq, dk, dv = one_head(
+                    qg[:, :, sl], kg[:, :, sl], vg[:, :, sl], gg[:, :, sl]
+                )
+                os_.append(o)
+                dqs.append(dq)
+                dks.append(dk)
+                dvs.append(dv)
         attn_s[:, :, pl.ds(off, group_w)] = jnp.concatenate(os_, -1).astype(
             attn_s.dtype
         )
@@ -677,26 +803,43 @@ def _attn_block_bwd_kernel(
 
 _ATTN_BWD_VMEM_BUDGET = 56 * 2 ** 20
 
+# Trace-time schedule switch for the dedicated backward (see
+# stage_batched_heads in the kernel): False = per-head serial chain,
+# True = per-stage over all heads in the group.  Module-level so the A/B
+# harness (scripts/attn_bwd_ab.py) can compile both variants in one process.
+_BWD_STAGE_BATCHED = False
 
-def _attn_block_bwd_fits(bB: int, Tp: int, W: int) -> bool:
+
+def _attn_block_bwd_fits(bB: int, Tp: int, W: int, n_heads: int = 0,
+                         stage_batched: bool = False) -> bool:
     """VMEM footprint of the dedicated backward: weights + f32 accumulators
     + the block tensors (x/g/dx bf16, n/datt/dy f32, attn/dqkv scratch) +
-    three live [Tp, Tp]-per-batch-row f32 score tiles."""
+    live [Tp, Tp]-per-batch-row f32 score tiles (three on the serial
+    schedule; the stage-batched schedule keeps p and dp live for every
+    head in the group at once)."""
     weights = 4 * W * W * 2 + 4 * W * W * 4  # wqkv+wout bf16, dwqkv+dwout f32
-    per_row = Tp * (3 * W * 2 + 3 * W * 4 + 4 * W * 2 + 3 * Tp * 4)
+    tiles = 3
+    if stage_batched and n_heads:
+        heads_per_group = max(1, 128 // (W // n_heads))
+        tiles = 2 * heads_per_group + 1
+    per_row = Tp * (3 * W * 2 + 3 * W * 4 + 4 * W * 2 + tiles * Tp * 4)
     return weights + bB * per_row <= _ATTN_BWD_VMEM_BUDGET
 
 
 def _attn_block_bwd_impl(
     x, gamma, beta, w_qkv, b_qkv, w_out, g, n_heads, valid, eps, block_b,
-    interpret, causal=False,
+    interpret, causal=False, stage_batched=None,
 ):
     from jax.experimental.pallas import tpu as pltpu_local
 
+    if stage_batched is None:
+        stage_batched = _BWD_STAGE_BATCHED
     B, Tp, W = x.shape
     dtype = x.dtype
     bB = min(block_b, B)
-    while bB > 1 and (B % bB or not _attn_block_bwd_fits(bB, Tp, W)):
+    while bB > 1 and (
+        B % bB or not _attn_block_bwd_fits(bB, Tp, W, n_heads, stage_batched)
+    ):
         bB -= 1
     while B % bB:
         bB -= 1
@@ -704,7 +847,7 @@ def _attn_block_bwd_impl(
     outs = pl.pallas_call(
         functools.partial(
             _attn_block_bwd_kernel, n_heads=n_heads, valid=valid, eps=eps,
-            causal=causal,
+            causal=causal, stage_batched=stage_batched,
         ),
         grid=(B // bB,),
         in_specs=[
@@ -817,7 +960,7 @@ def _attn_block_bwd(n_heads, valid, eps, block_b, interpret, causal, res, g):
         and n_heads % heads_per_group == 0
         and W % 128 == 0
         and T % 8 == 0
-        and _attn_block_bwd_fits(1, T, W)
+        and _attn_block_bwd_fits(1, T, W, n_heads, _BWD_STAGE_BATCHED)
     )
     if use_kernel:
         dx, dgamma, dbeta, dwqkv, dbqkv, dwout, dbout = _attn_block_bwd_impl(
@@ -886,6 +1029,26 @@ def fused_attn_block(
 
 _ATTN_VMEM_LIMIT = 64 * 2 ** 20  # raised Mosaic scoped-VMEM cap (v5e has 128M)
 
+# Trace-time switch for the forward score/output GEMM packing (see
+# pair_packed_group in the kernel): None = auto (the lane round-up rule
+# below), False = per-head always, True = pack whenever legal.
+# Module-level so the A/B harness (scripts/head_pack_ab.py) can compile
+# both variants in one process.
+_FWD_PAIR_PACKED = None
+
+
+def _pair_pack_wins(T: int) -> bool:
+    """Lane round-up routing rule, pinned by the chip A/B
+    (scripts/head_pack_ab.py): packing both Dh=64 heads pays only when the
+    doubled lane axis rounds up to LESS than two per-head round-ups —
+    measured -8.8% (63.8->69.9% MXU) at ViT-L/14 224px (T=264: 640 < 2*384)
+    and a wash (1.010x over 9 reps) at ViT-B/16 (T=200: 512 = 2*256).  The
+    K=64->128 depth doubling alone measured free on v5e, so geometry where
+    only the depth changes routes to the per-head schedule."""
+    r = -(-T // 128) * 128
+    r2 = -(-(2 * T) // 128) * 128
+    return r2 < 2 * r
+
 
 def _pick_attn_block_b(B: int, T: int, W: int, preferred: int,
                        budget: int = 48 * 2 ** 20) -> int:
@@ -908,16 +1071,24 @@ def _pick_attn_block_b(B: int, T: int, W: int, preferred: int,
     return 1
 
 
-def _attn_block_fwd_impl(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret, causal=False):
+def _attn_block_fwd_impl(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, valid, eps, block_b, interpret, causal=False, pair_packed=None):
     from jax.experimental.pallas import tpu as pltpu_local
 
     B, T, W = x.shape
     dtype = x.dtype
+    if pair_packed is None:
+        pair_packed = _FWD_PAIR_PACKED
+    if pair_packed is None:  # auto: the measured lane round-up rule
+        pair_packed = _pair_pack_wins(T)
+    # The pair packing needs exactly two Dh=64 heads per 128-lane group and a
+    # segment-uniform key mask (non-causal).
+    pair_packed = bool(pair_packed) and not causal and (W // n_heads) == 64
     bB = min(block_b, B)
     while B % bB:
         bB -= 1
     kernel = functools.partial(
-        _attn_block_kernel, n_heads=n_heads, valid=valid, eps=eps, causal=causal
+        _attn_block_kernel, n_heads=n_heads, valid=valid, eps=eps, causal=causal,
+        pair_packed=pair_packed,
     )
     return pl.pallas_call(
         kernel,

@@ -56,6 +56,40 @@ def test_odd_batch_block(rng):
     )
 
 
+@pytest.mark.parametrize("T,valid", [(24, 19), (40, 33)])
+def test_attn_block_pair_packed_matches_perhead(rng, T, valid):
+    """The pair-packed forward schedule (both Dh=64 heads of a group as one
+    block-diagonal contraction; scripts/head_pack_ab.py) must match the
+    per-head path — the packed operand entries are exact zeros, so only
+    reduction-tree pairing differs (bit-identical on chip, ulp here)."""
+    from tapclip_tpu.ops.fused_mha import _attn_block_fwd_impl
+    from tapclip_tpu.models.layers import init_attn, init_layer_norm
+
+    B, W, H = 2, 128, 2  # Dh=64 -> heads_per_group=2
+    x = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    ln = init_layer_norm(W)
+    attn = init_attn(jax.random.PRNGKey(3), W)
+    args = (x, ln["scale"], ln["bias"], attn["w_qkv"], attn["b_qkv"],
+            attn["w_out"], attn["b_out"], H, valid, 1e-5, 2, True)
+    a = _attn_block_fwd_impl(*args, pair_packed=False)
+    b = _attn_block_fwd_impl(*args, pair_packed=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_pair_pack_routing_rule():
+    """The auto rule packs exactly when the doubled lane axis rounds up to
+    less than two per-head round-ups (chip A/B: ViT-L T=264 wins, ViT-B
+    T=200 and ViT-L@336 T=584 are washes)."""
+    from tapclip_tpu.ops.fused_mha import _pair_pack_wins
+
+    assert _pair_pack_wins(264)       # 640 < 2*384 (ViT-L/14 224px)
+    assert not _pair_pack_wins(200)   # 512 = 2*256 (ViT-B/16)
+    assert not _pair_pack_wins(584)   # 1280 = 2*640 (ViT-L/14 336px)
+    assert not _pair_pack_wins(256)   # exact multiple: no round-up at all
+    assert _pair_pack_wins(320)       # 640 < 2*384
+
+
 def test_auto_routing_on_cpu_stays_xla(tiny_cfg, tiny_params, rng):
     """On CPU the auto policy must not pick the fused kernel (interpret mode
     is for tests only); encode_image must still work."""

@@ -154,6 +154,32 @@ def test_fused_attn_block_grad_multi_grid(rng):
                                    atol=5e-4)
 
 
+def test_attn_block_bwd_stage_batched_matches_serial(rng):
+    """The stage-batched backward schedule (all heads per softmax-gradient
+    stage; scripts/attn_bwd_ab.py) must produce the same gradients as the
+    serial per-head chain — on chip they are bit-identical; interpret mode
+    gets a tight tolerance."""
+    from tapclip_tpu.ops.fused_mha import _attn_block_bwd_impl
+    from tapclip_tpu.models.layers import init_attn, init_layer_norm
+
+    B, T, W, H = 4, 24, 128, 2  # Dh=64 -> heads_per_group=2
+    x = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    ln = init_layer_norm(W)
+    attn = init_attn(jax.random.PRNGKey(7), W)
+
+    outs = {}
+    for staged in (False, True):
+        outs[staged] = _attn_block_bwd_impl(
+            x, ln["scale"], ln["bias"], attn["w_qkv"], attn["b_qkv"],
+            attn["w_out"], g, n_heads=H, valid=19, eps=1e-5, block_b=2,
+            interpret=True, stage_batched=staged,
+        )
+    for a, b in zip(jax.tree.leaves(outs[False]), jax.tree.leaves(outs[True])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-6)
+
+
 def test_text_pass_grads_pallas_vs_xla(tiny_cfg, tiny_prompt_cfg, tiny_params, rng):
     """Full differentiated text pass (attribution -> adjust -> encode):
     pallas impl (interpret) vs xla impl, grads wrt the trainable pytree."""
