@@ -59,8 +59,15 @@ def main():
     mk = jax.jit(
         lambda k: jax.random.normal(k, (2, B, T, W), jnp.bfloat16)
     )
-    xg = [mk(jax.random.PRNGKey(seed + i)) for i in range(n)]
-    jax.block_until_ready(xg)
+    def fresh_xg(tag):
+        # One distinct batch per timed dispatch, fresh PER REP: repeating an
+        # (executable, args) pair in a later rep is relay-cacheable on the
+        # tunnel (CLAUDE.md); variants within a rep are distinct executables.
+        xg = [mk(jax.random.PRNGKey(seed + 7919 * tag + i)) for i in range(n)]
+        jax.block_until_ready(xg)
+        return xg
+
+    xg_chk = mk(jax.random.PRNGKey(seed - 1))  # never reused by a timed chain
 
     # Backward GEMM roofline FLOPs (docs/PERF.md round-4): 3x the W-GEMMs
     # (datt/dwout/dy share shape with dwqkv/proj counterparts) + 6 per-head
@@ -89,9 +96,9 @@ def main():
     ]
 
     # numerics cross-check once (all variants vs the first)
-    ref = variants[0][1](gamma, beta, wqkv, bqkv, wout, xg[0])
+    ref = variants[0][1](gamma, beta, wqkv, bqkv, wout, xg_chk)
     for name, fn in variants[1:]:
-        out = fn(gamma, beta, wqkv, bqkv, wout, xg[0])
+        out = fn(gamma, beta, wqkv, bqkv, wout, xg_chk)
         err = max(
             float(jnp.max(jnp.abs(
                 u.astype(jnp.float32) - v.astype(jnp.float32))))
@@ -99,13 +106,13 @@ def main():
         )
         print(f"max |serial/b8 - {name}| over all grads: {err:.2e}")
 
-    args = [(gamma, beta, wqkv, bqkv, wout, xg[i]) for i in range(n)]
-
     # interleaved round-robin: every variant timed once per rep, medians at
     # the end — single-shot cross-process numbers swing +-15% on this tunnel.
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     times = {name: [] for name, _ in variants}
     for rep in range(reps):
+        xg = fresh_xg(rep + 1)
+        args = [(gamma, beta, wqkv, bqkv, wout, xg[i]) for i in range(n)]
         row = []
         for name, fn in variants:
             t = slope(fn, args, steps)

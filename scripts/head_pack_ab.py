@@ -56,8 +56,15 @@ def main():
     seed = int(time.time() * 1e3) % (2 ** 31)
     n = 3 * steps + 1
     mk = jax.jit(lambda k: jax.random.normal(k, (B, T, W), jnp.bfloat16))
-    xs = [mk(jax.random.PRNGKey(seed + i)) for i in range(n)]
-    jax.block_until_ready(xs)
+
+    def fresh_inputs(tag):
+        # One distinct batch per timed dispatch, fresh PER REP: repeating an
+        # (executable, args) pair in a later rep is relay-cacheable on the
+        # tunnel (CLAUDE.md).  The two variants within a rep may share
+        # inputs — they are different executables.
+        xs = [mk(jax.random.PRNGKey(seed + 7919 * tag + i)) for i in range(n)]
+        jax.block_until_ready(xs)
+        return xs
 
     # forward block FLOPs: qkv + out-proj GEMMs + s/o per head
     fl = 2 * B * T * W * 4 * W + 2 * 2 * B * H * T * T * (W // H)
@@ -74,13 +81,15 @@ def main():
 
     variants = [("perhead", make(False)), ("packed", make(True))]
 
-    a = variants[0][1](xs[0])
-    b = variants[1][1](xs[0])
+    xchk = mk(jax.random.PRNGKey(seed - 1))  # never reused by a timed chain
+    a = variants[0][1](xchk)
+    b = variants[1][1](xchk)
     err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
     print(f"max |perhead - packed|: {err:.2e}")
 
     times = {name: [] for name, _ in variants}
     for rep in range(reps):
+        xs = fresh_inputs(rep + 1)
         row = []
         for name, fn in variants:
             t = slope(fn, [(x,) for x in xs], steps)

@@ -27,7 +27,9 @@ for entry in "${CHUNKS[@]}"; do
 done
 fail=0
 for f in tests/test_*.py; do
-  n=$(grep -o -F " $f " <<<"$ALL_ASSIGNED" | wc -l)
+  # tr-split then exact-line count: grep -o over the shared separator space
+  # undercounts adjacent repeats (non-overlapping matches).
+  n=$(tr ' ' '\n' <<<"$ALL_ASSIGNED" | grep -cxF "$f")
   if [ "$n" -eq 0 ]; then
     echo "UNCOVERED TEST FILE: $f (add it to a chunk in run_full_suite.sh)"
     fail=1

@@ -45,6 +45,32 @@ def harmonic_mean(base_acc: float, new_acc: float) -> float:
     return 2.0 * base_acc * new_acc / (base_acc + new_acc)
 
 
+def split_selection_test(val, seed: int = 0):
+    """Disjoint, class-stratified (selection, test) halves of a val pool.
+
+    Early stopping selects on the first half; the reported Base accuracy is
+    evaluated on the second.  Re-scoring the selected state on the selection
+    split would deterministically return ``fit.best_acc`` — the selection
+    maximum — so a held-out half is the only way to report the literature's
+    evaluate-the-selected-checkpoint number (round-3 advisor finding).
+    ``val`` is a list of ``(path, label)``; a single-sample class appears in
+    both halves rather than leaving one half without the class.
+    """
+    by_label: Dict[int, List] = {}
+    for item in val:
+        by_label.setdefault(item[1], []).append(item)
+    rs = np.random.default_rng(seed)
+    sel, test = [], []
+    for label in sorted(by_label):
+        items = by_label[label]
+        perm = rs.permutation(len(items)).tolist()
+        cut = max(1, len(items) // 2)
+        test_idx = perm[cut:] if len(perm) > cut else perm[:cut]
+        sel.extend(items[i] for i in perm[:cut])
+        test.extend(items[i] for i in test_idx)
+    return sel, test
+
+
 def run_base_to_new(
     root: str,
     *,
@@ -97,34 +123,31 @@ def run_base_to_new(
     pcfg = PromptConfig(max_classes=max(8, half))
 
     split_b = few_shot_split(index, base, shots, seed=seed)
+    val_sel, val_test = split_selection_test(split_b.val, seed=seed + 1)
     model = FullModel(
         base, params, cfg, prompt_cfg=pcfg, tokenizer=tokenizer,
         rng=jax.random.PRNGKey(seed),
     )
     # Train the class-agnostic leaves too: ctx is per-class and never
     # transfers, so New-class accuracy can only respond to training (and to
-    # --kg-lambda) through the shared adjustor / logit scale / meta-net.
+    # --kg-lambda) through the shared TRANSFER_KEYS leaves.  Deriving the
+    # trained set from TRANSFER_KEYS keeps "trained" and "transferred" in
+    # lockstep — a leaf added to TRANSFER_KEYS is automatically trained.
     # The reference's default optimized set is ctx-only — the wider set here
     # is what makes the base-to-new protocol measure generalization at all.
-    train_keys = ["ctx", "adjustor", "logit_scale"]
-    if pcfg.image_conditioned:
-        train_keys.append("meta_net")
+    train_keys = ("ctx", *(k for k in TRANSFER_KEYS if k in model.trainable))
     fit = fit_prompt_model(
         model,
         Loader(split_b.train, batch_size, shuffle=True, seed=seed, **mk),
-        Loader(split_b.val, batch_size, shuffle=False, **mk),
+        Loader(val_sel, batch_size, shuffle=False, **mk),
         TrainConfig(lr=lr, epochs=epochs, batch_size=min(batch_size, 64),
                     seed=seed, kg_lambda=kg_lambda),
         verbose=False,
-        trainable_keys=tuple(train_keys),
+        trainable_keys=train_keys,
     )
     model.trainable = fit.best_trainable
-    # Re-evaluate the selected state rather than reporting fit.best_acc:
-    # best_acc is the model-selection maximum on this split and would
-    # optimistically bias Base (and H) vs the literature's evaluate-the-
-    # selected-checkpoint protocol.
     base_acc = evaluate_accuracy(
-        model, Loader(split_b.val, batch_size, shuffle=False, **mk),
+        model, Loader(val_test, batch_size, shuffle=False, **mk),
         verbose=False,
     )
 

@@ -1018,7 +1018,10 @@ def fused_attn_block(
             attn_params["w_out"], attn_params["b_out"], n_heads, valid, eps,
             causal,
         )
-    block_b = _pick_attn_block_b(B, T, W, block_b)
+    block_b = _pick_attn_block_b(
+        B, T, W, block_b,
+        pair_packed=_resolve_pair_packed(T, W, n_heads, causal),
+    )
     return _attn_block_vjp(
         x, ln_params["scale"], ln_params["bias"],
         attn_params["w_qkv"], attn_params["b_qkv"],
@@ -1050,19 +1053,46 @@ def _pair_pack_wins(T: int) -> bool:
     return r2 < 2 * r
 
 
+def _resolve_pair_packed(T: int, W: int, n_heads: int, causal: bool,
+                         pair_packed=None) -> bool:
+    """One routing decision shared by the VMEM picker and the kernel trace —
+    the picker must budget the schedule that will actually run."""
+    if pair_packed is None:
+        pair_packed = _FWD_PAIR_PACKED
+    if pair_packed is None:  # auto: the measured lane round-up rule
+        pair_packed = _pair_pack_wins(T)
+    # The pair packing needs exactly two Dh=64 heads per 128-lane group and a
+    # segment-uniform key mask (non-causal).
+    return bool(pair_packed) and not causal and (W // n_heads) == 64
+
+
 def _pick_attn_block_b(B: int, T: int, W: int, preferred: int,
-                       budget: int = 48 * 2 ** 20) -> int:
+                       budget: int = 48 * 2 ** 20,
+                       pair_packed: bool = False) -> int:
     """Largest batch block whose VMEM footprint fits the budget.
 
     The kernel no longer materializes a [bB, T, 3W] qkv scratch (projections
     are computed per head-group), so the footprint is weights (4W^2 bf16) +
     double-buffered x/out + attn scratch + f32 LN copy + y + per-group
-    slices + two [T, T]-ish f32 score tiles per batch row.  The budget sits
-    under the raised ``_ATTN_VMEM_LIMIT`` (the 16M Mosaic default was the
-    binding constraint on v5e, not physical VMEM).
+    slices + two [T, T]-ish f32 score tiles per batch row.  The pair-packed
+    schedule doubles the live score tiles to [T, 2T] (s and p) and adds the
+    block-diagonal kbd f32 / vbd bf16 operands — budgeted explicitly so a
+    geometry that just fits per-head cannot compile the packed schedule into
+    a scoped-allocation failure.  The budget sits under the raised
+    ``_ATTN_VMEM_LIMIT`` (the 16M Mosaic default was the binding constraint
+    on v5e, not physical VMEM).
     """
     weights = (3 * W * W + W * W) * 2
-    per_row = T * (14 * W + 8 * T + 1536)
+    score = 16 if pair_packed else 8
+    extra = 1536 if pair_packed else 0  # kbd [2T,128] f32 + vbd [2T,128] bf16
+    per_row = T * (14 * W + score * T + 1536 + extra)
+    if pair_packed:
+        # The packed schedule's extra live tensors are modeled explicitly
+        # above, so its budget is the raised Mosaic cap minus double-buffer
+        # headroom rather than the blanket-conservative 48M: the proven
+        # ViT-L/14 224px packed config (bb=8, ~54M modeled) compiles and
+        # runs at 971 img/s under the 64M cap.
+        budget = max(budget, _ATTN_VMEM_LIMIT - 8 * 2 ** 20)
     for bb in (preferred, 8, 4, 2, 1):
         if bb > B or B % bb or bb > preferred:
             continue
@@ -1076,13 +1106,7 @@ def _attn_block_fwd_impl(x, gamma, beta, w_qkv, b_qkv, w_out, b_out, n_heads, va
 
     B, T, W = x.shape
     dtype = x.dtype
-    if pair_packed is None:
-        pair_packed = _FWD_PAIR_PACKED
-    if pair_packed is None:  # auto: the measured lane round-up rule
-        pair_packed = _pair_pack_wins(T)
-    # The pair packing needs exactly two Dh=64 heads per 128-lane group and a
-    # segment-uniform key mask (non-causal).
-    pair_packed = bool(pair_packed) and not causal and (W // n_heads) == 64
+    pair_packed = _resolve_pair_packed(T, W, n_heads, causal, pair_packed)
     bB = min(block_b, B)
     while B % bB:
         bB -= 1

@@ -256,6 +256,12 @@ def fit_prompt_model(
     )
 
     optimizer = make_optimizer(train_cfg)
+    # Capture the model's own zero-shot (init) adjustor BEFORE the resume
+    # branch overwrites model.trainable: the KgCoOp anchor below must be the
+    # frozen init-state features, not a restored mid-training adjustor —
+    # otherwise a resumed fit anchors its kg penalty to a moving target and
+    # diverges from the uninterrupted run.
+    init_adjustor = model.trainable.get("adjustor")
     if resume_state is not None:
         from tapclip_tpu.parallel.train_step import TrainState
 
@@ -283,19 +289,21 @@ def fit_prompt_model(
             text_features_with_attribution,
         )
 
+        # clip_params/bank are jit ARGUMENTS, not closure captures: closing
+        # over the param tree bakes it into the program as literals (CLAUDE.md
+        # — HTTP 413 from the remote compile service at ViT-B+ sizes).
         anchor_fn = jax.jit(
-            lambda ctx, adj: text_features_with_attribution(
-                model.clip_params, ctx, model.prompt_learner.bank,
-                model.clip_cfg, model.prompt_cfg, adj,
+            lambda cp, ctx, bank, adj: text_features_with_attribution(
+                cp, ctx, bank, model.clip_cfg, model.prompt_cfg, adj,
             )[0]
         )
-        # bank.ctx is the frozen template initialization; the adjustor is
-        # untrained under trainable_keys (and the anchor must not track it
-        # anyway), so init-state params give the model's own zero-shot
-        # features.  Already padded to the bank width [C_max, E]; padding
-        # rows are class-masked out of the penalty inside the step.
-        kg_feats = anchor_fn(model.prompt_learner.bank.ctx,
-                             model.trainable["adjustor"])
+        # bank.ctx is the frozen template initialization and init_adjustor
+        # the pre-resume init state (the anchor must not track training),
+        # so this is the model's own zero-shot features.  Already padded to
+        # the bank width [C_max, E]; padding rows are class-masked out of
+        # the penalty inside the step.
+        kg_feats = anchor_fn(model.clip_params, model.prompt_learner.bank.ctx,
+                             model.prompt_learner.bank, init_adjustor)
     step_fn = make_train_step(model.clip_cfg, model.prompt_cfg, optimizer,
                               trainable_keys=trainable_keys,
                               kg_lambda=train_cfg.kg_lambda,

@@ -14,6 +14,44 @@ def test_harmonic_mean():
     assert harmonic_mean(90.0, 0.0) == 0.0
 
 
+def test_split_selection_test_disjoint_stratified():
+    """Base is reported on a held-out half DISJOINT from the early-stopping
+    selection half (round-4 review: re-scoring the selected state on the
+    selection split deterministically returns fit.best_acc), and every
+    multi-sample class appears in both halves."""
+    from tapclip_tpu.base_to_new import split_selection_test
+
+    val = [(f"c{label}_{i}.jpg", label)
+           for label in range(3) for i in range(5)]
+    sel, test = split_selection_test(val, seed=7)
+    assert not set(sel) & set(test)
+    assert set(sel) | set(test) == set(val)
+    for label in range(3):
+        assert any(lb == label for _, lb in sel)
+        assert any(lb == label for _, lb in test)
+    # deterministic under the same seed, different under another
+    sel2, test2 = split_selection_test(val, seed=7)
+    assert sel == sel2 and test == test2
+    sel3, _ = split_selection_test(val, seed=8)
+    assert sel != sel3
+
+    # single-sample class: present in both halves rather than missing
+    sel, test = split_selection_test([("only.jpg", 0)], seed=0)
+    assert sel == test == [("only.jpg", 0)]
+
+
+def test_train_keys_derived_from_transfer_keys():
+    """The trained set must stay in lockstep with TRANSFER_KEYS (round-4
+    review: a hand-duplicated list lets a new class-agnostic leaf transfer
+    untrained)."""
+    import inspect
+
+    from tapclip_tpu import base_to_new
+
+    src = inspect.getsource(base_to_new.run_base_to_new)
+    assert "TRANSFER_KEYS if k in model.trainable" in src
+
+
 @pytest.fixture(scope="module")
 def four_class_folder(tmp_path_factory):
     from PIL import Image

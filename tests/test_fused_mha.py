@@ -77,6 +77,28 @@ def test_attn_block_pair_packed_matches_perhead(rng, T, valid):
                                atol=1e-6)
 
 
+def test_pick_block_b_models_pair_packed_footprint():
+    """The VMEM picker must budget the schedule that will run: the packed
+    schedule keeps [T,2T] s/p tiles plus the block-diagonal operands live
+    (round-4 review), while the proven ViT-L/14 224px packed config must
+    keep its measured bb=8 (971 img/s run)."""
+    from tapclip_tpu.ops.fused_mha import _pick_attn_block_b
+
+    # ViT-L/14 224px: per-head and packed both pick 8 (the packed budget is
+    # anchored by the compile that produced the 971 img/s measurement).
+    assert _pick_attn_block_b(64, 264, 1024, 8, pair_packed=False) == 8
+    assert _pick_attn_block_b(64, 264, 1024, 8, pair_packed=True) == 8
+    # Longer Dh=64 geometries: the packed footprint must never pick a
+    # bigger block than the per-head one, and at T=832 it strictly steps
+    # down (2 -> 1) — the [T,2T] tiles bind.
+    for T in (320, 448, 576, 832):
+        bb_ph = _pick_attn_block_b(64, T, 1024, 8, pair_packed=False)
+        bb_pp = _pick_attn_block_b(64, T, 1024, 8, pair_packed=True)
+        assert bb_pp <= bb_ph
+    assert _pick_attn_block_b(64, 832, 1024, 8, pair_packed=True) == 1
+    assert _pick_attn_block_b(64, 832, 1024, 8, pair_packed=False) == 2
+
+
 def test_pair_pack_routing_rule():
     """The auto rule packs exactly when the doubled lane axis rounds up to
     less than two per-head round-ups (chip A/B: ViT-L T=264 wins, ViT-B

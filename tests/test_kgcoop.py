@@ -155,6 +155,49 @@ def test_trainer_anchor_is_same_geometry(model, tiny_cfg, rng):
     assert abs(l_kg - l0) < 0.5, (l0, l_kg)
 
 
+def test_resume_anchor_is_init_state(tiny_cfg, tiny_params, rng):
+    """A resumed fit must anchor the kg penalty to the INIT adjustor, not the
+    restored mid-training one (round-4 review finding): an anchor that tracks
+    the restored params regularizes toward a moving target, so a resumed run
+    would diverge from the uninterrupted one.  Needs adjustor_method
+    'residual' — the default 'scale' never reads the adjustor MLP params,
+    which is why the bug was invisible under the default config."""
+    import copy
+
+    from tapclip_tpu.config import PromptConfig
+    from tapclip_tpu.trainer import CachedSet, fit_prompt_model
+
+    pcfg = PromptConfig(max_classes=8, adjustor_method="residual")
+    model = FullModel(CLASSES, tiny_params, tiny_cfg, prompt_cfg=pcfg)
+
+    X = rng.standard_normal((16, tiny_cfg.embed_dim)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=-1, keepdims=True)
+    y = np.asarray(rng.integers(0, len(CLASSES), 16), np.int32)
+    cached = CachedSet(X, y)
+
+    def first_loss(resume_state):
+        m = copy.deepcopy(model)
+        fit = fit_prompt_model(
+            m, cached, cached,
+            TrainConfig(lr=1e-8, epochs=1, batch_size=8, seed=0,
+                        kg_lambda=200.0),
+            verbose=False,
+            resume_state=resume_state,
+        )
+        return fit.loss_history[0]
+
+    # Perturb ONLY the adjustor in the restored state; ctx stays at init,
+    # so the tuned features move while the anchor must stay put.
+    pert = {k: v for k, v in model.trainable.items()}
+    pert["adjustor"] = jax.tree.map(lambda a: a + 1.0, pert["adjustor"])
+    l_plain = first_loss(None)
+    l_resumed = first_loss({"trainable": pert, "step": 0})
+    # With the anchor frozen at init, the perturbed adjustor's features sit
+    # far from it -> a large kg penalty.  A buggy anchor built from the
+    # restored adjustor keeps loss_kg == 0 and l_resumed ~ l_plain.
+    assert l_resumed > l_plain + 1.0, (l_plain, l_resumed)
+
+
 def test_image_conditioned_composition(tiny_cfg, tiny_params, tiny_prompt_cfg,
                                        batch, rng):
     """The penalty also applies on the CoCoOp [B, C, E] text-feature path."""
