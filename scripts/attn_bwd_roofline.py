@@ -72,12 +72,17 @@ def main():
 
     wq = mk((W, 3 * W), jnp.bfloat16, 0)
     wo = mk((W, W), jnp.bfloat16, 1)
-    args_w = [
-        (mk((R, W), jnp.bfloat16, 10 + 3 * i),
-         mk((R, 3 * W), jnp.bfloat16, 11 + 3 * i),
-         mk((R, W), jnp.bfloat16, 12 + 3 * i), wq, wo)
-        for i in range(n)
-    ]
+
+    def fresh_args_w(tag):
+        # Fresh EVERY rep: reusing one arg set across reps lets later reps
+        # repeat (executable, args) pairs the tunnel relay can serve
+        # (CLAUDE.md; the round-4 head-pack A/B lesson).
+        return [
+            (mk((R, W), jnp.bfloat16, tag + 10 + 3 * i),
+             mk((R, 3 * W), jnp.bfloat16, tag + 11 + 3 * i),
+             mk((R, W), jnp.bfloat16, tag + 12 + 3 * i), wq, wo)
+            for i in range(n)
+        ]
     fl_w = (3 * 2 * R * W * 3 * W) + (2 * 2 * R * W * W)
 
     # --- family 2: the seven head-chain shapes, batched over (B, H) ---
@@ -103,21 +108,31 @@ def main():
         return (jnp.sum(s) + jnp.sum(o) + jnp.sum(dv) + jnp.sum(dp)
                 + jnp.sum(dq) + jnp.sum(dk))
 
-    args_h = [
-        (mk((BH, T, Dh), jnp.bfloat16, 100 + 5 * i),
-         mk((BH, T, Dh), jnp.bfloat16, 101 + 5 * i),
-         mk((BH, T, Dh), jnp.bfloat16, 102 + 5 * i),
-         mk((BH, T, T), jnp.bfloat16, 103 + 5 * i),
-         mk((BH, T, Dh), jnp.bfloat16, 104 + 5 * i))
-        for i in range(n)
-    ]
+    def fresh_args_h(tag):
+        return [
+            (mk((BH, T, Dh), jnp.bfloat16, tag + 100 + 5 * i),
+             mk((BH, T, Dh), jnp.bfloat16, tag + 101 + 5 * i),
+             mk((BH, T, Dh), jnp.bfloat16, tag + 102 + 5 * i),
+             mk((BH, T, T), jnp.bfloat16, tag + 103 + 5 * i),
+             mk((BH, T, Dh), jnp.bfloat16, tag + 104 + 5 * i))
+            for i in range(n)
+        ]
     fl_h = 6 * 2 * BH * T * T * Dh
 
     f_w = jax.jit(w_gemms)
     f_h = jax.jit(head_gemms)
 
+    args_w = args_h = None
     for rep in range(5):
+        # Drop the previous rep's device buffers BEFORE allocating fresh
+        # ones: the two generations together (~24 GB) exceed v5e HBM.
+        args_w = args_h = None
+        args_w = fresh_args_w(7919 * (rep + 1))
+        jax.block_until_ready([a for tup in args_w for a in tup])
         t_w = slope(f_w, args_w, steps)
+        args_w = None
+        args_h = fresh_args_h(7919 * (rep + 1))
+        jax.block_until_ready([a for tup in args_h for a in tup])
         t_h = slope(f_h, args_h, steps)
         print(
             f"rep{rep}: W-GEMMs {t_w*1e3:6.2f} ms "

@@ -805,9 +805,33 @@ _ATTN_BWD_VMEM_BUDGET = 56 * 2 ** 20
 
 # Trace-time schedule switch for the dedicated backward (see
 # stage_batched_heads in the kernel): False = per-head serial chain,
-# True = per-stage over all heads in the group.  Module-level so the A/B
-# harness (scripts/attn_bwd_ab.py) can compile both variants in one process.
-_BWD_STAGE_BATCHED = False
+# True = per-stage over all heads in the group, None = auto (the measured
+# rule below).  Module-level so the A/B harness (scripts/attn_bwd_ab.py)
+# can compile both variants in one process.
+_BWD_STAGE_BATCHED = None
+
+
+def _bwd_stage_batched_wins(T: int, W: int, n_heads: int) -> bool:
+    """Measured routing rule (scripts/attn_bwd_ab.py, fresh-inputs-per-rep
+    harness, 2026-08-19): the stage-batched schedule beats the serial chain
+    0.87-0.94x over 14 interleaved reps at ViT-B pretraining geometry
+    (T=200 -> 256-lane score tile) and loses 1.03x at ViT-L (T=264 -> 384
+    lanes).  Stage-batching keeps 2*heads_per_group+1 [Tp,Tp] score tiles
+    live instead of 3, and the measured win survives only while the padded
+    score tile stays within two 128-lane tiles; grads are bit-identical
+    either way (pinned in tests/test_kernel_grads.py).  Causal (text-tower)
+    geometry was not measured, so auto keeps it on the serial schedule —
+    the rule only ever engages where the A/B showed a win."""
+    return (W // n_heads) == 64 and -(-T // 128) * 128 <= 256
+
+
+def _resolve_bwd_stage_batched(T: int, W: int, n_heads: int,
+                               stage_batched=None, causal: bool = False) -> bool:
+    if stage_batched is None:
+        stage_batched = _BWD_STAGE_BATCHED
+    if stage_batched is None:
+        stage_batched = not causal and _bwd_stage_batched_wins(T, W, n_heads)
+    return bool(stage_batched)
 
 
 def _attn_block_bwd_fits(bB: int, Tp: int, W: int, n_heads: int = 0,
@@ -832,9 +856,9 @@ def _attn_block_bwd_impl(
 ):
     from jax.experimental.pallas import tpu as pltpu_local
 
-    if stage_batched is None:
-        stage_batched = _BWD_STAGE_BATCHED
     B, Tp, W = x.shape
+    stage_batched = _resolve_bwd_stage_batched(
+        Tp, W, n_heads, stage_batched, causal)
     dtype = x.dtype
     bB = min(block_b, B)
     while bB > 1 and (
@@ -960,7 +984,9 @@ def _attn_block_bwd(n_heads, valid, eps, block_b, interpret, causal, res, g):
         and n_heads % heads_per_group == 0
         and W % 128 == 0
         and T % 8 == 0
-        and _attn_block_bwd_fits(1, T, W, n_heads, _BWD_STAGE_BATCHED)
+        and _attn_block_bwd_fits(
+            1, T, W, n_heads,
+            _resolve_bwd_stage_batched(T, W, n_heads, causal=causal))
     )
     if use_kernel:
         dx, dgamma, dbeta, dwqkv, dbqkv, dwout, dbout = _attn_block_bwd_impl(

@@ -112,6 +112,26 @@ def test_pair_pack_routing_rule():
     assert _pair_pack_wins(320)       # 640 < 2*384
 
 
+def test_bwd_stage_batched_routing_rule():
+    """The backward auto rule stage-batches exactly where the chip A/B
+    measured a win (fresh-inputs-per-rep harness): ViT-B T=200 (0.87-0.94x
+    over 14 reps), NOT ViT-L T=264 (1.035x), never causal (unmeasured),
+    never Dh!=64 (no head pairs to batch); explicit override always wins."""
+    from tapclip_tpu.ops.fused_mha import (
+        _bwd_stage_batched_wins,
+        _resolve_bwd_stage_batched,
+    )
+
+    assert _bwd_stage_batched_wins(200, 768, 12)       # ViT-B/16: measured win
+    assert not _bwd_stage_batched_wins(264, 1024, 16)  # ViT-L/14: measured loss
+    assert not _bwd_stage_batched_wins(584, 1024, 16)  # ViT-L@336: > 2 tiles
+    assert not _bwd_stage_batched_wins(200, 768, 6)    # Dh=128: 1 head/group
+    assert _resolve_bwd_stage_batched(200, 768, 12)
+    assert not _resolve_bwd_stage_batched(200, 768, 12, causal=True)
+    assert _resolve_bwd_stage_batched(264, 1024, 16, stage_batched=True)
+    assert not _resolve_bwd_stage_batched(200, 768, 12, stage_batched=False)
+
+
 def test_auto_routing_on_cpu_stays_xla(tiny_cfg, tiny_params, rng):
     """On CPU the auto policy must not pick the fused kernel (interpret mode
     is for tests only); encode_image must still work."""
