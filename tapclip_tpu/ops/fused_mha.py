@@ -383,6 +383,61 @@ def _fused_mha_fwd_impl(
 # ---------------------------------------------------------------------------
 
 
+def _pair_packed_attention(qg, kg, vg, *, valid: int, scale: float):
+    """Both heads of a Dh=64 group as ONE full-geometry contraction pair.
+
+    Per-head score/output GEMMs waste half the 128-deep MXU (K=Dh=64)
+    and round the [Tp] lane axis up per head (Tp=264 -> 384 at ViT-L).
+    Packing the pair block-diagonally — Kbd/Vbd [2Tp, 128] with head 0
+    in rows [0,Tp) lanes [0,Dh) and head 1 in rows [Tp,2Tp) lanes
+    [Dh,128) — makes both GEMMs full 128-deep/128-wide while the added
+    operand entries are EXACT zeros: each partial sum is unchanged, so
+    the result differs from the per-head path only by reduction-tree
+    pairing (bit-identical on the MXU's sequential K accumulation,
+    ulp-level elsewhere).  Tile arithmetic: useful/padded
+    MACs rise from (64/128)·(264/384)=34% to (2·264·64)/(640·128)=41%
+    at ViT-L geometry (the win is the 2Tp=528->640 lane round-up
+    amortization; at ViT-B's Tp=200, 400->512 = 2·256 is a wash).
+    Non-causal only (the causal mask is not block-diagonal-segment
+    uniform).
+
+    Module-level (kernel-agnostic: only `jnp` on VMEM values) so the bf16
+    block kernel and the int8 block kernel share one implementation —
+    ``qg``/``kg`` f32 [bB, Tp, 2·Dh], ``vg`` in the p·v compute dtype;
+    returns the normalized per-pair output [bB, Tp, 2·Dh] f32.
+    """
+    _, Tp, two_dh = qg.shape
+    Dh = two_dh // 2
+    neg = jnp.float32(-1e30)
+    T2 = 2 * Tp
+    rr = jax.lax.broadcasted_iota(jnp.int32, (T2, 2 * Dh), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (T2, 2 * Dh), 1)
+    bd = ((rr < Tp) == (ll < Dh))[None]  # block-diagonal selector
+    kbd = jnp.where(bd, jnp.concatenate([kg, kg], axis=1), 0.0)
+    s = jax.lax.dot_general(  # [bB, Tp, 2Tp] — both heads' scores
+        qg, kbd, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tp, T2), 1)
+    seg1 = (col >= Tp)[None]
+    keypos = col - jnp.where(col >= Tp, Tp, 0)
+    s = jnp.where((keypos < valid)[None], s * (scale * _LOG2E), neg)
+    m0 = jnp.max(jnp.where(seg1, neg, s), axis=-1, keepdims=True)
+    m1 = jnp.max(jnp.where(seg1, s, neg), axis=-1, keepdims=True)
+    p = jnp.exp2(s - jnp.where(seg1, m1, m0))  # segment-wise softmax
+    l0 = jnp.sum(jnp.where(seg1, 0.0, p), axis=-1, keepdims=True)
+    l1 = jnp.sum(jnp.where(seg1, p, 0.0), axis=-1, keepdims=True)
+    vbd = jnp.where(
+        bd, jnp.concatenate([vg, vg], axis=1), jnp.zeros((), vg.dtype)
+    )
+    o = jax.lax.dot_general(  # [bB, Tp, 128] = [o_h0 | o_h1]
+        p.astype(vg.dtype), vbd, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    lane_o = jax.lax.broadcasted_iota(jnp.int32, (Tp, 2 * Dh), 1)
+    return o / jnp.where((lane_o < Dh)[None], l0, l1)
+
+
 def _attn_block_kernel(
     x_ref,  # VMEM [bB, Tp, W] residual input (pre-LN)
     gamma_ref,  # VMEM [1, W] f32
@@ -446,49 +501,7 @@ def _attn_block_kernel(
         return o / l
 
     def pair_packed_group(qg, kg, vg):
-        """Both heads of a Dh=64 group as ONE full-geometry contraction pair.
-
-        Per-head score/output GEMMs waste half the 128-deep MXU (K=Dh=64)
-        and round the [Tp] lane axis up per head (Tp=264 -> 384 at ViT-L).
-        Packing the pair block-diagonally — Kbd/Vbd [2Tp, 128] with head 0
-        in rows [0,Tp) lanes [0,Dh) and head 1 in rows [Tp,2Tp) lanes
-        [Dh,128) — makes both GEMMs full 128-deep/128-wide while the added
-        operand entries are EXACT zeros: each partial sum is unchanged, so
-        the result differs from the per-head path only by reduction-tree
-        pairing (bit-identical on the MXU's sequential K accumulation,
-        ulp-level elsewhere).  Tile arithmetic: useful/padded
-        MACs rise from (64/128)·(264/384)=34% to (2·264·64)/(640·128)=41%
-        at ViT-L geometry (the win is the 2Tp=528->640 lane round-up
-        amortization; at ViT-B's Tp=200, 400->512 = 2·256 is a wash).
-        Non-causal only (the causal mask is not block-diagonal-segment
-        uniform)."""
-        T2 = 2 * Tp
-        rr = jax.lax.broadcasted_iota(jnp.int32, (T2, 2 * Dh), 0)
-        ll = jax.lax.broadcasted_iota(jnp.int32, (T2, 2 * Dh), 1)
-        bd = ((rr < Tp) == (ll < Dh))[None]  # block-diagonal selector
-        kbd = jnp.where(bd, jnp.concatenate([kg, kg], axis=1), 0.0)
-        s = jax.lax.dot_general(  # [bB, Tp, 2Tp] — both heads' scores
-            qg, kbd, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, (Tp, T2), 1)
-        seg1 = (col >= Tp)[None]
-        keypos = col - jnp.where(col >= Tp, Tp, 0)
-        s = jnp.where((keypos < valid)[None], s * (scale * _LOG2E), neg)
-        m0 = jnp.max(jnp.where(seg1, neg, s), axis=-1, keepdims=True)
-        m1 = jnp.max(jnp.where(seg1, s, neg), axis=-1, keepdims=True)
-        p = jnp.exp2(s - jnp.where(seg1, m1, m0))  # segment-wise softmax
-        l0 = jnp.sum(jnp.where(seg1, 0.0, p), axis=-1, keepdims=True)
-        l1 = jnp.sum(jnp.where(seg1, p, 0.0), axis=-1, keepdims=True)
-        vbd = jnp.where(
-            bd, jnp.concatenate([vg, vg], axis=1), jnp.zeros((), vg.dtype)
-        )
-        o = jax.lax.dot_general(  # [bB, Tp, 128] = [o_h0 | o_h1]
-            p.astype(vg.dtype), vbd, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        lane_o = jax.lax.broadcasted_iota(jnp.int32, (Tp, 2 * Dh), 1)
-        return o / jnp.where((lane_o < Dh)[None], l0, l1)
+        return _pair_packed_attention(qg, kg, vg, valid=valid, scale=scale)
 
     def proj_group(col_off):
         g = jax.lax.dot_general(

@@ -36,7 +36,12 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-from tapclip_tpu.ops.fused_mha import _LOG2E, _pick_attn_block_b
+from tapclip_tpu.ops.fused_mha import (
+    _LOG2E,
+    _pair_packed_attention,
+    _pick_attn_block_b,
+    _resolve_pair_packed,
+)
 from tapclip_tpu.ops.int8_mlp import _row_quant_sr, quantize_cols_int8
 
 
@@ -57,6 +62,7 @@ def _int8_attn_kernel(
     n_heads: int,
     valid: int,
     eps: float,
+    pair_packed: bool = False,
 ):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
@@ -114,14 +120,24 @@ def _int8_attn_kernel(
         qg = proj_group(off)
         kg = proj_group(W + off)
         vg = proj_group(2 * W + off).astype(x.dtype)
-        outs = [
-            one_head_batched(
-                qg[:, :, i * Dh : (i + 1) * Dh],
-                kg[:, :, i * Dh : (i + 1) * Dh],
-                vg[:, :, i * Dh : (i + 1) * Dh],
-            )
-            for i in range(heads_per_group)
-        ]
+        if pair_packed:
+            # Same block-diagonal Dh=64 head-pair packing as the bf16 block
+            # kernel (shared fused_mha._pair_packed_attention; win measured
+            # on chip at ViT-L/14 224px, T=264).  The int8 projections feed
+            # the identical f32 q/k and compute-dtype v the per-head path
+            # sees, and the quantization PRNG draws (y before the loop, the
+            # attention output after it) are schedule-independent, so both
+            # schedules see identical quantization noise per seed.
+            outs = [_pair_packed_attention(qg, kg, vg, valid=valid, scale=scale)]
+        else:
+            outs = [
+                one_head_batched(
+                    qg[:, :, i * Dh : (i + 1) * Dh],
+                    kg[:, :, i * Dh : (i + 1) * Dh],
+                    vg[:, :, i * Dh : (i + 1) * Dh],
+                )
+                for i in range(heads_per_group)
+            ]
         attn_s[:, :, pl.ds(off, group_w)] = jnp.concatenate(outs, axis=-1).astype(
             attn_s.dtype
         )
@@ -182,6 +198,7 @@ def int8_attn_block(
     block_b: int = 8,
     interpret: Optional[bool] = None,
     deterministic: bool = False,
+    pair_packed: Optional[bool] = None,
 ) -> jnp.ndarray:
     """``x + out_proj(attn(qkv(layer_norm(x))))`` with int8 projections;
     eval-only (no custom VJP). ``deterministic=True`` forces the
@@ -203,7 +220,11 @@ def int8_attn_block(
         # Interpret mode lacks the TPU PRNG; use the deterministic model.
         return _xla_int8_attn_reference(x, ln_params, attn_params, n_heads, valid, eps)
 
-    bB = _pick_attn_block_b(B, T, W, block_b)
+    # Head-pair packing routes by the same measured lane-round-up rule as the
+    # bf16 block kernel (int8 is vision-tower eval only, so never causal);
+    # the VMEM picker must budget the schedule that will actually run.
+    pair_packed = _resolve_pair_packed(T, W, n_heads, False, pair_packed)
+    bB = _pick_attn_block_b(B, T, W, block_b, pair_packed=pair_packed)
     if bB * T % 32:  # int8 sublane tile
         return _xla_int8_attn_reference(x, ln_params, attn_params, n_heads, valid, eps)
 
@@ -229,7 +250,13 @@ def int8_attn_block(
         scratch_shapes=[pltpu.VMEM((bB, T, W), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_int8_attn_kernel, n_heads=n_heads, valid=valid, eps=eps),
+        functools.partial(
+            _int8_attn_kernel,
+            n_heads=n_heads,
+            valid=valid,
+            eps=eps,
+            pair_packed=pair_packed,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, T, W), dtype),
         cost_estimate=pl.CostEstimate(

@@ -210,3 +210,33 @@ def test_quantize_tower_rejected_for_resnet(rng):
     imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
     with pytest.raises(NotImplementedError, match="ViT towers only"):
         C.encode_image(params, cfg, imgs)
+
+
+def test_pair_packed_core_matches_perhead_int8_dtype_mix(rng):
+    """The shared packed attention core (fused_mha._pair_packed_attention,
+    used by BOTH the bf16 block kernel and the int8 kernel) must match the
+    per-head softmax-attention math under the int8 kernel's dtype mix:
+    f32 q/k from the dequantized projections, compute-dtype (bf16) v.
+    Chip A/B + kernel-output proximity: scripts/int8_pack_ab.py."""
+    from tapclip_tpu.ops.fused_mha import _pair_packed_attention
+
+    B, T, Dh, valid = 2, 24, 64, 19
+    scale = Dh ** -0.5
+    qg = jnp.asarray(rng.standard_normal((B, T, 2 * Dh)), jnp.float32)
+    kg = jnp.asarray(rng.standard_normal((B, T, 2 * Dh)), jnp.float32)
+    vg = jnp.asarray(rng.standard_normal((B, T, 2 * Dh)), jnp.bfloat16)
+
+    packed = np.asarray(_pair_packed_attention(qg, kg, vg, valid=valid,
+                                               scale=scale))
+
+    mask = (np.arange(T) < valid)[None, None]
+    outs = []
+    for h in range(2):
+        q = np.asarray(qg[:, :, h * Dh:(h + 1) * Dh], np.float64)
+        k = np.asarray(kg[:, :, h * Dh:(h + 1) * Dh], np.float64)
+        v = np.asarray(vg[:, :, h * Dh:(h + 1) * Dh], np.float64)
+        s = np.where(mask, (q @ k.transpose(0, 2, 1)) * scale, -np.inf)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        outs.append((p / p.sum(-1, keepdims=True)) @ v)
+    ref = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(packed, ref, rtol=2e-2, atol=2e-2)
