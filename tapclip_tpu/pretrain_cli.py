@@ -163,6 +163,12 @@ def main(argv: Optional[List[str]] = None) -> dict:
     p.add_argument("--val-samples", type=int, default=1024,
                    help="cap on pooled validation pairs per epoch")
     p.add_argument("--template", default="a photo of a {}")
+    p.add_argument("--sharded-snapshot", action="store_true",
+                   help="save --save-every snapshots with Orbax's sharded "
+                        "writer: leaves stream from their devices (no host "
+                        "gather of the FSDP/TP-sharded params + moments) "
+                        "and --resume restores straight into the current "
+                        "mesh layout, resharding if the topology changed")
     p.add_argument("--schedule", default="constant",
                    choices=["constant", "cosine"],
                    help="LR schedule: constant (reference-style) or linear "
@@ -526,7 +532,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
         opt_state = optimizer.init(params)
     start_epoch = 1
     resume_gstep = 0
-    if args.resume:
+    if args.resume and not args.sharded_snapshot:
         import orbax.checkpoint as ocp
 
         from tapclip_tpu.trainer import _restore_opt_state
@@ -560,6 +566,36 @@ def main(argv: Optional[List[str]] = None) -> dict:
         if fsdp:
             log.info("FSDP/ZeRO: params + moments sharded 1/dp over "
                      "'data' (dp=%d)", mesh.shape["data"])
+
+    if args.resume and args.sharded_snapshot:
+        # Deferred past mesh placement on purpose: the snapshot restores
+        # STRAIGHT into the live sharded layout — each device reads only its
+        # own shards, resharded by Orbax if the saving topology differed.
+        from tapclip_tpu.utils.checkpoint import (
+            abstract_target,
+            restore_sharded_snapshot,
+        )
+
+        target = {
+            "params": abstract_target(params if lora is None else lora),
+            "opt_state": abstract_target(opt_state),
+            "epoch": 0,
+            "gstep": 0,
+        }
+        snap = restore_sharded_snapshot(os.path.abspath(args.resume), target)
+        if lora is not None:
+            lora = snap["params"]
+        else:
+            params = snap["params"]
+        opt_state = snap["opt_state"]
+        start_epoch = int(snap["epoch"]) + 1
+        resume_gstep = int(snap["gstep"])
+        if args.shard_dir:
+            loader.restore({"epoch": start_epoch - 1, "shards_done": 0})
+        elif args.csv_path:
+            loader.restore({"epoch": start_epoch - 1})
+        log.info("resumed (sharded restore) from %s (epoch %d)",
+                 args.resume, start_epoch - 1)
 
     from tapclip_tpu.data.prefetch import background_iter
 
@@ -770,20 +806,38 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 # the new save finalizes, so a preemption mid-save (the event this
                 # feature defends against) always leaves one valid resume point.
                 new_snap = os.path.abspath(f"{snap_dir}_e{epoch:06d}")
-                ocp.PyTreeCheckpointer().save(
-                    new_snap,
-                    {
-                        # LoRA runs snapshot the (tiny) adapter tree; the frozen
-                        # base is reproducible from --pretrained/--preset.
-                        "params": jax.tree.map(
-                            np.asarray, params if lora is None else lora
-                        ),
-                        "opt_state": jax.tree.map(np.asarray, opt_state),
-                        "epoch": epoch,
-                        "gstep": gstep,
-                    },
-                    force=True,
-                )
+                if args.sharded_snapshot:
+                    # Live jax.Arrays, sharded layout preserved — no host
+                    # gather of the FSDP/TP-sharded params + moments.
+                    from tapclip_tpu.utils.checkpoint import (
+                        save_sharded_snapshot,
+                    )
+
+                    save_sharded_snapshot(
+                        new_snap,
+                        {
+                            "params": params if lora is None else lora,
+                            "opt_state": opt_state,
+                            "epoch": epoch,
+                            "gstep": gstep,
+                        },
+                    )
+                else:
+                    ocp.PyTreeCheckpointer().save(
+                        new_snap,
+                        {
+                            # LoRA runs snapshot the (tiny) adapter tree; the
+                            # frozen base is reproducible from
+                            # --pretrained/--preset.
+                            "params": jax.tree.map(
+                                np.asarray, params if lora is None else lora
+                            ),
+                            "opt_state": jax.tree.map(np.asarray, opt_state),
+                            "epoch": epoch,
+                            "gstep": gstep,
+                        },
+                        force=True,
+                    )
                 import shutil
 
                 base = os.path.basename(snap_dir)
