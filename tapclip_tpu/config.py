@@ -315,6 +315,11 @@ class TrainConfig:
     # frozen zero-shot classifier with lambda * mean_c(1 - cos(w_c, w_c^zs)).
     # 0.0 (default) keeps the reference's CE-only loss exactly.
     kg_lambda: float = 0.0
+    # ProGrad (Zhu et al., ICCV 2023): project the task gradient off the
+    # gradient of KL(zero-shot || tuned) whenever the two conflict (paper
+    # lambda=1: the update never increases the KL to the frozen zero-shot
+    # predictions).  0.0 (default) keeps plain gradient descent.
+    prograd_lambda: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -45,6 +45,7 @@ ALL_METHODS = (
     "tip-adapter-f",
     "clip-adapter",
     "prompt",
+    "prograd",
     "maple",
     "tpt",
 )
@@ -274,6 +275,30 @@ def run_fewshot_benchmark(
             verbose=False,
         )
         record("prompt", fit.best_acc, time.monotonic() - t0)
+
+    if "prograd" in methods:
+        # Prompt tuning under the ProGrad projection (Zhu et al. 2023):
+        # same protocol as "prompt", the update constrained to never
+        # increase the KL to the frozen zero-shot predictions.
+        from tapclip_tpu.models.model_wrapper import FullModel
+        from tapclip_tpu.trainer import CachedSet, fit_prompt_model
+
+        t0 = time.monotonic()
+        model = FullModel(
+            class_names, params, cfg,
+            prompt_cfg=PromptConfig(max_classes=max(8, n_cls)),
+            tokenizer=tokenizer,
+            rng=jax.random.PRNGKey(seed),
+        )
+        fit = fit_prompt_model(
+            model,
+            CachedSet(Xtr, ytr),
+            CachedSet(Xva, yva),
+            TrainConfig(lr=lr, epochs=epochs, batch_size=min(batch_size, 64),
+                        seed=seed, prograd_lambda=1.0),
+            verbose=False,
+        )
+        record("prograd", fit.best_acc, time.monotonic() - t0)
 
     if "maple" in methods:
         from tapclip_tpu.maple import fit_maple

@@ -74,6 +74,33 @@ def init_train_state(
     )
 
 
+def _prograd_project(g_d, g_g, lam: float):
+    """ProGrad conflict projection (Zhu et al., ICCV 2023, eq. 4).
+
+    ``g_d``: the task (CE) gradient pytree; ``g_g``: the general-knowledge
+    gradient (of KL(zero-shot || tuned)).  When the flat-vector dot is
+    negative, subtract ``lam`` times g_d's component along g_g — the update
+    never increases the KL to the zero-shot predictions (at ``lam=1`` it is
+    exactly orthogonal to g_g).  A relative norm guard skips the projection
+    when g_g is float noise (|g_g|^2 < 1e-12 |g_d|^2 — e.g. at template
+    init, where tuned == zero-shot and the KL gradient is identically 0):
+    projecting against a noise direction would delete a random component
+    of the task gradient.
+
+    Returns ``(projected_grads, conflict)`` with ``conflict`` a 0/1 scalar.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat_d, unravel = ravel_pytree(g_d)
+    flat_g, _ = ravel_pytree(g_g)
+    dd = jnp.vdot(flat_d, flat_d)
+    gg = jnp.vdot(flat_g, flat_g)
+    dot = jnp.vdot(flat_d, flat_g)
+    conflict = (dot < 0.0) & (gg > 1e-12 * dd)
+    coef = jnp.where(conflict, dot / jnp.maximum(gg, 1e-30), 0.0)
+    return unravel(flat_d - lam * coef * flat_g), conflict.astype(jnp.float32)
+
+
 def make_train_step(
     clip_cfg: CLIPConfig,
     prompt_cfg: PromptConfig,
@@ -82,6 +109,7 @@ def make_train_step(
     use_image_feats: bool = True,
     kg_lambda: float = 0.0,
     kg_feats=None,
+    prograd_lambda: float = 0.0,
 ) -> Callable:
     """Returns jitted ``step(clip_params, state, bank, images_or_feats, labels, mask)``.
 
@@ -90,17 +118,33 @@ def make_train_step(
     classes, pulling the learned class embeddings toward the frozen
     zero-shot classifier ``kg_feats [C_max, E]`` (L2-normalized, padded to
     the bank width).  Off by default: the reference's loss is CE-only.
-    The CE-only form is lru-cached (hashable args); the kg form closes over
-    its KB-sized anchor, so each distinct anchor builds a fresh step.
+
+    ``prograd_lambda``: ProGrad (Zhu et al. 2023) — per step, also compute
+    the gradient of KL(zero-shot preds || tuned preds) against the same
+    frozen ``kg_feats`` classifier, and when the two gradients conflict
+    subtract ``prograd_lambda`` times the task gradient's component along
+    it (see :func:`_prograd_project`).  Needs ``kg_feats``; composes with
+    ``kg_lambda`` (the projection applies to the composed loss gradient).
+
+    The CE-only form is lru-cached (hashable args); the kg/prograd forms
+    close over their KB-sized anchor, so each distinct anchor builds a
+    fresh step.
     """
-    if kg_lambda > 0.0:
+    if kg_lambda > 0.0 or prograd_lambda > 0.0:
         if kg_feats is None:
             raise ValueError(
-                "kg_lambda > 0 requires kg_feats (the zero-shot anchor)"
+                "kg_lambda/prograd_lambda > 0 requires kg_feats "
+                "(the zero-shot anchor)"
+            )
+        if prograd_lambda > 0.0 and not use_image_feats:
+            raise ValueError(
+                "prograd_lambda requires the cached-feature step "
+                "(use_image_feats=True): the zero-shot logits are built "
+                "from the feature batch"
             )
         return _make_train_step_impl(
             clip_cfg, prompt_cfg, optimizer, trainable_keys, use_image_feats,
-            kg_lambda, jnp.asarray(kg_feats, jnp.float32),
+            kg_lambda, jnp.asarray(kg_feats, jnp.float32), prograd_lambda,
         )
     return _make_train_step_cached(
         clip_cfg, prompt_cfg, optimizer, trainable_keys, use_image_feats
@@ -111,7 +155,8 @@ def make_train_step(
 def _make_train_step_cached(clip_cfg, prompt_cfg, optimizer, trainable_keys,
                             use_image_feats):
     return _make_train_step_impl(clip_cfg, prompt_cfg, optimizer,
-                                 trainable_keys, use_image_feats, 0.0, None)
+                                 trainable_keys, use_image_feats, 0.0, None,
+                                 0.0)
 
 
 def _make_train_step_impl(
@@ -122,8 +167,10 @@ def _make_train_step_impl(
     use_image_feats: bool,
     kg_lambda: float,
     kg_feats,
+    prograd_lambda: float,
 ) -> Callable:
     use_kg = kg_lambda > 0.0
+    use_prograd = prograd_lambda > 0.0
 
     def loss_fn(diff_params, rest_params, clip_params, bank, x, labels, mask):
         trainable = {**rest_params, **diff_params}
@@ -149,6 +196,33 @@ def _make_train_step_impl(
             out["loss"] = out["loss"] + kg_lambda * out["loss_kg"]
         return out["loss"], out
 
+    def kl_fn(diff_params, rest_params, clip_params, bank, x, labels, mask):
+        """KL(zero-shot preds || tuned preds), the ProGrad 'general
+        knowledge' objective.  The zero-shot side is the frozen kg_feats
+        classifier over the SAME feature batch (stop-gradient scale), so
+        it is constant w.r.t. the trainable leaves; gradients flow only
+        through the tuned log-probabilities."""
+        trainable = {**rest_params, **diff_params}
+        out = full_model_forward(
+            clip_params, trainable, bank, None, None,
+            clip_cfg=clip_cfg, prompt_cfg=prompt_cfg, with_loss=False,
+            image_feats=x,
+        )
+        img = clip_model.l2_normalize(x).astype(jnp.float32)
+        scale = jax.lax.stop_gradient(
+            jnp.exp(trainable["logit_scale"]).astype(jnp.float32)
+        )
+        zs = scale * img @ kg_feats.T  # [B, C]
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+        zs = jnp.where(bank.class_mask[None, :], zs, neg)
+        p_zs = jax.nn.softmax(zs, axis=-1)
+        kl = (p_zs * (jax.nn.log_softmax(zs, axis=-1)
+                      - jax.nn.log_softmax(out["logits"], axis=-1))).sum(-1)
+        if mask is not None:
+            m = mask.astype(jnp.float32)
+            return (kl * m).sum() / jnp.maximum(m.sum(), 1.0)
+        return kl.mean()
+
     # NOTE: no buffer donation — trainable state is KB-sized and callers
     # commonly alias state.params["ctx"] with the PromptLearner bank's ctx
     # buffer; donating would invalidate the learner's copy.
@@ -159,6 +233,14 @@ def _make_train_step_impl(
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             diff, rest, clip_params, bank, x, labels, mask
         )
+        metrics = {"loss": loss}
+        if use_prograd:
+            loss_kl, g_kl = jax.value_and_grad(kl_fn)(
+                diff, rest, clip_params, bank, x, labels, mask
+            )
+            grads, conflict = _prograd_project(grads, g_kl, prograd_lambda)
+            metrics["loss_prograd_kl"] = loss_kl
+            metrics["prograd_conflict"] = conflict
         updates, new_opt = optimizer.update(grads, state.opt_state, diff)
         new_diff = optax.apply_updates(diff, updates)
         new_state = TrainState(
@@ -166,10 +248,7 @@ def _make_train_step_impl(
             params={**state.params, **new_diff},
             opt_state=new_opt,
         )
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-        }
+        metrics["grad_norm"] = optax.global_norm(grads)
         if "loss_kg" in out:
             metrics["loss_kg"] = out["loss_kg"]
         return new_state, metrics

@@ -51,6 +51,10 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
                    help="KgCoOp: anchor learned text features to the "
                         "zero-shot classifier with this weight (0 = the "
                         "reference's CE-only loss)")
+    p.add_argument("--prograd-lambda", type=float, default=None,
+                   help="ProGrad: project the task gradient off the "
+                        "KL(zero-shot || tuned) gradient when they "
+                        "conflict (paper uses 1.0; 0 = plain descent)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--num-shots", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -101,7 +105,8 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
     for field, arg in [("epochs", args.epochs), ("patience", args.patience),
                        ("lr", args.lr), ("weight_decay", args.weight_decay),
                        ("batch_size", args.batch_size), ("num_shots", args.num_shots),
-                       ("seed", args.seed), ("kg_lambda", args.kg_lambda)]:
+                       ("seed", args.seed), ("kg_lambda", args.kg_lambda),
+                       ("prograd_lambda", args.prograd_lambda)]:
         if arg is not None:
             train = dataclasses.replace(train, **{field: arg})
     return dataclasses.replace(

@@ -275,8 +275,8 @@ def fit_prompt_model(
     else:
         state = init_train_state(model.trainable, optimizer, trainable_keys)
     kg_feats = None
-    if train_cfg.kg_lambda > 0.0:
-        # KgCoOp anchor (Yao et al. 2023): the frozen zero-shot class
+    if train_cfg.kg_lambda > 0.0 or train_cfg.prograd_lambda > 0.0:
+        # KgCoOp / ProGrad anchor: the frozen zero-shot class
         # embeddings, built through the SAME pipeline the tuned features use
         # (template-initialized context -> attribution -> adjust -> encode
         # under prompt_cfg.text_mode).  Using build_zero_shot_classifier here
@@ -307,7 +307,8 @@ def fit_prompt_model(
     step_fn = make_train_step(model.clip_cfg, model.prompt_cfg, optimizer,
                               trainable_keys=trainable_keys,
                               kg_lambda=train_cfg.kg_lambda,
-                              kg_feats=kg_feats)
+                              kg_feats=kg_feats,
+                              prograd_lambda=train_cfg.prograd_lambda)
     bank = model.prompt_learner.bank
     clip_params = model.clip_params
 
