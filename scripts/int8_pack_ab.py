@@ -37,8 +37,11 @@ def main():
         T, W, H, valid = 200, 768, 12, 197
         B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     else:
+        # Default B=256, NOT 64: the int8 block is sub-ms at B=64 and the
+        # slope signal drowns in tunnel jitter (measured: negative slopes);
+        # the recorded 0.910 A/B used B=256.
         T, W, H, valid = 264, 1024, 16, 257
-        B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+        B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     steps = 8
     print(f"backend={jax.default_backend()} {geom} B={B} T={T} W={W} H={H}")

@@ -110,6 +110,7 @@ def make_train_step(
     kg_lambda: float = 0.0,
     kg_feats=None,
     prograd_lambda: float = 0.0,
+    prograd_scale: Optional[float] = None,
 ) -> Callable:
     """Returns jitted ``step(clip_params, state, bank, images_or_feats, labels, mask)``.
 
@@ -142,9 +143,16 @@ def make_train_step(
                 "(use_image_feats=True): the zero-shot logits are built "
                 "from the feature batch"
             )
+        if prograd_lambda > 0.0 and prograd_scale is None:
+            raise ValueError(
+                "prograd_lambda > 0 requires prograd_scale (the INIT-time "
+                "raw logit_scale): the zero-shot side must stay frozen "
+                "even when logit_scale is in trainable_keys"
+            )
         return _make_train_step_impl(
             clip_cfg, prompt_cfg, optimizer, trainable_keys, use_image_feats,
             kg_lambda, jnp.asarray(kg_feats, jnp.float32), prograd_lambda,
+            prograd_scale,
         )
     return _make_train_step_cached(
         clip_cfg, prompt_cfg, optimizer, trainable_keys, use_image_feats
@@ -156,7 +164,7 @@ def _make_train_step_cached(clip_cfg, prompt_cfg, optimizer, trainable_keys,
                             use_image_feats):
     return _make_train_step_impl(clip_cfg, prompt_cfg, optimizer,
                                  trainable_keys, use_image_feats, 0.0, None,
-                                 0.0)
+                                 0.0, None)
 
 
 def _make_train_step_impl(
@@ -168,6 +176,7 @@ def _make_train_step_impl(
     kg_lambda: float,
     kg_feats,
     prograd_lambda: float,
+    prograd_scale,
 ) -> Callable:
     use_kg = kg_lambda > 0.0
     use_prograd = prograd_lambda > 0.0
@@ -196,28 +205,22 @@ def _make_train_step_impl(
             out["loss"] = out["loss"] + kg_lambda * out["loss_kg"]
         return out["loss"], out
 
-    def kl_fn(diff_params, rest_params, clip_params, bank, x, labels, mask):
+    def kl_term(logits, bank, x, mask):
         """KL(zero-shot preds || tuned preds), the ProGrad 'general
-        knowledge' objective.  The zero-shot side is the frozen kg_feats
-        classifier over the SAME feature batch (stop-gradient scale), so
-        it is constant w.r.t. the trainable leaves; gradients flow only
-        through the tuned log-probabilities."""
-        trainable = {**rest_params, **diff_params}
-        out = full_model_forward(
-            clip_params, trainable, bank, None, None,
-            clip_cfg=clip_cfg, prompt_cfg=prompt_cfg, with_loss=False,
-            image_feats=x,
-        )
+        knowledge' objective, from the tuned logits loss_fn already
+        computed (no second forward).  The zero-shot side is the frozen
+        kg_feats classifier over the SAME feature batch at the INIT-time
+        logit scale (``prograd_scale``, a trace-time constant — using the
+        live scale would let the 'frozen' zero-shot distribution sharpen
+        whenever logit_scale is in trainable_keys, the same moving-anchor
+        bug the trainer guards against for the adjustor)."""
         img = clip_model.l2_normalize(x).astype(jnp.float32)
-        scale = jax.lax.stop_gradient(
-            jnp.exp(trainable["logit_scale"]).astype(jnp.float32)
-        )
-        zs = scale * img @ kg_feats.T  # [B, C]
+        zs = jnp.exp(jnp.float32(prograd_scale)) * img @ kg_feats.T  # [B, C]
         neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
         zs = jnp.where(bank.class_mask[None, :], zs, neg)
         p_zs = jax.nn.softmax(zs, axis=-1)
         kl = (p_zs * (jax.nn.log_softmax(zs, axis=-1)
-                      - jax.nn.log_softmax(out["logits"], axis=-1))).sum(-1)
+                      - jax.nn.log_softmax(logits, axis=-1))).sum(-1)
         if mask is not None:
             m = mask.astype(jnp.float32)
             return (kl * m).sum() / jnp.maximum(m.sum(), 1.0)
@@ -230,17 +233,32 @@ def _make_train_step_impl(
     def step(clip_params, state: TrainState, bank: PromptBank, x, labels, mask):
         diff = {k: state.params[k] for k in trainable_keys}
         rest = {k: v for k, v in state.params.items() if k not in trainable_keys}
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            diff, rest, clip_params, bank, x, labels, mask
-        )
-        metrics = {"loss": loss}
         if use_prograd:
-            loss_kl, g_kl = jax.value_and_grad(kl_fn)(
+            # ONE forward, two pullbacks: the KL needs only the tuned
+            # logits, which loss_fn's forward already produces — jax.vjp
+            # guarantees the shared residual computation is not duplicated
+            # (two value_and_grad calls would rely on XLA CSE merging two
+            # whole text-tower subgraphs).
+            def pair_fn(d):
+                loss, out = loss_fn(d, rest, clip_params, bank, x, labels,
+                                    mask)
+                return jnp.stack(
+                    [loss.astype(jnp.float32),
+                     kl_term(out["logits"], bank, x, mask)]
+                ), out
+
+            vals, pullback, out = jax.vjp(pair_fn, diff, has_aux=True)
+            grads = pullback(jnp.asarray([1.0, 0.0], vals.dtype))[0]
+            g_kl = pullback(jnp.asarray([0.0, 1.0], vals.dtype))[0]
+            loss = vals[0]
+            grads, conflict = _prograd_project(grads, g_kl, prograd_lambda)
+            metrics = {"loss": loss, "loss_prograd_kl": vals[1],
+                       "prograd_conflict": conflict}
+        else:
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 diff, rest, clip_params, bank, x, labels, mask
             )
-            grads, conflict = _prograd_project(grads, g_kl, prograd_lambda)
-            metrics["loss_prograd_kl"] = loss_kl
-            metrics["prograd_conflict"] = conflict
+            metrics = {"loss": loss}
         updates, new_opt = optimizer.update(grads, state.opt_state, diff)
         new_diff = optax.apply_updates(diff, updates)
         new_state = TrainState(

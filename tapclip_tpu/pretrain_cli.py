@@ -532,6 +532,20 @@ def main(argv: Optional[List[str]] = None) -> dict:
         opt_state = optimizer.init(params)
     start_epoch = 1
     resume_gstep = 0
+    def _resume_tail(snap, how):
+        """Shared epoch/stream alignment for both resume modes.  Epoch-
+        granular: the stream reshuffles per (seed, epoch), so aligning the
+        epoch counter reproduces the un-preempted run's shard order for
+        every remaining epoch."""
+        start = int(snap.get("epoch", 0)) + 1
+        if args.shard_dir:
+            loader.restore({"epoch": start - 1, "shards_done": 0})
+        elif args.csv_path:
+            loader.restore({"epoch": start - 1})
+        log.info("resumed (%s) from %s (epoch %d)", how, args.resume,
+                 start - 1)
+        return start, int(snap.get("gstep", 0))
+
     if args.resume and not args.sharded_snapshot:
         import orbax.checkpoint as ocp
 
@@ -543,16 +557,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
         else:
             params = jax.tree.map(jnp.asarray, snap["params"])
         opt_state = _restore_opt_state(opt_state, snap["opt_state"])
-        start_epoch = int(snap.get("epoch", 0)) + 1
-        resume_gstep = int(snap.get("gstep", 0))
-        if args.shard_dir:
-            # epoch-granular resume: the stream reshuffles per (seed, epoch),
-            # so aligning the epoch counter reproduces the un-preempted run's
-            # shard order for every remaining epoch.
-            loader.restore({"epoch": start_epoch - 1, "shards_done": 0})
-        elif args.csv_path:
-            loader.restore({"epoch": start_epoch - 1})
-        log.info("resumed from %s (epoch %d)", args.resume, start_epoch - 1)
+        start_epoch, resume_gstep = _resume_tail(snap, "host restore")
     if mesh is not None:
         fsdp = args.fsdp and lora is None
         params = shard_params(params, mesh, fsdp=fsdp)
@@ -588,14 +593,7 @@ def main(argv: Optional[List[str]] = None) -> dict:
         else:
             params = snap["params"]
         opt_state = snap["opt_state"]
-        start_epoch = int(snap["epoch"]) + 1
-        resume_gstep = int(snap["gstep"])
-        if args.shard_dir:
-            loader.restore({"epoch": start_epoch - 1, "shards_done": 0})
-        elif args.csv_path:
-            loader.restore({"epoch": start_epoch - 1})
-        log.info("resumed (sharded restore) from %s (epoch %d)",
-                 args.resume, start_epoch - 1)
+        start_epoch, resume_gstep = _resume_tail(snap, "sharded restore")
 
     from tapclip_tpu.data.prefetch import background_iter
 

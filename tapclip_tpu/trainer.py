@@ -262,6 +262,10 @@ def fit_prompt_model(
     # otherwise a resumed fit anchors its kg penalty to a moving target and
     # diverges from the uninterrupted run.
     init_adjustor = model.trainable.get("adjustor")
+    # Same pre-resume capture for the ProGrad zero-shot temperature: the
+    # frozen zero-shot distribution must use the INIT logit scale even when
+    # logit_scale joins trainable_keys (or a resume restores a trained one).
+    init_logit_scale = float(model.trainable["logit_scale"])
     if resume_state is not None:
         from tapclip_tpu.parallel.train_step import TrainState
 
@@ -308,7 +312,8 @@ def fit_prompt_model(
                               trainable_keys=trainable_keys,
                               kg_lambda=train_cfg.kg_lambda,
                               kg_feats=kg_feats,
-                              prograd_lambda=train_cfg.prograd_lambda)
+                              prograd_lambda=train_cfg.prograd_lambda,
+                              prograd_scale=init_logit_scale)
     bank = model.prompt_learner.bank
     clip_params = model.clip_params
 
