@@ -13,7 +13,7 @@ CHUNKS=(
   "A|tests/test_sharding.py tests/test_multihost.py tests/test_scale.py tests/test_augment.py tests/test_featurize.py tests/test_search.py tests/test_saliency.py tests/test_linear_probe.py tests/test_csv_dataset.py"
   "B|tests/test_pretrain.py tests/test_fsdp.py tests/test_distill.py"
   "C|tests/test_drivers.py tests/test_serve.py tests/test_convert_script.py"
-  "D|tests/test_clip_model.py tests/test_full_model_oracle.py tests/test_grad_oracle.py tests/test_train_loop_oracle.py tests/test_model_wrapper.py tests/test_sharded_ckpt.py tests/test_prograd.py"
+  "D|tests/test_clip_model.py tests/test_full_model_oracle.py tests/test_grad_oracle.py tests/test_train_loop_oracle.py tests/test_model_wrapper.py tests/test_sharded_ckpt.py tests/test_prograd.py tests/test_promptsrc.py"
   "E|tests/test_kernel_grads.py tests/test_fused_mha.py tests/test_fused_mlp.py tests/test_flash_blocked.py tests/test_attention.py tests/test_int8.py"
   "F|tests/test_maple.py tests/test_fewshot.py tests/test_tpt.py tests/test_kgcoop.py tests/test_base_to_new.py tests/test_robustness.py tests/test_clip_adapter.py tests/test_tip_adapter.py"
   "G|tests/test_adaptive_eval.py tests/test_bitfit.py tests/test_calibration.py tests/test_checkpoint.py tests/test_data.py tests/test_feature_cache.py tests/test_image_conditioned.py tests/test_model_export.py tests/test_model_soup.py tests/test_moe.py tests/test_native.py tests/test_peft.py tests/test_pipeline.py tests/test_predict.py tests/test_prefetch.py"

@@ -320,6 +320,12 @@ class TrainConfig:
     # lambda=1: the update never increases the KL to the frozen zero-shot
     # predictions).  0.0 (default) keeps plain gradient descent.
     prograd_lambda: float = 0.0
+    # PromptSRC-style logit self-regularization (Khattak et al. 2023
+    # L_SCL-logits): add lambda * KL(zero-shot preds || tuned preds) to the
+    # loss — soft distillation from the frozen zero-shot classifier.
+    # Combine with kg_lambda (the feature-level term) for the PromptSRC
+    # recipe (tapclip_tpu.promptsrc adds the Gaussian prompt aggregation).
+    scl_lambda: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -46,6 +46,7 @@ ALL_METHODS = (
     "clip-adapter",
     "prompt",
     "prograd",
+    "promptsrc",
     "maple",
     "tpt",
 )
@@ -299,6 +300,32 @@ def run_fewshot_benchmark(
             verbose=False,
         )
         record("prograd", fit.best_acc, time.monotonic() - t0)
+
+    if "promptsrc" in methods:
+        # PromptSRC recipe (Khattak et al. 2023): feature + logit
+        # self-regularization toward the frozen zero-shot model, plus
+        # Gaussian aggregation of the per-epoch prompts.
+        from tapclip_tpu.models.model_wrapper import FullModel
+        from tapclip_tpu.promptsrc import fit_promptsrc
+        from tapclip_tpu.trainer import CachedSet
+
+        t0 = time.monotonic()
+        model = FullModel(
+            class_names, params, cfg,
+            prompt_cfg=PromptConfig(max_classes=max(8, n_cls)),
+            tokenizer=tokenizer,
+            rng=jax.random.PRNGKey(seed),
+        )
+        res = fit_promptsrc(
+            model,
+            CachedSet(Xtr, ytr),
+            CachedSet(Xva, yva),
+            TrainConfig(lr=lr, epochs=epochs, batch_size=min(batch_size, 64),
+                        seed=seed, kg_lambda=1.0, scl_lambda=1.0),
+            verbose=False,
+        )
+        record("promptsrc", max(res.gpa_acc, res.fit.best_acc),
+               time.monotonic() - t0)
 
     if "maple" in methods:
         from tapclip_tpu.maple import fit_maple

@@ -110,7 +110,8 @@ def make_train_step(
     kg_lambda: float = 0.0,
     kg_feats=None,
     prograd_lambda: float = 0.0,
-    prograd_scale: Optional[float] = None,
+    anchor_scale: Optional[float] = None,
+    scl_lambda: float = 0.0,
 ) -> Callable:
     """Returns jitted ``step(clip_params, state, bank, images_or_feats, labels, mask)``.
 
@@ -127,32 +128,38 @@ def make_train_step(
     it (see :func:`_prograd_project`).  Needs ``kg_feats``; composes with
     ``kg_lambda`` (the projection applies to the composed loss gradient).
 
-    The CE-only form is lru-cached (hashable args); the kg/prograd forms
+    ``scl_lambda``: PromptSRC-style logit self-regularization (Khattak et
+    al. 2023 L_SCL-logits) — the same KL(zero-shot || tuned) term added to
+    the LOSS (soft distillation from the frozen zero-shot predictions)
+    instead of used as a projection direction.  Needs ``kg_feats`` +
+    ``anchor_scale``; composes with both lambdas above.
+
+    The CE-only form is lru-cached (hashable args); the anchored forms
     close over their KB-sized anchor, so each distinct anchor builds a
     fresh step.
     """
-    if kg_lambda > 0.0 or prograd_lambda > 0.0:
+    if kg_lambda > 0.0 or prograd_lambda > 0.0 or scl_lambda > 0.0:
         if kg_feats is None:
             raise ValueError(
-                "kg_lambda/prograd_lambda > 0 requires kg_feats "
+                "kg_lambda/prograd_lambda/scl_lambda > 0 requires kg_feats "
                 "(the zero-shot anchor)"
             )
-        if prograd_lambda > 0.0 and not use_image_feats:
+        if (prograd_lambda > 0.0 or scl_lambda > 0.0) and not use_image_feats:
             raise ValueError(
-                "prograd_lambda requires the cached-feature step "
+                "prograd_lambda/scl_lambda require the cached-feature step "
                 "(use_image_feats=True): the zero-shot logits are built "
                 "from the feature batch"
             )
-        if prograd_lambda > 0.0 and prograd_scale is None:
+        if (prograd_lambda > 0.0 or scl_lambda > 0.0) and anchor_scale is None:
             raise ValueError(
-                "prograd_lambda > 0 requires prograd_scale (the INIT-time "
-                "raw logit_scale): the zero-shot side must stay frozen "
-                "even when logit_scale is in trainable_keys"
+                "prograd_lambda/scl_lambda > 0 requires anchor_scale (the "
+                "INIT-time raw logit_scale): the zero-shot side must stay "
+                "frozen even when logit_scale is in trainable_keys"
             )
         return _make_train_step_impl(
             clip_cfg, prompt_cfg, optimizer, trainable_keys, use_image_feats,
             kg_lambda, jnp.asarray(kg_feats, jnp.float32), prograd_lambda,
-            prograd_scale,
+            anchor_scale, scl_lambda,
         )
     return _make_train_step_cached(
         clip_cfg, prompt_cfg, optimizer, trainable_keys, use_image_feats
@@ -164,7 +171,7 @@ def _make_train_step_cached(clip_cfg, prompt_cfg, optimizer, trainable_keys,
                             use_image_feats):
     return _make_train_step_impl(clip_cfg, prompt_cfg, optimizer,
                                  trainable_keys, use_image_feats, 0.0, None,
-                                 0.0, None)
+                                 0.0, None, 0.0)
 
 
 def _make_train_step_impl(
@@ -176,10 +183,12 @@ def _make_train_step_impl(
     kg_lambda: float,
     kg_feats,
     prograd_lambda: float,
-    prograd_scale,
+    anchor_scale,
+    scl_lambda: float,
 ) -> Callable:
     use_kg = kg_lambda > 0.0
     use_prograd = prograd_lambda > 0.0
+    use_scl = scl_lambda > 0.0
 
     def loss_fn(diff_params, rest_params, clip_params, bank, x, labels, mask):
         trainable = {**rest_params, **diff_params}
@@ -203,6 +212,12 @@ def _make_train_step_impl(
             kg = ((1.0 - cos) * cm).sum(-1) / jnp.maximum(cm.sum(), 1.0)
             out["loss_kg"] = kg.mean()  # mean over B in the conditioned case
             out["loss"] = out["loss"] + kg_lambda * out["loss_kg"]
+        if use_scl:
+            # PromptSRC L_SCL-logits: distill the frozen zero-shot
+            # predictions into the tuned logits (kl_term resolves at call
+            # time; same frozen anchor + init-scale as the prograd path).
+            out["loss_scl"] = kl_term(out["logits"], bank, x, mask)
+            out["loss"] = out["loss"] + scl_lambda * out["loss_scl"]
         return out["loss"], out
 
     def kl_term(logits, bank, x, mask):
@@ -210,12 +225,12 @@ def _make_train_step_impl(
         knowledge' objective, from the tuned logits loss_fn already
         computed (no second forward).  The zero-shot side is the frozen
         kg_feats classifier over the SAME feature batch at the INIT-time
-        logit scale (``prograd_scale``, a trace-time constant — using the
+        logit scale (``anchor_scale``, a trace-time constant — using the
         live scale would let the 'frozen' zero-shot distribution sharpen
         whenever logit_scale is in trainable_keys, the same moving-anchor
         bug the trainer guards against for the adjustor)."""
         img = clip_model.l2_normalize(x).astype(jnp.float32)
-        zs = jnp.exp(jnp.float32(prograd_scale)) * img @ kg_feats.T  # [B, C]
+        zs = jnp.exp(jnp.float32(anchor_scale)) * img @ kg_feats.T  # [B, C]
         neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
         zs = jnp.where(bank.class_mask[None, :], zs, neg)
         p_zs = jax.nn.softmax(zs, axis=-1)
@@ -269,6 +284,8 @@ def _make_train_step_impl(
         metrics["grad_norm"] = optax.global_norm(grads)
         if "loss_kg" in out:
             metrics["loss_kg"] = out["loss_kg"]
+        if "loss_scl" in out:
+            metrics["loss_scl"] = out["loss_scl"]
         return new_state, metrics
 
     return step

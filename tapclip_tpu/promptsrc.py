@@ -1,0 +1,128 @@
+"""PromptSRC-style self-regulated prompt tuning (Khattak et al., ICCV 2023).
+
+Composes the three self-regularization mechanisms over this framework's
+existing anchored train step (reference has no analogue; the closest is the
+plain CE loop at ``/root/reference/train.py:90-128``):
+
+1. **Feature-level mutual agreement** — ``TrainConfig.kg_lambda``: cosine
+   pull of the tuned class embeddings toward the frozen zero-shot
+   classifier (the KgCoOp term; PromptSRC's L_SCL-feature analog over the
+   text side — image features are frozen here, so the image branch of the
+   paper's term is identically satisfied).
+2. **Logit-level mutual agreement** — ``TrainConfig.scl_lambda``: soft
+   distillation ``KL(zero-shot preds || tuned preds)`` at the frozen
+   INIT-time temperature (L_SCL-logits).
+3. **Gaussian prompt aggregation (GPA)** — the returned context is a
+   Gaussian-weighted average of the per-epoch prompt snapshots (weights
+   ``N(epoch; mu, sigma)``), smoothing over the optimization trajectory
+   instead of trusting one early-stopped point.
+
+The paper's textual-diversity term (multi-template frozen anchors) is
+deliberately NOT folded in here: the anchor must live in the tuned
+features' embedding geometry (see trainer.py's same-pipeline anchor note),
+and the framework's template machinery produces one init per class.
+
+All epochs run through the standard jitted anchored step; GPA rides the
+trainer's ``checkpoint_cb`` hook, so this module adds no training-loop
+code of its own.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from tapclip_tpu.config import TrainConfig
+from tapclip_tpu.trainer import FitResult, evaluate_cached, fit_prompt_model
+
+log = logging.getLogger("tapclip_tpu")
+
+
+@dataclasses.dataclass
+class PromptSRCResult:
+    fit: FitResult
+    gpa_trainable: Dict[str, Any]  # best_trainable with the GPA context
+    gpa_acc: float  # val accuracy of the aggregated prompt
+    best_is_gpa: bool  # did aggregation beat the early-stopped best?
+
+
+def gaussian_weights(n: int, *, mu: Optional[float] = None,
+                     sigma: Optional[float] = None) -> np.ndarray:
+    """Normalized N(epoch; mu, sigma) weights over epochs 1..n.
+
+    Paper defaults: mass centered past the middle of training (late prompts
+    are better on-task, early ones more general — the Gaussian trades off
+    both); ``mu = 0.6 n``, ``sigma = n/3`` unless given.
+    """
+    e = np.arange(1, n + 1, dtype=np.float64)
+    mu = 0.6 * n if mu is None else mu
+    sigma = max(n / 3.0, 1e-6) if sigma is None else max(sigma, 1e-6)
+    w = np.exp(-0.5 * ((e - mu) / sigma) ** 2)
+    return w / w.sum()
+
+
+def fit_promptsrc(
+    model,
+    train_loader,
+    val_loader,
+    train_cfg: TrainConfig,
+    *,
+    gpa_mu: Optional[float] = None,
+    gpa_sigma: Optional[float] = None,
+    verbose: bool = True,
+    **fit_kwargs,
+) -> PromptSRCResult:
+    """Run the PromptSRC recipe; returns the GPA-aggregated prompt.
+
+    ``train_cfg`` supplies the two regularizer weights (``kg_lambda``,
+    ``scl_lambda``) — pass the paper-style defaults explicitly, e.g.
+    ``TrainConfig(kg_lambda=1.0, scl_lambda=1.0)``; this function only adds
+    the trajectory aggregation.  The trainer's early-stopped best and the
+    aggregated prompt are BOTH evaluated; ``model.trainable`` is left at
+    whichever wins (``best_is_gpa`` says which).
+    """
+    if "checkpoint_cb" in fit_kwargs or "checkpoint_every" in fit_kwargs:
+        raise ValueError(
+            "fit_promptsrc drives checkpoint_cb itself (GPA snapshots); "
+            "wrap fit_prompt_model directly for custom snapshotting"
+        )
+    snaps = []
+
+    def _collect(epoch, state, _acc):
+        snaps.append(np.asarray(state.params["ctx"], np.float32))
+
+    fit = fit_prompt_model(
+        model, train_loader, val_loader, train_cfg,
+        checkpoint_cb=_collect, checkpoint_every=1, verbose=verbose,
+        **fit_kwargs,
+    )
+    if not snaps:  # zero epochs — degenerate; nothing to aggregate
+        return PromptSRCResult(fit, dict(fit.best_trainable),
+                               fit.best_acc, False)
+
+    w = gaussian_weights(len(snaps), mu=gpa_mu, sigma=gpa_sigma)
+    ctx_dtype = fit.best_trainable["ctx"].dtype
+    gpa_ctx = np.tensordot(w, np.stack(snaps), axes=1).astype(ctx_dtype)
+    gpa_trainable = dict(fit.best_trainable)
+    gpa_trainable["ctx"] = gpa_ctx
+
+    # Evaluate the aggregated prompt on the same val features the fit used.
+    from tapclip_tpu.trainer import CachedSet, cache_features
+
+    val_cache = (val_loader if isinstance(val_loader, CachedSet)
+                 else cache_features(model, val_loader))
+    saved = model.trainable
+    model.trainable = gpa_trainable
+    gpa_acc, _ = evaluate_cached(model, val_cache)
+    best_is_gpa = gpa_acc >= fit.best_acc
+    if not best_is_gpa:
+        model.trainable = dict(fit.best_trainable)
+    if verbose:
+        log.info("PromptSRC GPA over %d epochs: %.2f%% vs best %.2f%% -> %s",
+                 len(snaps), gpa_acc, fit.best_acc,
+                 "GPA" if best_is_gpa else "early-stopped best")
+    del saved
+    return PromptSRCResult(fit, gpa_trainable, gpa_acc, best_is_gpa)

@@ -55,6 +55,10 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
                    help="ProGrad: project the task gradient off the "
                         "KL(zero-shot || tuned) gradient when they "
                         "conflict (paper uses 1.0; 0 = plain descent)")
+    p.add_argument("--scl-lambda", type=float, default=None,
+                   help="PromptSRC logit self-regularization: add "
+                        "lambda * KL(zero-shot || tuned) to the loss "
+                        "(combine with --kg-lambda for the full recipe)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--num-shots", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -106,7 +110,8 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
                        ("lr", args.lr), ("weight_decay", args.weight_decay),
                        ("batch_size", args.batch_size), ("num_shots", args.num_shots),
                        ("seed", args.seed), ("kg_lambda", args.kg_lambda),
-                       ("prograd_lambda", args.prograd_lambda)]:
+                       ("prograd_lambda", args.prograd_lambda),
+                       ("scl_lambda", args.scl_lambda)]:
         if arg is not None:
             train = dataclasses.replace(train, **{field: arg})
     return dataclasses.replace(

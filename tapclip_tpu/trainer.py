@@ -279,7 +279,8 @@ def fit_prompt_model(
     else:
         state = init_train_state(model.trainable, optimizer, trainable_keys)
     kg_feats = None
-    if train_cfg.kg_lambda > 0.0 or train_cfg.prograd_lambda > 0.0:
+    if (train_cfg.kg_lambda > 0.0 or train_cfg.prograd_lambda > 0.0
+            or train_cfg.scl_lambda > 0.0):
         # KgCoOp / ProGrad anchor: the frozen zero-shot class
         # embeddings, built through the SAME pipeline the tuned features use
         # (template-initialized context -> attribution -> adjust -> encode
@@ -313,7 +314,8 @@ def fit_prompt_model(
                               kg_lambda=train_cfg.kg_lambda,
                               kg_feats=kg_feats,
                               prograd_lambda=train_cfg.prograd_lambda,
-                              prograd_scale=init_logit_scale)
+                              anchor_scale=init_logit_scale,
+                              scl_lambda=train_cfg.scl_lambda)
     bank = model.prompt_learner.bank
     clip_params = model.clip_params
 

@@ -79,7 +79,7 @@ def test_all_methods_end_to_end(color_folder, tmp_path):
     by_method = {r["Method"]: r for r in results}
     assert set(by_method) == {
         "zero-shot", "knn", "linear-probe", "tip-adapter", "tip-adapter-f",
-        "clip-adapter", "prompt", "prograd", "maple", "tpt",
+        "clip-adapter", "prompt", "prograd", "promptsrc", "maple", "tpt",
     }
     # tpt is test-time-only (anchored at zero-shot quality) so it is NOT in
     # the signal-carrying >=90% group below — random tiny towers give it no
@@ -93,10 +93,11 @@ def test_all_methods_end_to_end(color_folder, tmp_path):
     assert by_method["linear-probe"]["Accuracy"] >= 90.0
     assert by_method["tip-adapter"]["Accuracy"] >= 90.0
     assert by_method["prompt"]["Accuracy"] >= 90.0
-    # prograd constrains updates toward the zero-shot predictions; on a
-    # random-weight tiny tower the zero-shot prior is uninformative, so it
-    # carries signal but a touch below unconstrained prompt tuning.
+    # prograd/promptsrc constrain updates toward the zero-shot predictions;
+    # on a random-weight tiny tower the zero-shot prior is uninformative, so
+    # they carry signal but may sit below unconstrained prompt tuning.
     assert by_method["prograd"]["Accuracy"] >= 80.0
+    assert by_method["promptsrc"]["Accuracy"] >= 80.0
     assert by_method["maple"]["Accuracy"] >= 90.0
     assert (tmp_path / "art" / "fewshot.csv").exists()
     assert (tmp_path / "art" / "fewshot_bar.png").exists()

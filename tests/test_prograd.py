@@ -57,7 +57,7 @@ def _run(model, batch, *, prograd_lambda, kg_feats, steps=5, lr=5e-2):
     state = init_train_state(model.trainable, opt, ("ctx",))
     step = make_train_step(model.clip_cfg, model.prompt_cfg, opt,
                            prograd_lambda=prograd_lambda, kg_feats=kg_feats,
-                           prograd_scale=float(model.trainable["logit_scale"]))
+                           anchor_scale=float(model.trainable["logit_scale"]))
     bank = model.prompt_learner.bank
     metrics = None
     for _ in range(steps):
@@ -159,10 +159,10 @@ def test_misuse_rejected(model):
     with pytest.raises(ValueError, match="cached-feature"):
         make_train_step(model.clip_cfg, model.prompt_cfg, opt,
                         prograd_lambda=1.0, kg_feats=jnp.zeros((8, 16)),
-                        use_image_feats=False, prograd_scale=4.6)
+                        use_image_feats=False, anchor_scale=4.6)
     # The zero-shot temperature must be pinned at build time — the live
     # logit_scale would let the 'frozen' distribution drift when trained.
-    with pytest.raises(ValueError, match="prograd_scale"):
+    with pytest.raises(ValueError, match="anchor_scale"):
         make_train_step(model.clip_cfg, model.prompt_cfg, opt,
                         prograd_lambda=1.0, kg_feats=jnp.zeros((8, 16)))
 
