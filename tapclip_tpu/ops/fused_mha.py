@@ -459,7 +459,8 @@ def _attn_block_kernel(
     the qkv GEMM inside the group loop (instead of one monolithic GEMM into a
     [bB, Tp, 3W] scratch): the GEMM work interleaves with the attention math
     across groups, keeping the MXU fed while the VPU runs softmax — measured
-    2.15 -> 1.93 ms/layer (ViT-B/16 geometry, bit-exact)."""
+    2.17 -> 1.95 ms/layer (ViT-B/16 geometry, 63.8 -> 70.9% of roofline,
+    bit-exact; docs/PERF.md round-2 table)."""
     bB, Tp, W = x_ref.shape
     Dh = W // n_heads
     scale = Dh ** -0.5
@@ -1083,8 +1084,10 @@ def _pair_pack_wins(T: int) -> bool:
     """Lane round-up routing rule, pinned by the chip A/B
     (scripts/head_pack_ab.py): packing both Dh=64 heads pays only when the
     doubled lane axis rounds up to LESS than two per-head round-ups —
-    measured -8.8% (63.8->69.9% MXU) at ViT-L/14 224px (T=264: 640 < 2*384)
-    and a wash (1.010x over 9 reps) at ViT-B/16 (T=200: 512 = 2*256).  The
+    measured 0.833x (1.21->1.01 ms, 67.2->80.6% MXU, both arms exactly at
+    their lane-round-up ceilings; hardened fresh-inputs-per-rep harness,
+    docs/PERF.md round-4) at ViT-L/14 224px (T=264: 640 < 2*384) and a
+    wash (1.010x over 9 reps) at ViT-B/16 (T=200: 512 = 2*256).  The
     K=64->128 depth doubling alone measured free on v5e, so geometry where
     only the depth changes routes to the per-head schedule."""
     r = -(-T // 128) * 128

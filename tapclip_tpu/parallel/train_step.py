@@ -30,7 +30,7 @@ import optax
 
 from tapclip_tpu.config import CLIPConfig, PromptConfig, TrainConfig
 from tapclip_tpu.models import clip as clip_model
-from tapclip_tpu.models.model_wrapper import full_model_forward
+from tapclip_tpu.models.model_wrapper import NEG_INF, full_model_forward
 from tapclip_tpu.models.prompt_learner import PromptBank
 
 
@@ -231,8 +231,13 @@ def _make_train_step_impl(
         bug the trainer guards against for the adjustor)."""
         img = clip_model.l2_normalize(x).astype(jnp.float32)
         zs = jnp.exp(jnp.float32(anchor_scale)) * img @ kg_feats.T  # [B, C]
-        neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
-        zs = jnp.where(bank.class_mask[None, :], zs, neg)
+        # Padded-class mask uses the SAME finite sentinel as the tuned
+        # logits (model_wrapper.NEG_INF = -1e9): with finfo.min the term
+        # only cancels because exp(min - max) underflows to exactly 0 in
+        # f32 — fragile under dtype changes.  With a shared finite sentinel
+        # both distributions assign the pad classes identical (vanishing)
+        # mass and the product is robustly bounded.
+        zs = jnp.where(bank.class_mask[None, :], zs, jnp.float32(NEG_INF))
         p_zs = jax.nn.softmax(zs, axis=-1)
         kl = (p_zs * (jax.nn.log_softmax(zs, axis=-1)
                       - jax.nn.log_softmax(logits, axis=-1))).sum(-1)

@@ -579,6 +579,8 @@ def main(argv: Optional[List[str]] = None) -> dict:
         from tapclip_tpu.utils.checkpoint import (
             abstract_target,
             restore_sharded_snapshot,
+            snapshot_format,
+            snapshot_saved_target,
         )
 
         target = {
@@ -587,7 +589,62 @@ def main(argv: Optional[List[str]] = None) -> dict:
             "epoch": 0,
             "gstep": 0,
         }
-        snap = restore_sharded_snapshot(os.path.abspath(args.resume), target)
+        try:
+            snap = restore_sharded_snapshot(os.path.abspath(args.resume),
+                                            target)
+        except Exception as err:
+            # Orbax structure errors are opaque; classify before failing.
+            fmt = snapshot_format(args.resume)
+            if fmt == "host":
+                raise SystemExit(
+                    f"--resume {args.resume}: host-format snapshot (saved "
+                    "WITHOUT --sharded-snapshot) whose structure does not "
+                    "match this run — resume it without --sharded-snapshot "
+                    "(the host path merges optimizer state tolerantly)."
+                ) from err
+            if fmt is None:
+                raise SystemExit(
+                    f"--resume {args.resume}: not a readable Orbax snapshot "
+                    "directory"
+                ) from err
+            # Sharded layout but the tree drifted (typically an optimizer/
+            # schedule tweak changed opt_state since the save).  Restore
+            # params/counters strictly and opt_state against the snapshot's
+            # OWN structure, then merge by leaf order like the host path's
+            # _restore_opt_state; on a leaf-count mismatch keep the fresh
+            # optimizer state (params still resume) with a loud warning.
+            repl = (jax.sharding.NamedSharding(mesh,
+                                               jax.sharding.PartitionSpec())
+                    if mesh is not None else None)
+            saved = snapshot_saved_target(args.resume, sharding=repl)
+            if not {"params", "opt_state"} <= set(saved):
+                raise SystemExit(
+                    f"--resume {args.resume}: sharded snapshot missing "
+                    f"params/opt_state (has {sorted(saved)})"
+                ) from err
+            part = dict(target)
+            part["opt_state"] = saved["opt_state"]
+            snap = restore_sharded_snapshot(os.path.abspath(args.resume),
+                                            part)
+            tmpl_leaves, treedef = jax.tree.flatten(opt_state)
+            rest_leaves = jax.tree.leaves(snap["opt_state"])
+            if len(rest_leaves) == len(tmpl_leaves):
+                snap["opt_state"] = jax.tree.unflatten(treedef, [
+                    jax.device_put(jnp.asarray(r).astype(t.dtype), t.sharding)
+                    if hasattr(t, "sharding") else jnp.asarray(r)
+                    for r, t in zip(rest_leaves, tmpl_leaves)
+                ])
+                log.warning(
+                    "sharded resume: optimizer-state STRUCTURE drifted since "
+                    "the save (optimizer/schedule tweak?); merged %d leaves "
+                    "by order into the current layout", len(rest_leaves))
+            else:
+                snap["opt_state"] = opt_state
+                log.warning(
+                    "sharded resume: optimizer state in the snapshot has %d "
+                    "leaves vs %d in the current optimizer — resuming params "
+                    "with FRESH optimizer state",
+                    len(rest_leaves), len(tmpl_leaves))
         if lora is not None:
             lora = snap["params"]
         else:

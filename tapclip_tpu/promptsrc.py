@@ -109,14 +109,23 @@ def fit_promptsrc(
     gpa_trainable = dict(fit.best_trainable)
     gpa_trainable["ctx"] = gpa_ctx
 
-    # Evaluate the aggregated prompt on the same val features the fit used.
-    from tapclip_tpu.trainer import CachedSet, cache_features
+    # Evaluate the aggregated prompt on the EXACT val features the fit used
+    # (FitResult.val_cache) — re-caching from the loader would be a second
+    # full image-tower pass over the same images.
+    val_cache = fit.val_cache
+    if val_cache is None:  # val_loader was None and the fit never evaluated
+        from tapclip_tpu.trainer import CachedSet, cache_features
 
-    val_cache = (val_loader if isinstance(val_loader, CachedSet)
-                 else cache_features(model, val_loader))
-    saved = model.trainable
+        val_cache = (val_loader if isinstance(val_loader, CachedSet)
+                     else cache_features(model, val_loader))
     model.trainable = gpa_trainable
-    gpa_acc, _ = evaluate_cached(model, val_cache)
+    try:
+        gpa_acc, _ = evaluate_cached(model, val_cache)
+    except BaseException:
+        # Leave the model in its pre-call (fit-best) state rather than
+        # mutated to the numpy-ctx GPA candidate.
+        model.trainable = dict(fit.best_trainable)
+        raise
     best_is_gpa = gpa_acc >= fit.best_acc
     if not best_is_gpa:
         model.trainable = dict(fit.best_trainable)
@@ -124,5 +133,4 @@ def fit_promptsrc(
         log.info("PromptSRC GPA over %d epochs: %.2f%% vs best %.2f%% -> %s",
                  len(snaps), gpa_acc, fit.best_acc,
                  "GPA" if best_is_gpa else "early-stopped best")
-    del saved
     return PromptSRCResult(fit, gpa_trainable, gpa_acc, best_is_gpa)

@@ -191,6 +191,10 @@ class FitResult:
     steps_per_sec: float = float("nan")
     final_state: Any = None  # TrainState (params + optimizer state) for resume
     attr_entropy: List[float] = dataclasses.field(default_factory=list)
+    # The CachedSet the fit evaluated against (None when no val set): callers
+    # re-scoring alternative prompts (PromptSRC GPA, soup selection) reuse it
+    # instead of paying a second full image-tower pass over the val loader.
+    val_cache: Any = None
 
 
 def fit_prompt_model(
@@ -431,6 +435,7 @@ def fit_prompt_model(
         steps_per_sec=1.0 / timer.mean_step_s if n_steps > 2 else float("nan"),
         final_state=state,
         attr_entropy=ent_hist,
+        val_cache=val_cache,
     )
 
 

@@ -388,6 +388,59 @@ def abstract_target(tree: Any) -> Any:
     return jax.tree.map(leaf, tree)
 
 
+def snapshot_format(path: str) -> Optional[str]:
+    """Which save path wrote the snapshot at ``path``.
+
+    Returns ``"sharded"`` for :func:`save_sharded_snapshot` output
+    (StandardCheckpointHandler), ``"host"`` for the host-gather path's
+    ``PyTreeCheckpointer`` output, ``None`` when the directory is not a
+    readable Orbax snapshot.  Discriminates on the checkpoint's recorded
+    ``item_handlers`` — the on-disk OCDBT layout is shared, so file probing
+    cannot tell them apart.
+    """
+    import orbax.checkpoint as ocp
+
+    try:
+        meta = ocp.Checkpointer(ocp.StandardCheckpointHandler()).metadata(
+            os.path.abspath(path)
+        )
+        handler = str(meta.item_handlers)
+    except Exception:
+        return None
+    if "StandardCheckpointHandler" in handler:
+        return "sharded"
+    if "PyTreeCheckpointHandler" in handler:
+        return "host"
+    return None
+
+
+def snapshot_saved_target(path: str, sharding=None) -> Any:
+    """The snapshot's OWN structure as a ``ShapeDtypeStruct`` target tree.
+
+    Lets a caller restore a snapshot whose structure has drifted from the
+    live program (e.g. an optimizer tweak changed the opt-state tree since
+    the save): restore against this as-saved target, then merge leaves into
+    the live structure.  ``sharding`` (e.g. a replicated NamedSharding) is
+    applied to every array leaf; scalars keep their saved dtype.
+    """
+    import orbax.checkpoint as ocp
+
+    meta = ocp.Checkpointer(ocp.StandardCheckpointHandler()).metadata(
+        os.path.abspath(path)
+    )
+
+    def leaf(m):
+        shape = getattr(m, "shape", None)
+        dtype = getattr(m, "dtype", None)
+        if shape is None or dtype is None:
+            return m
+        if shape == () and getattr(m, "storage", None) is None:
+            return jax.ShapeDtypeStruct((), dtype)  # saved python scalar
+        return jax.ShapeDtypeStruct(tuple(shape), dtype, sharding=sharding)
+
+    return jax.tree.map(leaf, meta.item_metadata.tree)
+
+
 def restore_sharded_snapshot(path: str, target: Any) -> Any:
     """Restore a :func:`save_sharded_snapshot` dir into ``target``'s layout.
 

@@ -24,6 +24,7 @@ from tapclip_tpu.utils.checkpoint import (
     abstract_target,
     restore_sharded_snapshot,
     save_sharded_snapshot,
+    snapshot_format,
 )
 
 pytestmark = pytest.mark.skipif(
@@ -124,3 +125,88 @@ def test_cli_sharded_snapshot_resume(tmp_path):
     )
     assert len(out2["loss_history"]) == 1  # only the remaining epoch ran
     assert os.path.isdir(out2["ckpt"])
+
+
+def test_snapshot_format_probe(tmp_path):
+    """snapshot_format discriminates the two save paths by the recorded
+    handler (the OCDBT file layout is identical for both)."""
+    import orbax.checkpoint as ocp
+
+    sharded = str(tmp_path / "sharded")
+    save_sharded_snapshot(sharded, {"x": jnp.arange(4.0)})
+    assert snapshot_format(sharded) == "sharded"
+
+    host = str(tmp_path / "host")
+    ocp.PyTreeCheckpointer().save(host, {"x": np.arange(4.0)}, force=True)
+    assert snapshot_format(host) == "host"
+
+    assert snapshot_format(str(tmp_path / "nope")) is None
+
+
+def _tiny_cli_args(root, tmp_path, tag):
+    return [
+        "--preset", "tiny",
+        "--data-root", root,
+        "--batch-size", "8", "--lr", "1e-3",
+        "--dp", "8", "--fsdp",
+        "--output-root", str(tmp_path / tag),
+    ]
+
+
+def test_cli_sharded_resume_host_snapshot_clear_error(tmp_path):
+    """Pointing --resume at a HOST-format snapshot while --sharded-snapshot
+    is set (and the structure has drifted) fails with a clear message, not
+    an opaque Orbax structure error."""
+    from tapclip_tpu import pretrain_cli
+    from tapclip_tpu.data.synthetic import build_imagefolder
+
+    root = build_imagefolder(
+        str(tmp_path / "data"), ["Backpack", "Alarm_Clock"], per_class=8
+    )
+    out1 = pretrain_cli.main(
+        _tiny_cli_args(root, tmp_path, "p1")
+        + ["--epochs", "1", "--save-every", "1"]  # host snapshot (no flag)
+    )
+    snap = os.path.join(os.path.dirname(out1["ckpt"]),
+                        "pretrain_snapshot_e000001")
+    assert snapshot_format(snap) == "host"
+    with pytest.raises(SystemExit, match="host-format"):
+        pretrain_cli.main(
+            _tiny_cli_args(root, tmp_path, "p2")
+            + ["--epochs", "2", "--sharded-snapshot", "--schedule", "cosine",
+               "--resume", snap]
+        )
+
+
+def test_cli_sharded_resume_optimizer_drift(tmp_path):
+    """Resuming a sharded snapshot after an optimizer tweak that keeps the
+    leaf count (--grad-clip wraps the chain in a stateless transform) merges
+    the saved moments into the new structure and completes the run."""
+    from tapclip_tpu import pretrain_cli
+    from tapclip_tpu.data.synthetic import build_imagefolder
+
+    root = build_imagefolder(
+        str(tmp_path / "data"), ["Backpack", "Alarm_Clock"], per_class=8
+    )
+    out1 = pretrain_cli.main(
+        _tiny_cli_args(root, tmp_path, "p1")
+        + ["--epochs", "1", "--save-every", "1", "--sharded-snapshot"]
+    )
+    snap = os.path.join(os.path.dirname(out1["ckpt"]),
+                        "pretrain_snapshot_e000001")
+    assert snapshot_format(snap) == "sharded"
+    out2 = pretrain_cli.main(
+        _tiny_cli_args(root, tmp_path, "p2")
+        + ["--epochs", "2", "--sharded-snapshot", "--grad-clip", "1.0",
+           "--resume", snap]
+    )
+    assert len(out2["loss_history"]) == 1  # only the remaining epoch ran
+
+    # Leaf-count drift (--schedule cosine adds a schedule counter): params
+    # resume, optimizer state restarts fresh — loudly, not with a crash.
+    out3 = pretrain_cli.main(
+        _tiny_cli_args(root, tmp_path, "p3")
+        + ["--epochs", "2", "--sharded-snapshot", "--schedule", "cosine",
+           "--resume", snap]
+    )
+    assert len(out3["loss_history"]) == 1
