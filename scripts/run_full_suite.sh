@@ -26,7 +26,7 @@ CHUNKS=(
   "D1|tests/test_clip_model.py tests/test_full_model_oracle.py tests/test_grad_oracle.py tests/test_model_wrapper.py"
   "D2|tests/test_train_loop_oracle.py tests/test_sharded_ckpt.py tests/test_prograd.py tests/test_promptsrc.py"
   "E|tests/test_kernel_grads.py tests/test_fused_mha.py tests/test_fused_mlp.py tests/test_flash_blocked.py tests/test_attention.py tests/test_int8.py"
-  "F1|tests/test_maple.py tests/test_fewshot.py tests/test_tpt.py tests/test_kgcoop.py"
+  "F1|tests/test_maple.py tests/test_fewshot.py tests/test_tpt.py tests/test_kgcoop.py tests/test_anchored_sharded.py"
   "F2|tests/test_base_to_new.py tests/test_robustness.py tests/test_clip_adapter.py tests/test_tip_adapter.py"
   "G1|tests/test_adaptive_eval.py tests/test_bitfit.py tests/test_calibration.py tests/test_checkpoint.py tests/test_data.py tests/test_feature_cache.py tests/test_image_conditioned.py"
   "G2|tests/test_model_export.py tests/test_model_soup.py tests/test_moe.py tests/test_native.py tests/test_peft.py tests/test_pipeline.py tests/test_predict.py tests/test_prefetch.py"

@@ -326,6 +326,15 @@ class TrainConfig:
     # Combine with kg_lambda (the feature-level term) for the PromptSRC
     # recipe (tapclip_tpu.promptsrc adds the Gaussian prompt aggregation).
     scl_lambda: float = 0.0
+    # PromptSRC textual diversity: when non-empty, the frozen zero-shot
+    # anchor behind kg/scl/prograd is the renormalized MEAN of the
+    # same-pipeline class embeddings over THESE templates (each "... {} ..."
+    # with the class name slotted in) instead of the single
+    # PromptConfig.template init.  Paper: the frozen text anchor averages
+    # many hand-written prompts so the pull targets a template-ensemble
+    # manifold point.  NOTE with an ensembled anchor loss_kg is no longer
+    # exactly 0 at the template init (the tuned start is template[0] only).
+    anchor_templates: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

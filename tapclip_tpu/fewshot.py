@@ -303,8 +303,9 @@ def run_fewshot_benchmark(
 
     if "promptsrc" in methods:
         # PromptSRC recipe (Khattak et al. 2023): feature + logit
-        # self-regularization toward the frozen zero-shot model, plus
-        # Gaussian aggregation of the per-epoch prompts.
+        # self-regularization toward the frozen zero-shot model (with a
+        # small multi-template ensembled anchor — the paper's textual
+        # diversity), plus Gaussian aggregation of the per-epoch prompts.
         from tapclip_tpu.models.model_wrapper import FullModel
         from tapclip_tpu.promptsrc import fit_promptsrc
         from tapclip_tpu.trainer import CachedSet
@@ -321,7 +322,10 @@ def run_fewshot_benchmark(
             CachedSet(Xtr, ytr),
             CachedSet(Xva, yva),
             TrainConfig(lr=lr, epochs=epochs, batch_size=min(batch_size, 64),
-                        seed=seed, kg_lambda=1.0, scl_lambda=1.0),
+                        seed=seed, kg_lambda=1.0, scl_lambda=1.0,
+                        anchor_templates=("a photo of a {}",
+                                          "a blurry photo of a {}",
+                                          "a drawing of a {}")),
             verbose=False,
         )
         record("promptsrc", max(res.gpa_acc, res.fit.best_acc),

@@ -12,15 +12,20 @@ plain CE loop at ``/root/reference/train.py:90-128``):
 2. **Logit-level mutual agreement** — ``TrainConfig.scl_lambda``: soft
    distillation ``KL(zero-shot preds || tuned preds)`` at the frozen
    INIT-time temperature (L_SCL-logits).
-3. **Gaussian prompt aggregation (GPA)** — the returned context is a
-   Gaussian-weighted average of the per-epoch prompt snapshots (weights
+3. **Gaussian prompt aggregation (GPA)** — the returned trainable is a
+   Gaussian-weighted average of the per-epoch snapshots (weights
    ``N(epoch; mu, sigma)``), smoothing over the optimization trajectory
-   instead of trusting one early-stopped point.
-
-The paper's textual-diversity term (multi-template frozen anchors) is
-deliberately NOT folded in here: the anchor must live in the tuned
-features' embedding geometry (see trainer.py's same-pipeline anchor note),
-and the framework's template machinery produces one init per class.
+   instead of trusting one early-stopped point.  EVERY trained leaf is
+   aggregated — the context bank always, plus the CoCoOp meta-net when
+   ``PromptConfig.image_conditioned`` (and any extra ``trainable_keys``
+   the caller optimizes), so the returned trainable is a coherent
+   same-trajectory average, never a mixed (GPA ctx, best-epoch meta-net)
+   pair.
+4. **Textual diversity** — ``TrainConfig.anchor_templates``: with N
+   templates, the frozen anchor behind (1)/(2) becomes the renormalized
+   multi-template mean of same-pipeline class embeddings (the paper's
+   multi-prompt frozen text target), built in the tuned features'
+   embedding geometry by ``trainer._multi_template_anchor``.
 
 All epochs run through the standard jitted anchored step; GPA rides the
 trainer's ``checkpoint_cb`` hook, so this module adds no training-loop
@@ -33,6 +38,7 @@ import dataclasses
 import logging
 from typing import Any, Dict, Optional
 
+import jax
 import numpy as np
 
 from tapclip_tpu.config import TrainConfig
@@ -89,10 +95,22 @@ def fit_promptsrc(
             "fit_promptsrc drives checkpoint_cb itself (GPA snapshots); "
             "wrap fit_prompt_model directly for custom snapshotting"
         )
+    # Aggregate exactly the leaves the fit optimizes (mirrors
+    # fit_prompt_model's trainable_keys default): always ctx, plus the
+    # CoCoOp meta-net when image-conditioned — a GPA ctx paired with a
+    # best-epoch meta-net would be two different trajectory points.
+    keys = fit_kwargs.get("trainable_keys")
+    if keys is None:
+        keys = (("ctx", "meta_net")
+                if model.prompt_cfg.image_conditioned else ("ctx",))
+    keys = tuple(keys)
     snaps = []
 
     def _collect(epoch, state, _acc):
-        snaps.append(np.asarray(state.params["ctx"], np.float32))
+        snaps.append(jax.tree.map(
+            lambda x: np.asarray(x, np.float32),
+            {k: state.params[k] for k in keys},
+        ))
 
     fit = fit_prompt_model(
         model, train_loader, val_loader, train_cfg,
@@ -104,10 +122,15 @@ def fit_promptsrc(
                                fit.best_acc, False)
 
     w = gaussian_weights(len(snaps), mu=gpa_mu, sigma=gpa_sigma)
-    ctx_dtype = fit.best_trainable["ctx"].dtype
-    gpa_ctx = np.tensordot(w, np.stack(snaps), axes=1).astype(ctx_dtype)
+    gpa_diff = jax.tree.map(
+        lambda *leaves: np.tensordot(w, np.stack(leaves), axes=1), *snaps
+    )
     gpa_trainable = dict(fit.best_trainable)
-    gpa_trainable["ctx"] = gpa_ctx
+    for k in keys:
+        gpa_trainable[k] = jax.tree.map(
+            lambda agg, ref: agg.astype(np.asarray(ref).dtype),
+            gpa_diff[k], fit.best_trainable[k],
+        )
 
     # Evaluate the aggregated prompt on the EXACT val features the fit used
     # (FitResult.val_cache) — re-caching from the loader would be a second

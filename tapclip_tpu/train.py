@@ -59,6 +59,12 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
                    help="PromptSRC logit self-regularization: add "
                         "lambda * KL(zero-shot || tuned) to the loss "
                         "(combine with --kg-lambda for the full recipe)")
+    p.add_argument("--anchor-templates", nargs="+", default=None,
+                   metavar="TPL",
+                   help="PromptSRC textual diversity: build the frozen "
+                        "zero-shot anchor behind --kg/--scl/--prograd as "
+                        "the ensembled mean over these '... {} ...' "
+                        "templates instead of the single prompt template")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--num-shots", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -111,7 +117,10 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
                        ("batch_size", args.batch_size), ("num_shots", args.num_shots),
                        ("seed", args.seed), ("kg_lambda", args.kg_lambda),
                        ("prograd_lambda", args.prograd_lambda),
-                       ("scl_lambda", args.scl_lambda)]:
+                       ("scl_lambda", args.scl_lambda),
+                       ("anchor_templates",
+                        tuple(args.anchor_templates)
+                        if args.anchor_templates is not None else None)]:
         if arg is not None:
             train = dataclasses.replace(train, **{field: arg})
     return dataclasses.replace(

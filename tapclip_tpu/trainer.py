@@ -35,6 +35,40 @@ from tapclip_tpu.utils.logging_utils import StepTimer
 log = logging.getLogger("tapclip_tpu")
 
 
+def _multi_template_anchor(model: FullModel, templates, init_adjustor,
+                           anchor_fn):
+    """Template-ensembled zero-shot anchor in the tuned geometry.
+
+    One frozen template-initialized ``PromptBank`` per template (same class
+    list, same tokenizer), each encoded through ``anchor_fn`` (the
+    same-pipeline attribution -> adjust -> encode path), then the
+    L2-normalized per-template features are averaged and renormalized —
+    PromptSRC's textual-diversity anchor (Khattak et al. 2023, the
+    multi-prompt frozen text target of L_SCL).  Returns ``[C_max, E]``
+    padded to the MODEL bank's width.
+    """
+    from tapclip_tpu.models.prompt_learner import PromptLearner
+
+    C_max = model.prompt_learner.bank.ctx.shape[0]
+    acc = None
+    for t in templates:
+        pcfg_t = dataclasses.replace(model.prompt_cfg, template=t)
+        learner_t = PromptLearner(
+            list(model.class_names), model.clip_params, model.clip_cfg,
+            pcfg_t, model.tokenizer,
+        )
+        f = anchor_fn(model.clip_params, learner_t.bank.ctx, learner_t.bank,
+                      init_adjustor)  # [cap_t, E], L2-normalized rows
+        f = np.array(f, np.float32)[: len(model.class_names)]  # writable copy
+        acc = f if acc is None else acc + f
+    acc /= len(templates)
+    norm = np.linalg.norm(acc, axis=-1, keepdims=True)
+    acc = acc / np.maximum(norm, 1e-12)
+    out = np.zeros((C_max, acc.shape[-1]), np.float32)
+    out[: acc.shape[0]] = acc
+    return jnp.asarray(out)
+
+
 def _restore_opt_state(template, restored):
     """Rehydrate a checkpointed optimizer state into the optax structure.
 
@@ -311,8 +345,20 @@ def fit_prompt_model(
         # so this is the model's own zero-shot features.  Already padded to
         # the bank width [C_max, E]; padding rows are class-masked out of
         # the penalty inside the step.
-        kg_feats = anchor_fn(model.clip_params, model.prompt_learner.bank.ctx,
-                             model.prompt_learner.bank, init_adjustor)
+        if train_cfg.anchor_templates:
+            # PromptSRC textual diversity: ensemble the anchor over multiple
+            # templates, each encoded through the SAME tuned-geometry
+            # pipeline (a fresh template-initialized PromptBank per
+            # template), normalized-mean then renormalized — the standard
+            # CLIP template-ensembling recipe applied inside the tuned
+            # embedding geometry instead of via build_zero_shot_classifier.
+            kg_feats = _multi_template_anchor(
+                model, train_cfg.anchor_templates, init_adjustor, anchor_fn
+            )
+        else:
+            kg_feats = anchor_fn(model.clip_params,
+                                 model.prompt_learner.bank.ctx,
+                                 model.prompt_learner.bank, init_adjustor)
     step_fn = make_train_step(model.clip_cfg, model.prompt_cfg, optimizer,
                               trainable_keys=trainable_keys,
                               kg_lambda=train_cfg.kg_lambda,

@@ -8,6 +8,7 @@ per-epoch prompts via the trainer's checkpoint hook, evaluates both
 candidates, and leaves the model at the winner; misuse fails loudly.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -112,3 +113,120 @@ def test_fit_promptsrc_rejects_custom_checkpointing(model, tiny_cfg, rng):
     with pytest.raises(ValueError, match="checkpoint_cb"):
         fit_promptsrc(model, CachedSet(X, y), CachedSet(X, y),
                       TrainConfig(epochs=1), checkpoint_cb=lambda *a: None)
+
+
+TEMPLATES = ("a photo of a {}", "a blurry photo of a {}",
+             "a sketch of a {}")
+
+
+def test_multi_template_anchor_geometry(model):
+    """Textual diversity: the ensembled anchor is row-normalized, padded to
+    the bank width, reduces to the single-template anchor for a 1-list,
+    and genuinely differs from it for a multi-template list."""
+    from tapclip_tpu.models.model_wrapper import (
+        text_features_with_attribution,
+    )
+    from tapclip_tpu.trainer import _multi_template_anchor
+
+    def anchor_fn(cp, ctx, bank, adj):
+        return text_features_with_attribution(
+            cp, ctx, bank, model.clip_cfg, model.prompt_cfg, adj
+        )[0]
+
+    adj = model.trainable["adjustor"]
+    single = np.asarray(_own_anchor(model))
+    C_max = model.prompt_learner.bank.ctx.shape[0]
+
+    one = np.asarray(_multi_template_anchor(
+        model, (model.prompt_cfg.template,), adj, anchor_fn))
+    assert one.shape == (C_max, single.shape[-1])
+    np.testing.assert_allclose(one[: len(CLASSES)], single[: len(CLASSES)],
+                               rtol=1e-5, atol=1e-6)
+
+    multi = np.asarray(_multi_template_anchor(model, TEMPLATES, adj,
+                                              anchor_fn))
+    norms = np.linalg.norm(multi[: len(CLASSES)], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+    assert np.linalg.norm(multi[: len(CLASSES)] - single[: len(CLASSES)]) > 1e-3
+    # padding rows stay zero (class-masked out of the penalty in the step)
+    assert np.all(multi[len(CLASSES):] == 0.0)
+
+
+def test_fit_with_anchor_templates(model, tiny_cfg, rng):
+    """TrainConfig.anchor_templates feeds the ensembled anchor through the
+    whole fit: loss_kg is nonzero at the template init (the tuned start is
+    template[0] only) and the separable task still trains."""
+    from tapclip_tpu.trainer import CachedSet, fit_prompt_model
+
+    protos = rng.standard_normal((len(CLASSES), tiny_cfg.embed_dim))
+    y = np.asarray(rng.integers(0, len(CLASSES), 48), np.int32)
+    X = (protos[y] + 0.05 * rng.standard_normal((48, tiny_cfg.embed_dim))
+         ).astype(np.float32)
+    X /= np.linalg.norm(X, axis=-1, keepdims=True)
+    cached = CachedSet(X, y)
+    fit = fit_prompt_model(
+        model, cached, cached,
+        TrainConfig(lr=5e-2, epochs=8, batch_size=16, kg_lambda=1.0,
+                    scl_lambda=0.5, anchor_templates=TEMPLATES),
+        verbose=False,
+    )
+    assert fit.best_acc >= 90.0
+
+    # Direct pin of the nonzero-at-init property with the SAME anchor.
+    from tapclip_tpu.models.model_wrapper import (
+        text_features_with_attribution,
+    )
+    from tapclip_tpu.trainer import _multi_template_anchor
+
+    model2_trainable_ctx = model.prompt_learner.bank.ctx  # template init
+    anchor = _multi_template_anchor(
+        model, TEMPLATES, model.trainable["adjustor"],
+        lambda cp, ctx, bank, adj: text_features_with_attribution(
+            cp, ctx, bank, model.clip_cfg, model.prompt_cfg, adj)[0],
+    )
+    opt = make_optimizer(TrainConfig())
+    trainable0 = dict(model.trainable)
+    trainable0["ctx"] = model2_trainable_ctx
+    state = init_train_state(trainable0, opt, ("ctx",))
+    step = make_train_step(
+        model.clip_cfg, model.prompt_cfg, opt, kg_lambda=1.0,
+        kg_feats=anchor,
+    )
+    feats = jnp.asarray(X[:8])
+    _, m = step(model.clip_params, state, model.prompt_learner.bank, feats,
+                jnp.asarray(y[:8]), jnp.ones((8,), bool))
+    assert float(m["loss_kg"]) > 1e-4  # ensembled anchor != template-0 init
+
+
+def test_gpa_aggregates_meta_net_under_cocoop(tiny_cfg, tiny_params,
+                                              tiny_prompt_cfg, rng):
+    """CoCoOp x GPA: every trained leaf is Gaussian-averaged — the returned
+    trainable never pairs a GPA ctx with a best-epoch meta-net."""
+    import dataclasses
+
+    from tapclip_tpu.trainer import CachedSet, evaluate_cached
+
+    pcfg = dataclasses.replace(tiny_prompt_cfg, image_conditioned=True)
+    model = FullModel(CLASSES, tiny_params, tiny_cfg, prompt_cfg=pcfg)
+    protos = rng.standard_normal((len(CLASSES), tiny_cfg.embed_dim))
+    y = np.asarray(rng.integers(0, len(CLASSES), 32), np.int32)
+    X = (protos[y] + 0.05 * rng.standard_normal((32, tiny_cfg.embed_dim))
+         ).astype(np.float32)
+    X /= np.linalg.norm(X, axis=-1, keepdims=True)
+    cached = CachedSet(X, y)
+    res = fit_promptsrc(
+        model, cached, cached,
+        TrainConfig(lr=5e-2, epochs=4, batch_size=16),
+        verbose=False,
+    )
+    assert "meta_net" in res.gpa_trainable
+    # the GPA meta-net is a trajectory average, not the final/best point
+    final_mn = jax.tree.leaves(res.fit.final_state.params["meta_net"])
+    gpa_mn = jax.tree.leaves(res.gpa_trainable["meta_net"])
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(gpa_mn, final_mn)
+    )
+    live_acc, _ = evaluate_cached(model, cached)
+    assert live_acc == pytest.approx(max(res.gpa_acc, res.fit.best_acc),
+                                     abs=1e-6)
