@@ -76,23 +76,28 @@ def main():
     fl = (3 * 2 * B * T * W * 3 * W) + (2 * 2 * B * T * W * W) \
         + 6 * 2 * B * H * T * T * Dh
 
-    def make(stage_batched, block_b=8):
-        f = functools.partial(
-            M._attn_block_bwd_impl,
-            n_heads=H, valid=valid, eps=1e-5, block_b=block_b,
-            interpret=False, causal=False, stage_batched=stage_batched,
-        )
-        return jax.jit(
-            lambda gm, bt, wq, bq, wo, pair: f(
-                pair[0], gm, bt, wq, bq, wo, pair[1]
-            )
-        )
+    def make(stage_batched, block_b=8, dw=False, budget_mb=None):
+        def f(gm, bt, wq, bq, wo, pair):
+            saved = M._ATTN_BWD_VMEM_BUDGET
+            if budget_mb is not None:
+                M._ATTN_BWD_VMEM_BUDGET = budget_mb * 2 ** 20
+            try:
+                return M._attn_block_bwd_impl(
+                    pair[0], gm, bt, wq, bq, wo, pair[1],
+                    n_heads=H, valid=valid, eps=1e-5, block_b=block_b,
+                    interpret=False, causal=False,
+                    stage_batched=stage_batched, dw_interleave=dw,
+                )
+            finally:
+                M._ATTN_BWD_VMEM_BUDGET = saved
+        return jax.jit(f)
 
     variants = [
         ("serial/b8", make(False, 8)),
         ("staged/b8", make(True, 8)),
-        ("serial/b4", make(False, 4)),
-        ("staged/b4", make(True, 4)),
+        ("staged+dw/auto", make(True, 8, dw=True)),
+        ("staged+dw/b8v80", make(True, 8, dw=True, budget_mb=80)),
+        ("serial+dw/auto", make(False, 8, dw=True)),
     ]
 
     # numerics cross-check once (all variants vs the first)

@@ -564,12 +564,13 @@ def _attn_block_bwd_kernel(
     dbout_ref,  # VMEM [1, W] f32 out
     attn_s,  # VMEM scratch [bB, Tp, W] — recomputed attention output
     dqkv_s,  # VMEM scratch [bB, Tp, 3W] — packed dqkv
-    *,
+    *extra_s,  # dw_interleave only: dy_s VMEM scratch [bB, Tp, W] f32
     n_heads: int,
     valid: int,
     eps: float,
     causal: bool = False,
     stage_batched: bool = False,
+    dw_interleave: bool = False,
 ):
     """Dedicated attention half-block backward (the MLP backward's design
     applied to attention): recompute LN + per-head-group qkv + probabilities
@@ -577,7 +578,24 @@ def _attn_block_bwd_kernel(
     per head, then the projection/LN gradients — with grid-resident f32
     weight-gradient accumulators. Versus the split-composition VJP this
     avoids both the extra monolithic-forward recompute and every
-    [bB, T, *]-tensor HBM round trip between the stages."""
+    [bB, T, *]-tensor HBM round trip between the stages.
+
+    ``dw_interleave`` (round-5 probe, VERDICT #4): compute the PREVIOUS
+    group's dW/dy GEMM contributions inside the head-group loop — the
+    ~90%-MXU weight-gradient GEMMs become independent work adjacent to the
+    current group's VPU softmax-grad stages, targeting the ~0.7 ms/layer of
+    exposed [T,T] VPU time the round-4 composed roofline identified.  Costs
+    one extra [bB, Tp, W] f32 scratch (the dy accumulator) and slice-wise
+    dwqkv/dwout writes.
+
+    MEASURED NEGATIVE (scripts/attn_bwd_ab.py, v5e 2026-08-20, ViT-B
+    pretraining geometry, 5 interleaved fresh-input reps): staged+dw 3.59 ms
+    (auto bB=4) / 3.36 ms (bB=8 under an 80M budget) vs staged 3.15 ms —
+    slicing the epilogue's [W, 3W]-output weight GEMMs into 128-column
+    group chunks (N=2304 -> 6x N=128, y2 re-streamed per slice) costs more
+    GEMM efficiency than the exposed-VPU overlap recovers.  Kept supported
+    (numerics pinned in tests) but never auto-routed; see docs/PERF.md
+    round-5 for the full falsification."""
     i = pl.program_id(0)
     bB, Tp, W = x_ref.shape
     Dh = W // n_heads
@@ -732,12 +750,73 @@ def _attn_block_bwd_kernel(
         ]
         return os_, dqs, dks, dvs
 
+    dy_s = extra_s[0] if dw_interleave else None
+
+    def dw_group(poff):
+        """dW/dy contributions of one (already-chained) head group.
+
+        Returns (dwout rows [gw, W], 3x dwqkv cols [W, gw], dy [bB, Tp, W]).
+        Slice-wise contraction order matches the monolithic epilogue GEMMs
+        (in-order f32 accumulation over the same axes)."""
+        a2 = attn_s[:, :, pl.ds(poff, group_w)].reshape(bB * Tp, group_w)
+        dwout_rows = jax.lax.dot_general(  # [gw, W] = attn_gᵀ @ g
+            a2, g2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwqkv_cols = []
+        dy_c = None
+        for seg in range(3):
+            col = pl.multiple_of(seg * W + poff, group_w)
+            d2 = dqkv_s[:, :, pl.ds(col, group_w)].reshape(bB * Tp, group_w)
+            dwqkv_cols.append(jax.lax.dot_general(  # [W, gw] = yᵀ @ dqkv_seg
+                y2, d2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            contrib = jax.lax.dot_general(  # [R, W] = dqkv_seg @ w_segᵀ
+                d2, wqkv_ref[:, pl.ds(col, group_w)],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            dy_c = contrib if dy_c is None else dy_c + contrib
+        return dwout_rows, dwqkv_cols, dy_c.reshape(bB, Tp, W)
+
+    def dw_store(grp, poff, dwout_rows, dwqkv_cols):
+        """Write one group's dW slices (init on grid step 0, else add)."""
+        @pl.when(i == 0)
+        def _():
+            dwout_ref[pl.ds(poff, group_w), :] = dwout_rows
+            for seg in range(3):
+                col = pl.multiple_of(seg * W + poff, group_w)
+                dwqkv_ref[:, pl.ds(col, group_w)] = dwqkv_cols[seg]
+
+        @pl.when(i > 0)
+        def _():
+            dwout_ref[pl.ds(poff, group_w), :] += dwout_rows
+            for seg in range(3):
+                col = pl.multiple_of(seg * W + poff, group_w)
+                dwqkv_ref[:, pl.ds(col, group_w)] += dwqkv_cols[seg]
+
     def body(grp, carry):
         off = pl.multiple_of(grp * group_w, group_w)
         qg = proj_group(off)
         kg = proj_group(W + off)
         vg = proj_group(2 * W + off)
         gg = datt_group(off)
+        if dw_interleave:
+            # Previous group's dW/dy GEMMs — independent of this group's
+            # chain, so the scheduler can overlap them with its VPU stages.
+            @pl.when(grp > 0)
+            def _():
+                poff = pl.multiple_of((grp - 1) * group_w, group_w)
+                dwout_rows, dwqkv_cols, dy_c = dw_group(poff)
+                dw_store(grp, poff, dwout_rows, dwqkv_cols)
+
+                @pl.when(grp == 1)
+                def _():
+                    dy_s[:] = dy_c
+
+                @pl.when(grp > 1)
+                def _():
+                    dy_s[:] += dy_c
         if stage_batched:
             os_, dqs, dks, dvs = stage_batched_heads(qg, kg, vg, gg)
         else:
@@ -768,18 +847,26 @@ def _attn_block_bwd_kernel(
     jax.lax.fori_loop(0, n_groups, body, 0)
 
     # --- projection gradients ---
-    dwout_part = jax.lax.dot_general(  # [W, W] = attn_outᵀ @ g
-        attn_s[:].reshape(bB * Tp, W), g2,
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    dqkv2 = dqkv_s[:].reshape(bB * Tp, 3 * W)
-    dwqkv_part = jax.lax.dot_general(  # [W, 3W] = yᵀ @ dqkv
-        y2, dqkv2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dy = jax.lax.dot_general(  # [R, W] = dqkv @ w_qkvᵀ
-        dqkv2, wqkv_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(bB, Tp, W)
+    if dw_interleave:
+        # Groups 0..n-2 were handled inside the loop; finish the last one.
+        last = pl.multiple_of((n_groups - 1) * group_w, group_w)
+        dwout_rows, dwqkv_cols, dy_c = dw_group(last)
+        dw_store(n_groups - 1, last, dwout_rows, dwqkv_cols)
+        dy = dy_s[:] + dy_c
+        dqkv2 = dqkv_s[:].reshape(bB * Tp, 3 * W)
+    else:
+        dwout_part = jax.lax.dot_general(  # [W, W] = attn_outᵀ @ g
+            attn_s[:].reshape(bB * Tp, W), g2,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dqkv2 = dqkv_s[:].reshape(bB * Tp, 3 * W)
+        dwqkv_part = jax.lax.dot_general(  # [W, 3W] = yᵀ @ dqkv
+            y2, dqkv2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dy = jax.lax.dot_general(  # [R, W] = dqkv @ w_qkvᵀ
+            dqkv2, wqkv_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(bB, Tp, W)
 
     # --- LayerNorm backward (affine params + input) ---
     n3 = n
@@ -800,19 +887,21 @@ def _attn_block_bwd_kernel(
     def _():
         dgamma_ref[:] = dgamma_part
         dbeta_ref[:] = dbeta_part
-        dwqkv_ref[:] = dwqkv_part
         dbqkv_ref[:] = dbqkv_part
-        dwout_ref[:] = dwout_part
         dbout_ref[:] = dbout_part
+        if not dw_interleave:  # else written slice-wise per group above
+            dwqkv_ref[:] = dwqkv_part
+            dwout_ref[:] = dwout_part
 
     @pl.when(i > 0)
     def _():
         dgamma_ref[:] += dgamma_part
         dbeta_ref[:] += dbeta_part
-        dwqkv_ref[:] += dwqkv_part
         dbqkv_ref[:] += dbqkv_part
-        dwout_ref[:] += dwout_part
         dbout_ref[:] += dbout_part
+        if not dw_interleave:
+            dwqkv_ref[:] += dwqkv_part
+            dwout_ref[:] += dwout_part
 
 
 _ATTN_BWD_VMEM_BUDGET = 56 * 2 ** 20
@@ -849,34 +938,60 @@ def _resolve_bwd_stage_batched(T: int, W: int, n_heads: int,
 
 
 def _attn_block_bwd_fits(bB: int, Tp: int, W: int, n_heads: int = 0,
-                         stage_batched: bool = False) -> bool:
+                         stage_batched: bool = False,
+                         dw_interleave: bool = False) -> bool:
     """VMEM footprint of the dedicated backward: weights + f32 accumulators
     + the block tensors (x/g/dx bf16, n/datt/dy f32, attn/dqkv scratch) +
     live [Tp, Tp]-per-batch-row f32 score tiles (three on the serial
     schedule; the stage-batched schedule keeps p and dp live for every
-    head in the group at once)."""
+    head in the group at once).  dw_interleave adds the [bB, Tp, W] f32
+    dy accumulator scratch."""
     weights = 4 * W * W * 2 + 4 * W * W * 4  # wqkv+wout bf16, dwqkv+dwout f32
     tiles = 3
     if stage_batched and n_heads:
         heads_per_group = max(1, 128 // (W // n_heads))
         tiles = 2 * heads_per_group + 1
     per_row = Tp * (3 * W * 2 + 3 * W * 4 + 4 * W * 2 + tiles * Tp * 4)
+    if dw_interleave:
+        per_row += Tp * W * 4  # dy accumulator scratch
     return weights + bB * per_row <= _ATTN_BWD_VMEM_BUDGET
+
+
+# Trace-time switch for the dw-interleaved backward schedule (see
+# _attn_block_bwd_kernel's dw_interleave doc): None = auto, True/False =
+# force.  Auto is always False — the schedule MEASURED SLOWER than the
+# stage-batched default at every probed config (3.36-3.64 vs 3.15 ms,
+# scripts/attn_bwd_ab.py 2026-08-20); it stays in-tree as the VERDICT #4
+# falsification record, numerics-pinned but never routed.
+_BWD_DW_INTERLEAVE = None
+
+
+def _resolve_bwd_dw_interleave(n_heads: int, W: int,
+                               dw_interleave=None) -> bool:
+    if dw_interleave is None:
+        dw_interleave = _BWD_DW_INTERLEAVE
+    if dw_interleave is None:
+        dw_interleave = False  # measured to lose everywhere probed
+    heads_per_group = max(1, 128 // max(1, W // n_heads))
+    n_groups = max(1, n_heads // heads_per_group)
+    return bool(dw_interleave) and n_groups >= 2
 
 
 def _attn_block_bwd_impl(
     x, gamma, beta, w_qkv, b_qkv, w_out, g, n_heads, valid, eps, block_b,
-    interpret, causal=False, stage_batched=None,
+    interpret, causal=False, stage_batched=None, dw_interleave=None,
 ):
     from jax.experimental.pallas import tpu as pltpu_local
 
     B, Tp, W = x.shape
     stage_batched = _resolve_bwd_stage_batched(
         Tp, W, n_heads, stage_batched, causal)
+    dw_interleave = _resolve_bwd_dw_interleave(n_heads, W, dw_interleave)
     dtype = x.dtype
     bB = min(block_b, B)
     while bB > 1 and (
-        B % bB or not _attn_block_bwd_fits(bB, Tp, W, n_heads, stage_batched)
+        B % bB or not _attn_block_bwd_fits(bB, Tp, W, n_heads, stage_batched,
+                                           dw_interleave)
     ):
         bB -= 1
     while B % bB:
@@ -886,6 +1001,7 @@ def _attn_block_bwd_impl(
         functools.partial(
             _attn_block_bwd_kernel, n_heads=n_heads, valid=valid, eps=eps,
             causal=causal, stage_batched=stage_batched,
+            dw_interleave=dw_interleave,
         ),
         grid=(B // bB,),
         in_specs=[
@@ -918,7 +1034,8 @@ def _attn_block_bwd_impl(
         scratch_shapes=[
             pltpu_local.VMEM((bB, Tp, W), dtype),
             pltpu_local.VMEM((bB, Tp, 3 * W), dtype),
-        ],
+        ] + ([pltpu_local.VMEM((bB, Tp, W), jnp.float32)]
+             if dw_interleave else []),
         cost_estimate=pl.CostEstimate(
             flops=3 * (2 * B * Tp * W * 4 * W) + 5 * 2 * B * n_heads * Tp * Tp * (W // n_heads),
             bytes_accessed=3 * B * Tp * W * dtype.itemsize + 8 * W * W * 4,

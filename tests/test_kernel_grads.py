@@ -180,6 +180,44 @@ def test_attn_block_bwd_stage_batched_matches_serial(rng):
                                    atol=1e-6)
 
 
+def test_attn_block_bwd_dw_interleave_matches_serial(rng):
+    """The dw-interleaved backward schedule (round-5 VERDICT #4 probe —
+    measured SLOWER on chip, kept in-tree as the falsification record and
+    never auto-routed) must stay numerically pinned to the serial schedule:
+    weight grads are the same slice-wise contractions (bit-identical on
+    chip), dx/dgamma/dbeta differ only by the chunked dy accumulation
+    order (f32 ulp)."""
+    from tapclip_tpu.ops.fused_mha import (
+        _attn_block_bwd_impl,
+        _resolve_bwd_dw_interleave,
+    )
+    from tapclip_tpu.models.layers import init_attn, init_layer_norm
+
+    # auto-routing must keep it OFF everywhere (measured negative)
+    assert not _resolve_bwd_dw_interleave(12, 768)
+    assert not _resolve_bwd_dw_interleave(16, 1024)
+    # forcing it on requires >= 2 head groups
+    assert _resolve_bwd_dw_interleave(4, 256, dw_interleave=True)
+    assert not _resolve_bwd_dw_interleave(2, 128, dw_interleave=True)
+
+    B, T, W, H = 4, 24, 256, 4  # Dh=64 -> 2 head groups
+    x = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    ln = init_layer_norm(W)
+    attn = init_attn(jax.random.PRNGKey(7), W)
+
+    outs = {}
+    for dw in (False, True):
+        outs[dw] = _attn_block_bwd_impl(
+            x, ln["scale"], ln["bias"], attn["w_qkv"], attn["b_qkv"],
+            attn["w_out"], g, n_heads=H, valid=19, eps=1e-5, block_b=2,
+            interpret=True, stage_batched=True, dw_interleave=dw,
+        )
+    for a, b in zip(jax.tree.leaves(outs[False]), jax.tree.leaves(outs[True])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=2e-5)
+
+
 def test_text_pass_grads_pallas_vs_xla(tiny_cfg, tiny_prompt_cfg, tiny_params, rng):
     """Full differentiated text pass (attribution -> adjust -> encode):
     pallas impl (interpret) vs xla impl, grads wrt the trainable pytree."""
