@@ -76,7 +76,8 @@ def main():
     fl = (3 * 2 * B * T * W * 3 * W) + (2 * 2 * B * T * W * W) \
         + 6 * 2 * B * H * T * T * Dh
 
-    def make(stage_batched, block_b=8, dw=False, budget_mb=None):
+    def make(stage_batched, block_b=8, dw=False, budget_mb=None,
+             pair_packed=None):
         def f(gm, bt, wq, bq, wo, pair):
             saved = M._ATTN_BWD_VMEM_BUDGET
             if budget_mb is not None:
@@ -87,18 +88,31 @@ def main():
                     n_heads=H, valid=valid, eps=1e-5, block_b=block_b,
                     interpret=False, causal=False,
                     stage_batched=stage_batched, dw_interleave=dw,
+                    pair_packed=pair_packed,
                 )
             finally:
                 M._ATTN_BWD_VMEM_BUDGET = saved
         return jax.jit(f)
 
-    variants = [
-        ("serial/b8", make(False, 8)),
-        ("staged/b8", make(True, 8)),
-        ("staged+dw/auto", make(True, 8, dw=True)),
-        ("staged+dw/b8v80", make(True, 8, dw=True, budget_mb=80)),
-        ("serial+dw/auto", make(False, 8, dw=True)),
-    ]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "dw"
+    if mode == "pack":
+        # Round-5 pair-packed backward chain (VERDICT round-4 follow-up):
+        # production comparator is the auto route (staged at ViT-B, serial
+        # at ViT-L), challenger packs both Dh=64 heads per chain GEMM.
+        variants = [
+            ("serial/b8", make(False, 8)),
+            ("packed/b8", make(False, 8, pair_packed=True)),
+            ("staged/b8", make(True, 8)),
+            ("packed/b4", make(False, 4, pair_packed=True)),
+        ]
+    else:
+        variants = [
+            ("serial/b8", make(False, 8)),
+            ("staged/b8", make(True, 8)),
+            ("staged+dw/auto", make(True, 8, dw=True)),
+            ("staged+dw/b8v80", make(True, 8, dw=True, budget_mb=80)),
+            ("serial+dw/auto", make(False, 8, dw=True)),
+        ]
 
     # numerics cross-check once (all variants vs the first)
     ref = variants[0][1](gamma, beta, wqkv, bqkv, wout, xg_chk)

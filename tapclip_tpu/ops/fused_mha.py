@@ -438,6 +438,84 @@ def _pair_packed_attention(qg, kg, vg, *, valid: int, scale: float):
     return o / jnp.where((lane_o < Dh)[None], l0, l1)
 
 
+def _pair_packed_attention_bwd(qg, kg, vg, gg, *, valid: int, scale: float,
+                               dt):
+    """Backward of one Dh=64 head pair as packed full-geometry contractions.
+
+    The forward pack (``_pair_packed_attention``) wins 0.833x at ViT-L
+    geometry by amortizing the [Tp] lane round-up (2Tp=528 -> 640 vs
+    2x(264 -> 384)); every GEMM of the softmax-attention gradient chain has
+    the same round-up structure, so the whole chain is packed here:
+
+      s  = qg @ Kbdᵀ            [Tp, 2Tp]   (exact: Kbd zero off-block)
+      p  = segment-softmax(s)               (normalized — bwd needs p)
+      o  = p @ Vbd              [Tp, 128]   = [o_h0 | o_h1]
+      dv = pᵀ @ gg              [2Tp, 128]  off-block lanes garbage, selected
+      dp = gg @ Vbdᵀ            [Tp, 2Tp]   (exact)
+      ds = p (dp - rowsum_seg(dp p)) scale
+      dq = ds @ Kbd             [Tp, 128]   (exact)
+      dk = dsᵀ @ qg             [2Tp, 128]  off-block lanes garbage, selected
+
+    qg/kg/vg/gg are [bB, Tp, 2·Dh] f32 (both heads' lanes); returns
+    (o, dq, dk, dv) each [bB, Tp, 2·Dh] f32 in the same packed-lane group
+    layout.  Results differ from the per-head chain only by reduction-tree
+    pairing (f32 ulp).  Non-causal only."""
+    bB, Tp, two_dh = qg.shape
+    Dh = two_dh // 2
+    neg = jnp.float32(-1e30)
+    T2 = 2 * Tp
+    rr = jax.lax.broadcasted_iota(jnp.int32, (T2, two_dh), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (T2, two_dh), 1)
+    bd = ((rr < Tp) == (ll < Dh))[None]  # block-diagonal selector
+    kbd = jnp.where(bd, jnp.concatenate([kg, kg], axis=1), 0.0)
+    vbd = jnp.where(bd, jnp.concatenate([vg, vg], axis=1), 0.0)
+
+    s = jax.lax.dot_general(  # [bB, Tp, 2Tp] — both heads' scores
+        qg, kbd, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tp, T2), 1)
+    seg1 = (col >= Tp)[None]
+    keypos = col - jnp.where(col >= Tp, Tp, 0)
+    s = jnp.where((keypos < valid)[None], s * (scale * _LOG2E), neg)
+    m0 = jnp.max(jnp.where(seg1, neg, s), axis=-1, keepdims=True)
+    m1 = jnp.max(jnp.where(seg1, s, neg), axis=-1, keepdims=True)
+    e = jnp.exp2(s - jnp.where(seg1, m1, m0))
+    l0 = jnp.sum(jnp.where(seg1, 0.0, e), axis=-1, keepdims=True)
+    l1 = jnp.sum(jnp.where(seg1, e, 0.0), axis=-1, keepdims=True)
+    p = e / jnp.where(seg1, l1, l0)  # [bB, Tp, 2Tp] normalized per segment
+    pc = p.astype(dt)
+
+    o = jax.lax.dot_general(  # [bB, Tp, 128] = [o_h0 | o_h1]
+        pc, vbd.astype(dt), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    gc = gg.astype(dt)
+    dv_pk = jax.lax.dot_general(  # [bB, 2Tp, 128]
+        pc, gc, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(  # [bB, Tp, 2Tp]
+        gg, vbd, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    r0 = jnp.sum(jnp.where(seg1, 0.0, dp * p), axis=-1, keepdims=True)
+    r1 = jnp.sum(jnp.where(seg1, dp * p, 0.0), axis=-1, keepdims=True)
+    ds = p * (dp - jnp.where(seg1, r1, r0)) * scale
+    dq = jax.lax.dot_general(  # [bB, Tp, 128] (exact: kbd zero off-block)
+        ds, kbd, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk_pk = jax.lax.dot_general(  # [bB, 2Tp, 128]
+        ds, qg, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    lane = (jax.lax.broadcasted_iota(jnp.int32, (Tp, two_dh), 1) < Dh)[None]
+    dv = jnp.where(lane, dv_pk[:, :Tp, :], dv_pk[:, Tp:, :])
+    dk = jnp.where(lane, dk_pk[:, :Tp, :], dk_pk[:, Tp:, :])
+    return o, dq, dk, dv
+
+
 def _attn_block_kernel(
     x_ref,  # VMEM [bB, Tp, W] residual input (pre-LN)
     gamma_ref,  # VMEM [1, W] f32
@@ -571,6 +649,7 @@ def _attn_block_bwd_kernel(
     causal: bool = False,
     stage_batched: bool = False,
     dw_interleave: bool = False,
+    pair_packed: bool = False,
 ):
     """Dedicated attention half-block backward (the MLP backward's design
     applied to attention): recompute LN + per-head-group qkv + probabilities
@@ -817,7 +896,12 @@ def _attn_block_bwd_kernel(
                 @pl.when(grp > 1)
                 def _():
                     dy_s[:] += dy_c
-        if stage_batched:
+        if pair_packed:
+            o_g, dq_g, dk_g, dv_g = _pair_packed_attention_bwd(
+                qg, kg, vg, gg, valid=valid, scale=scale, dt=dt
+            )
+            os_, dqs, dks, dvs = [o_g], [dq_g], [dk_g], [dv_g]
+        elif stage_batched:
             os_, dqs, dks, dvs = stage_batched_heads(qg, kg, vg, gg)
         else:
             os_, dqs, dks, dvs = [], [], [], []
@@ -939,7 +1023,8 @@ def _resolve_bwd_stage_batched(T: int, W: int, n_heads: int,
 
 def _attn_block_bwd_fits(bB: int, Tp: int, W: int, n_heads: int = 0,
                          stage_batched: bool = False,
-                         dw_interleave: bool = False) -> bool:
+                         dw_interleave: bool = False,
+                         pair_packed: bool = False) -> bool:
     """VMEM footprint of the dedicated backward: weights + f32 accumulators
     + the block tensors (x/g/dx bf16, n/datt/dy f32, attn/dqkv scratch) +
     live [Tp, Tp]-per-batch-row f32 score tiles (three on the serial
@@ -951,6 +1036,10 @@ def _attn_block_bwd_fits(bB: int, Tp: int, W: int, n_heads: int = 0,
     if stage_batched and n_heads:
         heads_per_group = max(1, 128 // (W // n_heads))
         tiles = 2 * heads_per_group + 1
+    if pair_packed:
+        # [Tp, 2Tp] packed s/p/dp/ds tiles (~4 live x 2 Tp-widths) plus the
+        # [2Tp, 128] Kbd/Vbd/dv/dk operands.
+        tiles = max(tiles, 8)
     per_row = Tp * (3 * W * 2 + 3 * W * 4 + 4 * W * 2 + tiles * Tp * 4)
     if dw_interleave:
         per_row += Tp * W * 4  # dy accumulator scratch
@@ -977,21 +1066,47 @@ def _resolve_bwd_dw_interleave(n_heads: int, W: int,
     return bool(dw_interleave) and n_groups >= 2
 
 
+# Trace-time switch for the pair-packed backward chain (the round-4 forward
+# pack applied to the softmax-attention gradient): None = auto (the measured
+# rule in _resolve_bwd_pair_packed), True/False = force.
+_BWD_PAIR_PACKED = None
+
+
+def _resolve_bwd_pair_packed(T: int, W: int, n_heads: int,
+                             pair_packed=None, causal: bool = False) -> bool:
+    """MEASURED NEUTRAL — auto stays OFF.  The forward pack's 0.833x win at
+    T=264 does NOT transfer to the backward chain (A/B
+    `scripts/attn_bwd_ab.py vitl 64 5 pack`, 2026-08-20: packed 3.81 vs
+    serial 3.85 ms — noise).  Only s/dp/o share the forward's lane-round-up
+    structure; dv/dq/dk are tile-arithmetic washes, and the W-GEMM majority
+    of the kernel was never affected.  See docs/PERF.md round-5.  Non-causal
+    Dh=64 pairs only; forceable for the A/B and the numerics pin."""
+    if pair_packed is None:
+        pair_packed = _BWD_PAIR_PACKED
+    if pair_packed is None:
+        pair_packed = False  # measured neutral at its only candidate geometry
+    hpg = max(1, 128 // max(1, W // n_heads))
+    return bool(pair_packed) and hpg == 2 and not causal
+
+
 def _attn_block_bwd_impl(
     x, gamma, beta, w_qkv, b_qkv, w_out, g, n_heads, valid, eps, block_b,
     interpret, causal=False, stage_batched=None, dw_interleave=None,
+    pair_packed=None,
 ):
     from jax.experimental.pallas import tpu as pltpu_local
 
     B, Tp, W = x.shape
-    stage_batched = _resolve_bwd_stage_batched(
+    pair_packed = _resolve_bwd_pair_packed(
+        Tp, W, n_heads, pair_packed, causal)
+    stage_batched = not pair_packed and _resolve_bwd_stage_batched(
         Tp, W, n_heads, stage_batched, causal)
     dw_interleave = _resolve_bwd_dw_interleave(n_heads, W, dw_interleave)
     dtype = x.dtype
     bB = min(block_b, B)
     while bB > 1 and (
         B % bB or not _attn_block_bwd_fits(bB, Tp, W, n_heads, stage_batched,
-                                           dw_interleave)
+                                           dw_interleave, pair_packed)
     ):
         bB -= 1
     while B % bB:
@@ -1001,7 +1116,7 @@ def _attn_block_bwd_impl(
         functools.partial(
             _attn_block_bwd_kernel, n_heads=n_heads, valid=valid, eps=eps,
             causal=causal, stage_batched=stage_batched,
-            dw_interleave=dw_interleave,
+            dw_interleave=dw_interleave, pair_packed=pair_packed,
         ),
         grid=(B // bB,),
         in_specs=[

@@ -218,6 +218,42 @@ def test_attn_block_bwd_dw_interleave_matches_serial(rng):
                                    atol=2e-5)
 
 
+def test_attn_block_bwd_pair_packed_matches_serial(rng):
+    """The pair-packed backward chain (round-5: the round-4 forward pack
+    applied to the softmax-attention gradient — every chain GEMM shares the
+    lane-round-up structure) must match the serial per-head chain at f32
+    ulp; the off-block lanes of the packed dv/dk products are garbage by
+    construction and must be fully discarded by the selector."""
+    from tapclip_tpu.ops.fused_mha import (
+        _attn_block_bwd_impl,
+        _resolve_bwd_pair_packed,
+    )
+    from tapclip_tpu.models.layers import init_attn, init_layer_norm
+
+    # pair-packing requires exactly 2 heads per 128-lane group, non-causal
+    assert _resolve_bwd_pair_packed(264, 1024, 16, pair_packed=True)
+    assert not _resolve_bwd_pair_packed(264, 1024, 8, pair_packed=True)
+    assert not _resolve_bwd_pair_packed(
+        264, 1024, 16, pair_packed=True, causal=True)
+
+    B, T, W, H = 4, 40, 256, 4  # Dh=64 -> 2 head pairs
+    x = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    ln = init_layer_norm(W)
+    attn = init_attn(jax.random.PRNGKey(7), W)
+
+    outs = {}
+    for packed in (False, True):
+        outs[packed] = _attn_block_bwd_impl(
+            x, ln["scale"], ln["bias"], attn["w_qkv"], attn["b_qkv"],
+            attn["w_out"], g, n_heads=H, valid=33, eps=1e-5, block_b=2,
+            interpret=True, stage_batched=False, pair_packed=packed,
+        )
+    for a, b in zip(jax.tree.leaves(outs[False]), jax.tree.leaves(outs[True])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=2e-5)
+
+
 def test_text_pass_grads_pallas_vs_xla(tiny_cfg, tiny_prompt_cfg, tiny_params, rng):
     """Full differentiated text pass (attribution -> adjust -> encode):
     pallas impl (interpret) vs xla impl, grads wrt the trainable pytree."""
