@@ -16,13 +16,20 @@
 # suite; a deterministic failure still is (failures are never retried).
 cd /root/repo || exit 1
 
+# Overridable for the runner's own regression test
+# (tests/test_suite_runner.py drives the retry path with a stubbed pytest
+# and a tiny cap); production defaults unchanged.
+CAP=${SUITE_CHUNK_TIMEOUT:-720}
+PYTEST_CMD=${SUITE_PYTEST_CMD:-"python -m pytest"}
+LOG_DIR=${SUITE_LOG_DIR:-/tmp}
+
 CHUNKS=(
   "A1|tests/test_sharding.py tests/test_multihost.py tests/test_scale.py"
   "A2|tests/test_augment.py tests/test_featurize.py tests/test_search.py tests/test_saliency.py tests/test_linear_probe.py tests/test_csv_dataset.py"
   "B1|tests/test_pretrain.py"
   "B2|tests/test_fsdp.py tests/test_distill.py"
   "C1|tests/test_drivers.py"
-  "C2|tests/test_serve.py tests/test_convert_script.py"
+  "C2|tests/test_serve.py tests/test_convert_script.py tests/test_suite_runner.py"
   "D1|tests/test_clip_model.py tests/test_full_model_oracle.py tests/test_grad_oracle.py tests/test_model_wrapper.py"
   "D2|tests/test_train_loop_oracle.py tests/test_sharded_ckpt.py tests/test_prograd.py tests/test_promptsrc.py"
   "E|tests/test_kernel_grads.py tests/test_fused_mha.py tests/test_fused_mlp.py tests/test_flash_blocked.py tests/test_attention.py tests/test_int8.py"
@@ -55,10 +62,10 @@ done
 
 run_chunk() {  # $1=name $2=files $3=attempt-label ; echoes summary, returns rc
   local name=$1 files=$2 attempt=$3
-  local chunk_log=/tmp/suite_chunk_${name}${attempt}.log
+  local chunk_log=${LOG_DIR}/suite_chunk_${name}${attempt}.log
   local start rc elapsed summary
   start=$(date +%s)
-  timeout 720 python -m pytest $files -q >"$chunk_log" 2>&1
+  timeout "$CAP" $PYTEST_CMD $files -q >"$chunk_log" 2>&1
   rc=$?
   elapsed=$(( $(date +%s) - start ))
   # pytest's summary is the last non-empty line ("N passed, M skipped in Ss")
@@ -76,7 +83,7 @@ for entry in "${CHUNKS[@]}"; do
   rc=$?
   if [ $rc -eq 124 ]; then
     # Timeout != failure on a loaded box: retry once, standalone.
-    echo "chunk $name TIMED OUT after 720s — retrying once (log: $LAST_LOG)"
+    echo "chunk $name TIMED OUT after ${CAP}s — retrying once (log: $LAST_LOG)"
     run_chunk "$name" "$files" ".retry"
     rc=$?
     if [ $rc -eq 124 ]; then
