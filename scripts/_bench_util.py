@@ -63,3 +63,30 @@ def slope_time_args(fn, args_list, steps):
     t1 = chain(steps, 0)
     t2 = chain(2 * steps, steps)
     return (t2 - t1) / steps
+
+
+# Shared A&S erf polynomials for the kernel A/B scripts (the 5-term form is
+# the production one in tapclip_tpu/ops/fused_mlp.py::_erf_poly; the 3-term
+# variant is an A/B candidate only — max |err| 2.5e-5).
+def erf5(x):
+    import jax.numpy as jnp
+
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def erf3(x):
+    import jax.numpy as jnp
+
+    a1, a2, a3 = 0.3480242, -0.0958798, 0.7478556
+    p = 0.47047
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - ((a3 * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y

@@ -46,31 +46,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tapclip_tpu.models.layers import init_layer_norm, init_mlp
+from scripts._bench_util import erf3 as _erf3, erf5 as _erf5
 from tapclip_tpu.ops.fused_mlp import fused_mlp_block
 
 PEAK = 197e12
 _SUM = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-
-
-def _erf5(x):
-    a1, a2, a3, a4, a5 = (
-        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
-    )
-    p = 0.3275911
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
-    return jnp.sign(x) * y
-
-
-def _erf3(x):
-    # A&S 7.1.25 (3 coefficients, max abs err 2.5e-5 — far below bf16 eps)
-    a1, a2, a3 = 0.3480242, -0.0958798, 0.7478556
-    p = 0.47047
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    y = 1.0 - ((a3 * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
-    return jnp.sign(x) * y
 
 
 def make_kernel(eps, erf3=False, ln1pass=False, ilv_chunks=1):
@@ -140,6 +120,9 @@ def run_variant(ln, mlp, x, row_tile=256, vmem_mb=64, erf3=False,
     B, T, W = x.shape
     H = mlp["w_fc"].shape[-1]
     R = B * T
+    assert R % row_tile == 0, (
+        f"rows {R} not divisible by row_tile {row_tile} — the grid would "
+        "silently drop the tail rows and skew the A/B")
     dtype = x.dtype
     x2 = x.reshape(R, W)
     out = pl.pallas_call(

@@ -858,7 +858,7 @@ def _attn_block_bwd_kernel(
             dy_c = contrib if dy_c is None else dy_c + contrib
         return dwout_rows, dwqkv_cols, dy_c.reshape(bB, Tp, W)
 
-    def dw_store(grp, poff, dwout_rows, dwqkv_cols):
+    def dw_store(poff, dwout_rows, dwqkv_cols):
         """Write one group's dW slices (init on grid step 0, else add)."""
         @pl.when(i == 0)
         def _():
@@ -887,7 +887,7 @@ def _attn_block_bwd_kernel(
             def _():
                 poff = pl.multiple_of((grp - 1) * group_w, group_w)
                 dwout_rows, dwqkv_cols, dy_c = dw_group(poff)
-                dw_store(grp, poff, dwout_rows, dwqkv_cols)
+                dw_store(poff, dwout_rows, dwqkv_cols)
 
                 @pl.when(grp == 1)
                 def _():
@@ -935,7 +935,7 @@ def _attn_block_bwd_kernel(
         # Groups 0..n-2 were handled inside the loop; finish the last one.
         last = pl.multiple_of((n_groups - 1) * group_w, group_w)
         dwout_rows, dwqkv_cols, dy_c = dw_group(last)
-        dw_store(n_groups - 1, last, dwout_rows, dwqkv_cols)
+        dw_store(last, dwout_rows, dwqkv_cols)
         dy = dy_s[:] + dy_c
         dqkv2 = dqkv_s[:].reshape(bB * Tp, 3 * W)
     else:

@@ -599,8 +599,9 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 raise SystemExit(
                     f"--resume {args.resume}: host-format snapshot (saved "
                     "WITHOUT --sharded-snapshot) whose structure does not "
-                    "match this run — resume it without --sharded-snapshot "
-                    "(the host path merges optimizer state tolerantly)."
+                    "match this run — resume it without --sharded-snapshot. "
+                    "(The host path merges optimizer state leaf-by-leaf "
+                    "when the leaf counts match and fails loudly otherwise.)"
                 ) from err
             if fmt is None:
                 raise SystemExit(
@@ -624,11 +625,24 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 ) from err
             part = dict(target)
             part["opt_state"] = saved["opt_state"]
-            snap = restore_sharded_snapshot(os.path.abspath(args.resume),
-                                            part)
+            try:
+                snap = restore_sharded_snapshot(os.path.abspath(args.resume),
+                                                part)
+            except Exception as err2:
+                raise SystemExit(
+                    f"--resume {args.resume}: sharded snapshot does not "
+                    "match this run beyond its optimizer state — the PARAMS "
+                    "tree also drifted (model preset/LoRA change since the "
+                    "save?).  Params cannot be merged; start fresh or "
+                    "resume with the saving-time configuration."
+                ) from err2
             tmpl_leaves, treedef = jax.tree.flatten(opt_state)
             rest_leaves = jax.tree.leaves(snap["opt_state"])
-            if len(rest_leaves) == len(tmpl_leaves):
+            compatible = len(rest_leaves) == len(tmpl_leaves) and all(
+                tuple(getattr(r, "shape", ())) == tuple(getattr(t, "shape", ()))
+                for r, t in zip(rest_leaves, tmpl_leaves)
+            )
+            if compatible:
                 snap["opt_state"] = jax.tree.unflatten(treedef, [
                     jax.device_put(jnp.asarray(r).astype(t.dtype), t.sharding)
                     if hasattr(t, "sharding") else jnp.asarray(r)
@@ -636,14 +650,15 @@ def main(argv: Optional[List[str]] = None) -> dict:
                 ])
                 log.warning(
                     "sharded resume: optimizer-state STRUCTURE drifted since "
-                    "the save (optimizer/schedule tweak?); merged %d leaves "
-                    "by order into the current layout", len(rest_leaves))
+                    "the save (optimizer/schedule tweak?); merged %d "
+                    "shape-compatible leaves by order into the current "
+                    "layout", len(rest_leaves))
             else:
                 snap["opt_state"] = opt_state
                 log.warning(
-                    "sharded resume: optimizer state in the snapshot has %d "
-                    "leaves vs %d in the current optimizer — resuming params "
-                    "with FRESH optimizer state",
+                    "sharded resume: snapshot optimizer state (%d leaves) is "
+                    "not shape-compatible with the current optimizer (%d "
+                    "leaves) — resuming params with FRESH optimizer state",
                     len(rest_leaves), len(tmpl_leaves))
         if lora is not None:
             lora = snap["params"]

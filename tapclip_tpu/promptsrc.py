@@ -95,6 +95,12 @@ def fit_promptsrc(
             "fit_promptsrc drives checkpoint_cb itself (GPA snapshots); "
             "wrap fit_prompt_model directly for custom snapshotting"
         )
+    if val_loader is None:
+        raise ValueError(
+            "fit_promptsrc needs a validation set: the GPA-vs-best winner "
+            "is selected on validation accuracy (use fit_prompt_model "
+            "directly for unvalidated training)"
+        )
     # Aggregate exactly the leaves the fit optimizes (mirrors
     # fit_prompt_model's trainable_keys default): always ctx, plus the
     # CoCoOp meta-net when image-conditioned — a GPA ctx paired with a
@@ -133,14 +139,9 @@ def fit_promptsrc(
         )
 
     # Evaluate the aggregated prompt on the EXACT val features the fit used
-    # (FitResult.val_cache) — re-caching from the loader would be a second
-    # full image-tower pass over the same images.
+    # (FitResult.val_cache — always set, since val_loader is required above);
+    # re-caching from the loader would be a second full image-tower pass.
     val_cache = fit.val_cache
-    if val_cache is None:  # val_loader was None and the fit never evaluated
-        from tapclip_tpu.trainer import CachedSet, cache_features
-
-        val_cache = (val_loader if isinstance(val_loader, CachedSet)
-                     else cache_features(model, val_loader))
     model.trainable = gpa_trainable
     try:
         gpa_acc, _ = evaluate_cached(model, val_cache)

@@ -115,6 +115,18 @@ def test_fit_promptsrc_rejects_custom_checkpointing(model, tiny_cfg, rng):
                       TrainConfig(epochs=1), checkpoint_cb=lambda *a: None)
 
 
+def test_fit_promptsrc_requires_val_set(model, rng):
+    """GPA-vs-best winner selection needs validation accuracy; a None
+    val_loader must be rejected up front with a clear message (previously it
+    crashed deep inside cache_features(model, None))."""
+    from tapclip_tpu.trainer import CachedSet
+
+    X = rng.standard_normal((8, model.clip_cfg.embed_dim)).astype(np.float32)
+    y = np.asarray(rng.integers(0, len(CLASSES), 8), np.int32)
+    with pytest.raises(ValueError, match="validation set"):
+        fit_promptsrc(model, CachedSet(X, y), None, TrainConfig(epochs=1))
+
+
 TEMPLATES = ("a photo of a {}", "a blurry photo of a {}",
              "a sketch of a {}")
 
