@@ -65,20 +65,11 @@ def slope_time_args(fn, args_list, steps):
     return (t2 - t1) / steps
 
 
-# Shared A&S erf polynomials for the kernel A/B scripts (the 5-term form is
-# the production one in tapclip_tpu/ops/fused_mlp.py::_erf_poly; the 3-term
-# variant is an A/B candidate only — max |err| 2.5e-5).
-def erf5(x):
-    import jax.numpy as jnp
-
-    a1, a2, a3, a4, a5 = (
-        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
-    )
-    p = 0.3275911
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
-    return jnp.sign(x) * y
+# Shared A&S erf polynomials for the kernel A/B scripts.  The 5-term form
+# IS the production polynomial — imported, not copied, so the scripts'
+# "production-equivalent" arms can never drift from the shipped kernel.
+# The 3-term variant is an A/B candidate only (max |err| 2.5e-5).
+from tapclip_tpu.ops.fused_mlp import _erf_poly as erf5  # noqa: E402
 
 
 def erf3(x):

@@ -80,6 +80,7 @@ class PromptLearner:
         tokenizer: SimpleTokenizer,
         *,
         rng: Optional[jax.Array] = None,
+        banner: bool = True,
     ):
         self.clip_cfg = clip_cfg
         self.prompt_cfg = prompt_cfg
@@ -102,10 +103,13 @@ class PromptLearner:
         # (prompt_learner.py:21).  Note ``class_specific`` is stored and
         # printed but never otherwise consumed by the reference either —
         # its context bank is per-class unconditionally; we mirror that.
-        print(
-            f"cls_specific: {prompt_cfg.class_specific}, "
-            f"use_init_prompt: {prompt_cfg.use_init_prompt}"
-        )
+        # ``banner=False`` for internal throwaway learners (e.g. the
+        # multi-template anchor builder) so quiet paths stay quiet.
+        if banner:
+            print(
+                f"cls_specific: {prompt_cfg.class_specific}, "
+                f"use_init_prompt: {prompt_cfg.use_init_prompt}"
+            )
         for name in class_names:
             self.add_class_prompt(name)
 

@@ -1225,14 +1225,20 @@ def _attn_block_bwd(n_heads, valid, eps, block_b, interpret, causal, res, g):
     B, T, W = x.shape
     Dh = W // n_heads
     heads_per_group = max(1, 128 // Dh)
+    # Mirror _attn_block_bwd_impl's schedule resolution exactly (incl. the
+    # A/B force switches) so the fits check gates the footprint the kernel
+    # will actually run with — a forced pair_packed/dw_interleave schedule
+    # must not slip past a budget computed for the default schedule.
+    packed = _resolve_bwd_pair_packed(T, W, n_heads, causal=causal)
+    staged = not packed and _resolve_bwd_stage_batched(
+        T, W, n_heads, causal=causal)
+    dw = _resolve_bwd_dw_interleave(n_heads, W)
     use_kernel = (
         _HAS_PLTPU
         and n_heads % heads_per_group == 0
         and W % 128 == 0
         and T % 8 == 0
-        and _attn_block_bwd_fits(
-            1, T, W, n_heads,
-            _resolve_bwd_stage_batched(T, W, n_heads, causal=causal))
+        and _attn_block_bwd_fits(1, T, W, n_heads, staged, dw, packed)
     )
     if use_kernel:
         dx, dgamma, dbeta, dwqkv, dbqkv, dwout, dbout = _attn_block_bwd_impl(

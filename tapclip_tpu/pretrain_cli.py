@@ -623,8 +623,31 @@ def main(argv: Optional[List[str]] = None) -> dict:
                     f"--resume {args.resume}: sharded snapshot missing "
                     f"params/opt_state (has {sorted(saved)})"
                 ) from err
+            # Compatibility is decided from the snapshot METADATA (shapes
+            # only, nothing materialized): when the saved opt-state leaves
+            # match the live ones by order and shape, each leaf is restored
+            # STRAIGHT into the live target's sharding — no replicated
+            # intermediate (which would multiply opt-state memory by the
+            # device count on exactly the FSDP runs this path serves).
+            tmpl_leaves, treedef = jax.tree.flatten(opt_state)
+            saved_leaves, saved_def = jax.tree.flatten(saved["opt_state"])
+            compatible = len(saved_leaves) == len(tmpl_leaves) and all(
+                tuple(getattr(s, "shape", ())) == tuple(getattr(t, "shape", ()))
+                for s, t in zip(saved_leaves, tmpl_leaves)
+            )
             part = dict(target)
-            part["opt_state"] = saved["opt_state"]
+            if compatible:
+                part["opt_state"] = jax.tree.unflatten(saved_def, [
+                    jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=t.sharding)
+                    if hasattr(t, "sharding") and getattr(s, "shape", None)
+                    is not None else s
+                    for s, t in zip(saved_leaves, tmpl_leaves)
+                ])
+            else:
+                # Incompatible: the restored moments will be discarded for
+                # fresh state; restore against the saved structure (replicated
+                # leaves) just to reach params/counters in one pass.
+                part["opt_state"] = saved["opt_state"]
             try:
                 snap = restore_sharded_snapshot(os.path.abspath(args.resume),
                                                 part)
@@ -636,30 +659,27 @@ def main(argv: Optional[List[str]] = None) -> dict:
                     "save?).  Params cannot be merged; start fresh or "
                     "resume with the saving-time configuration."
                 ) from err2
-            tmpl_leaves, treedef = jax.tree.flatten(opt_state)
-            rest_leaves = jax.tree.leaves(snap["opt_state"])
-            compatible = len(rest_leaves) == len(tmpl_leaves) and all(
-                tuple(getattr(r, "shape", ())) == tuple(getattr(t, "shape", ()))
-                for r, t in zip(rest_leaves, tmpl_leaves)
-            )
             if compatible:
+                rest_leaves = jax.tree.leaves(snap["opt_state"])
                 snap["opt_state"] = jax.tree.unflatten(treedef, [
-                    jax.device_put(jnp.asarray(r).astype(t.dtype), t.sharding)
-                    if hasattr(t, "sharding") else jnp.asarray(r)
+                    r.astype(t.dtype)
+                    if hasattr(t, "dtype") and hasattr(r, "astype")
+                    and r.dtype != t.dtype else r
                     for r, t in zip(rest_leaves, tmpl_leaves)
                 ])
                 log.warning(
                     "sharded resume: optimizer-state STRUCTURE drifted since "
                     "the save (optimizer/schedule tweak?); merged %d "
-                    "shape-compatible leaves by order into the current "
-                    "layout", len(rest_leaves))
+                    "shape-compatible leaves BY ORDER into the current "
+                    "layout — this assumes the transform-chain order is "
+                    "unchanged since the save", len(rest_leaves))
             else:
                 snap["opt_state"] = opt_state
                 log.warning(
                     "sharded resume: snapshot optimizer state (%d leaves) is "
                     "not shape-compatible with the current optimizer (%d "
                     "leaves) — resuming params with FRESH optimizer state",
-                    len(rest_leaves), len(tmpl_leaves))
+                    len(saved_leaves), len(tmpl_leaves))
         if lora is not None:
             lora = snap["params"]
         else:

@@ -49,13 +49,27 @@ def _multi_template_anchor(model: FullModel, templates, init_adjustor,
     """
     from tapclip_tpu.models.prompt_learner import PromptLearner
 
+    if not model.prompt_cfg.use_init_prompt:
+        # Template-ensembled anchors are only coherent under template init:
+        # with use_init_prompt=False the context is a random draw, a fresh
+        # per-template learner would draw a DIFFERENT random context than
+        # the live model did, and the "model's own zero-shot features"
+        # property the same-pipeline anchor exists for would be silently
+        # violated.  The single-anchor path (the model's actual init bank)
+        # remains available.
+        raise ValueError(
+            "anchor_templates requires PromptConfig.use_init_prompt=True — "
+            "with a random context init the multi-template anchor would not "
+            "be the model's own zero-shot features (drop anchor_templates "
+            "to anchor on the model's actual init context instead)"
+        )
     C_max = model.prompt_learner.bank.ctx.shape[0]
     acc = None
     for t in templates:
         pcfg_t = dataclasses.replace(model.prompt_cfg, template=t)
         learner_t = PromptLearner(
             list(model.class_names), model.clip_params, model.clip_cfg,
-            pcfg_t, model.tokenizer,
+            pcfg_t, model.tokenizer, banner=False,
         )
         f = anchor_fn(model.clip_params, learner_t.bank.ctx, learner_t.bank,
                       init_adjustor)  # [cap_t, E], L2-normalized rows

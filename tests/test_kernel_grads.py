@@ -206,16 +206,22 @@ def test_attn_block_bwd_dw_interleave_matches_serial(rng):
     ln = init_layer_norm(W)
     attn = init_attn(jax.random.PRNGKey(7), W)
 
-    outs = {}
-    for dw in (False, True):
-        outs[dw] = _attn_block_bwd_impl(
+    # Pin dw_interleave against BOTH chain schedules it composes with —
+    # the A/B harness exercises serial+dw and staged+dw.
+    ref = _attn_block_bwd_impl(
+        x, ln["scale"], ln["bias"], attn["w_qkv"], attn["b_qkv"],
+        attn["w_out"], g, n_heads=H, valid=19, eps=1e-5, block_b=2,
+        interpret=True, stage_batched=False, dw_interleave=False,
+    )
+    for staged in (False, True):
+        out = _attn_block_bwd_impl(
             x, ln["scale"], ln["bias"], attn["w_qkv"], attn["b_qkv"],
             attn["w_out"], g, n_heads=H, valid=19, eps=1e-5, block_b=2,
-            interpret=True, stage_batched=True, dw_interleave=dw,
+            interpret=True, stage_batched=staged, dw_interleave=True,
         )
-    for a, b in zip(jax.tree.leaves(outs[False]), jax.tree.leaves(outs[True])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
-                                   atol=2e-5)
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
 
 
 def test_attn_block_bwd_pair_packed_matches_serial(rng):

@@ -127,6 +127,23 @@ def test_fit_promptsrc_requires_val_set(model, rng):
         fit_promptsrc(model, CachedSet(X, y), None, TrainConfig(epochs=1))
 
 
+def test_anchor_templates_require_template_init(tiny_cfg, tiny_params):
+    """With use_init_prompt=False the context is a random draw; a fresh
+    per-template anchor learner would draw a DIFFERENT random context than
+    the live model, silently violating the model's-own-zero-shot-features
+    property — rejected up front."""
+    from tapclip_tpu.config import PromptConfig
+    from tapclip_tpu.models.model_wrapper import FullModel
+    from tapclip_tpu.trainer import _multi_template_anchor
+
+    model = FullModel(
+        list(CLASSES), tiny_params, tiny_cfg,
+        prompt_cfg=PromptConfig(use_init_prompt=False),
+    )
+    with pytest.raises(ValueError, match="use_init_prompt"):
+        _multi_template_anchor(model, ("a photo of a {}",), None, None)
+
+
 TEMPLATES = ("a photo of a {}", "a blurry photo of a {}",
              "a sketch of a {}")
 
